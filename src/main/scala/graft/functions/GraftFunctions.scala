@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine scalar/aggregate building blocks. All are *compositions of
+  * built-in codegen'd functions* (no UDFs, no UDAF objects): they stay
+  * inside whole-stage codegen and have 1:1 SQL equivalents for the DuckDB
+  * oracle.
+  */
+object GraftFunctions {
+
+  /** Exact OpenTSDB percentile, replicating the reference's R-6-style
+    * interpolation (`src/agg/aggregate.cpp:341-387`):
+    *
+    *   idx = p*(n+1)  (p∈(0,1); p==0 → 0, p==1 → n)
+    *   idx <  1  → v[0];   idx >= n → v[n-1]
+    *   else lower = v[⌊idx⌋-1], upper = v[⌊idx⌋]  (1-based),
+    *        result = lower + (idx-⌊idx⌋)·(upper-lower)
+    *
+    * Note Hive/Spark built-in `percentile` uses `p*(n-1)` (R-7) — hence
+    * this custom form. NaN/Inf are excluded like the reference
+    * (`AggregatorPercentile::add_data_point`). `quantile` is the raw pNNN
+    * number: 50, 99, 999 → normalized by /10 until ≤ 100
+    * (`set_quantile`, aggregate.cpp:329-337).
+    *
+    * Implemented as sort_array(collect_list(..)) + interpolation — an
+    * aggregate *expression*, usable inside any groupBy. Per-group state is
+    * the value array, exactly like the reference (aggregate.h:186-190).
+    */
+  def exactPercentile(value: Column, quantile: Double): Column = {
+    var q = quantile
+    while (q > 100.0) q /= 10.0
+    val p = q / 100.0
+    val arr = sort_array(collect_list(
+      when(!isnan(value) && value =!= Double.PositiveInfinity &&
+        value =!= Double.NegativeInfinity, value)))
+    val n = size(arr)
+    val idx =
+      if (p == 0.0) lit(0.0)
+      else if (p == 1.0) n.cast("double")
+      else (n + 1).cast("double") * lit(p)
+    val iidx = idx.cast("int") // truncation, as the reference's (int)idx
+    val lower = element_at(arr, iidx)
+    val upper = element_at(arr, iidx + 1)
+    when(n === 0, lit(null).cast("double"))
+      .when(n === 1, element_at(arr, 1))
+      .when(idx < 1.0, element_at(arr, 1))
+      .when(idx >= n.cast("double"), element_at(arr, n))
+      .otherwise(lower + (idx - floor(idx)) * (upper - lower))
+  }
+
+  /** Cross-series / downsample aggregator dispatch. Name set mirrors the
+    * reference's registry (`src/agg/aggregate.cpp:33-36`) minus
+    * none/topN/bottomN which are not value aggregations.
+    *   - dev is population stddev: both the downsampler
+    *     (`include/down.h:151-155`, sqrt(m2/count)) and the cross-series
+    *     Welford (`aggregate.cpp:263-294`, divides by n=values.size())
+    *     compute σ over n.
+    *   - first/last = value at min/max timestamp (input is time-sorted in
+    *     the reference; ties broken by ts only).
+    */
+  def aggFor(name: String, value: Column, ts: Column): Column = name match {
+    case "avg" => avg(value)
+    case "sum" => sum(value)
+    case "count" => count(value).cast("double")
+    case "max" => max(value)
+    case "min" => min(value)
+    case "dev" => coalesce(stddev_pop(value), lit(Double.NaN))
+    case "first" => min_by(value, ts)
+    case "last" => max_by(value, ts)
+    case p if p.startsWith("p") && p.drop(1).forall(_.isDigit) =>
+      exactPercentile(value, p.drop(1).toDouble)
+    case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
+  }
+
+  /** Cosine similarity between two float/double vectors, computed in
+    * double via sequential fold (deterministic, order-preserving —
+    * matches DuckDB's list_dot_product evaluation).
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Deterministic 60-bit hash of a string shared with the oracle:
+    * first 15 hex chars of md5, as a BIGINT. (DuckDB:
+    * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`.)
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,93 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical data point — the unit of ingest and storage.
+  *
+  * Mirrors the reference's fundamental record: (metric, tags, timestamp,
+  * double value) — see reference `include/dp.h:34-96` and
+  * `include/type.h:57-60`. Two deliberate deviations, both recorded in
+  * SURVEY.md §7.4:
+  *
+  *   - `ts` is always epoch **milliseconds** (`Long`). The reference keeps a
+  *     global second/millisecond resolution switch (`src/global.cpp:49`);
+  *     we normalize once at ingest and convert at the response edge.
+  *   - `seq` is a monotonic ingest sequence used for last-write-wins dedup.
+  *     The reference resolves duplicate timestamps by page order / OOO
+  *     precedence (`src/core/query.cpp:759-803`); files have no such order,
+  *     so "latest ingested wins" is carried explicitly.
+  */
+case class Dp(
+    metric: String,
+    tags: Map[String, String],
+    ts: Long, // epoch millis
+    value: Double,
+    seq: Long)
+
+object Dp {
+
+  /** Columns every dp DataFrame must expose. */
+  val columns: Seq[String] = Seq("metric", "tags", "ts", "value", "seq")
+
+  /** Canonical series key: `metric,tag1=v1,tag2=v2` with tag keys sorted —
+    * the same shape as the reference's per-metric mapping key
+    * (`include/tsdb.h:160-163`, `";"` when tagless). Spark can't group by a
+    * MapType column, so this string is the group key everywhere.
+    */
+  def seriesKey(metric: Column, tags: Column): Column =
+    concat_ws(
+      ",",
+      metric,
+      array_join(
+        transform(
+          array_sort(map_entries(tags)),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))),
+        ","))
+
+  /** Attach the canonical `skey` column. */
+  def withSeriesKey(df: DataFrame): DataFrame =
+    df.withColumn("skey", seriesKey(col("metric"), col("tags")))
+}
+
+/** Views deriving a dp table from the driver-provided test data
+  * (TESTDATA.md). The `events` table plays the role of the ingest stream:
+  * event time → ts, `value` → value, event_type → metric, low-cardinality
+  * derivations of user_id → tags, event_id → seq.
+  */
+object DpView {
+
+  /** Read `events.parquet` (nanosecond timestamps — Spark can't read
+    * TIMESTAMP(NANOS) natively, so it's read as a nanos Long and floored to
+    * millis; DuckDB's `epoch_ms(ts)` truncates the same way).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** The canonical dp view used by every TSDB-shaped query and its oracle:
+    *   metric = event_type
+    *   tags   = host=host{user_id%5}, dc=dc{user_id%2}
+    *            (+ od=od{user_id%3} only when user_id%3==0 — variable tag
+    *             sets so `explicit_tags` has something to discriminate)
+    *   ts     = epoch ms (floor of the ns event time)
+    *   value  = value
+    *   seq    = event_id
+    */
+  def dp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val host = concat(lit("host"), pmod(col("user_id"), lit(5)).cast("string"))
+    val dc = concat(lit("dc"), pmod(col("user_id"), lit(2)).cast("string"))
+    val base = map(lit("host"), host, lit("dc"), dc)
+    val tags = when(
+      pmod(col("user_id"), lit(3)) === 0,
+      map_concat(base, map(lit("od"), lit("od0")))).otherwise(base)
+    ev.select(
+      col("event_type").as("metric"),
+      tags.as("tags"),
+      expr("ts div 1000000").as("ts"), // ns → ms, integer division (no double rounding)
+      col("value").as("value"),
+      col("event_id").as("seq"))
+  }
+}

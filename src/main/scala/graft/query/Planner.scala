@@ -1,0 +1,182 @@
+package graft.query
+
+import graft.functions.GraftFunctions
+import graft.model.{Dp, SubQuery, TsQuery}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** QuerySpec → DataFrame pipeline — the Spark equivalent of the
+  * reference's whole query engine (`src/core/query.cpp`). Catalyst is the
+  * analyzer/optimizer; this is the ~200-line declarative "planner"
+  * (SURVEY.md §3.1):
+  *
+  *   source.filter(time ∧ metric ∧ tags)      — partition/rowgroup pruning
+  *    .dedup(last-wins by seq)                — `query_with_ooo`, query.cpp:722-803
+  *    .downsample(bucket agg per series)      — src/agg/down.cpp
+  *    .fill(bucket spine left-join)           — down.cpp:248-311
+  *    .aggAcrossSeries(groupBy bucket+tags)   — src/agg/aggregate.cpp:158-215
+  *    .rate(lag window)                       — src/agg/rate.cpp:38-92
+  *
+  * Input dp schema: (metric STRING, tags MAP, ts LONG epoch-ms,
+  * value DOUBLE, seq LONG). Output: `ts` (epoch ms), `value`, plus `skey`
+  * + `tags` (per-series results) or the grouping tag columns (aggregated
+  * results).
+  *
+  * Scale notes: every stage is a hash aggregation or window over keys that
+  * include the series key — partial aggregation (map-side combine) applies
+  * to dedup (max_by) and every downsample fn except percentile; nothing
+  * collects to the driver.
+  */
+object Planner {
+
+  /** `dedup=false` skips the last-wins stage (one less shuffle) when the
+    * source is known duplicate-free — the common case for immutable
+    * batch-loaded data.
+    */
+  final case class Options(dedup: Boolean = true)
+
+  /** Plan one sub-query against a dp DataFrame. */
+  def planSub(
+      dp: DataFrame,
+      q: TsQuery,
+      sub: SubQuery,
+      opt: Options = Options()): DataFrame = {
+
+    val dsOpt = sub.downsample.map(Downsample.parse).filter(_.func != "none")
+
+    // ---- 1. scan range: stepped-up start, end expanded to cover the full
+    // last bucket (down.h:76-82, query.cpp:1020-1030)
+    val (scanStart, scanEnd) = dsOpt match {
+      case Some(ds) if !ds.isAll =>
+        val i = ds.intervalMs
+        (ds.stepUp(q.startMs), q.endMs - math.floorMod(q.endMs, i) + i - 1)
+      case _ => (q.startMs, q.endMs)
+    }
+
+    // ---- 2. predicate pushdown: time ∧ metric ∧ tag filters
+    var df = dp
+      .filter(col("ts").between(scanStart, scanEnd))
+      .filter(col("metric") === sub.metric)
+      .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
+      .withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+
+    // ---- 3. last-wins dedup (seq = ingest order). max_by gets map-side
+    // partial aggregation, so duplicates collapse before the shuffle.
+    if (opt.dedup)
+      df = df
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"), first(col("tags")).as("tags"))
+
+    // ---- 4. per-series downsample
+    dsOpt.foreach { ds =>
+      val bucket =
+        if (ds.isAll) lit(q.startMs)
+        else col("ts") - pmod(col("ts"), lit(ds.intervalMs))
+      df = df
+        .withColumn("bucket", bucket)
+        .groupBy(col("skey"), col("bucket"))
+        .agg(
+          GraftFunctions.aggFor(ds.func, col("value"), col("ts")).as("value"),
+          first(col("tags")).as("tags"))
+        .withColumnRenamed("bucket", "ts")
+
+      // ---- 5. gap fill on the bucket spine [stepUp(start), lastBucket]
+      // (fill_if_needed, down.cpp:280-311); filled points are real rows and
+      // participate in the cross-series aggregation (query.cpp step 6→7).
+      ds.fill.valueOrNull match {
+        case Some(fv) if !ds.isAll =>
+          val i = ds.intervalMs
+          val spineStart = ds.stepUp(q.startMs)
+          val lastBucket = q.endMs - math.floorMod(q.endMs, i)
+          val spine = df
+            .groupBy(col("skey"))
+            .agg(first(col("tags")).as("tags"))
+            .withColumn(
+              "ts",
+              explode(sequence(lit(spineStart), lit(lastBucket), lit(i))))
+          df = spine
+            .join(df.select("skey", "ts", "value"), Seq("skey", "ts"), "left")
+            .withColumn("value", coalesce(col("value"), lit(fv)))
+        case _ => ()
+      }
+    }
+
+    // ---- 6. cross-series aggregation at each timestamp, grouped by the
+    // queried grouping-tag values (aggregate.cpp:158-215; grouping rules
+    // query.cpp:505-554)
+    val groupCols = sub.groupByTags.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val out = sub.aggregator match {
+      case "none" =>
+        df.select(col("skey") +: col("tags") +: col("ts") +: col("value") +: Nil: _*)
+
+      case TopBottom(dir, n) =>
+        // rank whole series by max (top) / min (bottom) of each series'
+        // last 3 dps; keep N series' rows unaggregated
+        // (aggregate.cpp:236-260, include/query.h:265-279,
+        // query.cpp:858-884). The reference's heap order is unstable on
+        // ties; we tiebreak by skey for determinism.
+        val recency = Window.partitionBy(col("skey")).orderBy(col("ts").desc)
+        val last3 = df
+          .withColumn("rn", row_number().over(recency))
+          .filter(col("rn") <= 3)
+        val score = last3
+          .groupBy(col("skey"))
+          .agg((if (dir == "top") max(col("value")) else min(col("value"))).as("score"))
+        val keep = score
+          .orderBy(if (dir == "top") col("score").desc else col("score").asc, col("skey"))
+          .limit(n)
+          .select("skey")
+        df.join(broadcast(keep), Seq("skey"), "left_semi")
+          .select(col("skey"), col("tags"), col("ts"), col("value"))
+
+      case agg =>
+        df.groupBy(col("ts") +: groupCols: _*)
+          .agg(GraftFunctions.aggFor(agg, col("value"), col("ts")).as("value"))
+    }
+
+    // ---- 7. rate conversion, applied after aggregation per result group
+    // (query.cpp:470-491, rate.cpp:38-92)
+    if (sub.rate) rate(out, sub, groupKeysOf(out)) else out
+  }
+
+  private val TopBottomRe = """(top|bottom)([1-9])""".r
+  private object TopBottom {
+    def unapply(s: String): Option[(String, Int)] = s match {
+      case TopBottomRe(d, n) => Some((d, n.toInt))
+      case _ => None
+    }
+  }
+
+  private def groupKeysOf(df: DataFrame): Seq[Column] =
+    df.columns.filter(c => c == "skey" || c.startsWith("tag_")).map(col).toSeq
+
+  /** `(v1-v0)/Δt_secs`, first point dropped, stamped at t1; counter wrap
+    * `counterMax - v0 + v1`; `resetValue` → 0; `dropResets` removes the
+    * wrapped sample but it still serves as the next base (exactly the
+    * reference's loop: rate.cpp:47-92).
+    */
+  private def rate(df: DataFrame, sub: SubQuery, keys: Seq[Column]): DataFrame = {
+    val ro = sub.rateOptions
+    val w = Window.partitionBy(keys: _*).orderBy(col("ts"))
+    val v0 = lag(col("value"), 1).over(w)
+    val t0 = lag(col("ts"), 1).over(w)
+    val dtSecs = (col("ts") - t0).cast("double") / 1000.0
+    val dv = col("value") - v0
+    val wrapped = (lit(ro.counterMax).cast("double") - v0 + col("value")) / dtSecs
+    val wrappedOrReset =
+      if (ro.resetValue != 0L)
+        when(wrapped > lit(ro.resetValue.toDouble), 0.0).otherwise(wrapped)
+      else wrapped
+    val rateCol =
+      if (ro.counter) when(dv < 0, wrappedOrReset).otherwise(dv / dtSecs)
+      else dv / dtSecs
+    var out = df.withColumn("rate_", when(v0.isNotNull, rateCol))
+    if (ro.counter && ro.dropResets)
+      out = out.filter(!(col("value") - v0 < 0) || v0.isNull)
+    out
+      .filter(col("rate_").isNotNull)
+      .withColumn("value", col("rate_"))
+      .drop("rate_")
+  }
+}
