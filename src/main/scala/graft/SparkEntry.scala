@@ -1,14 +1,19 @@
 package graft
 
 import graft.model.{DpView, RateOptions, SubQuery, TsQuery}
-import graft.query.Planner
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.query.{Meta, Planner, TimeParse}
+import graft.rollup.Rollup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2, all running against the
   * driver-provided tables (TESTDATA.md). The TSDB-shaped queries run on the
   * dp view over `events` (see [[graft.model.DpView.dp]]).
+  *
+  * Convention: every query orders its output totally and rounds derived
+  * doubles to 4 decimals on BOTH sides, so the driver's column-sorted
+  * value-hash comparison is deterministic across engines.
   */
 object SparkEntry {
 
@@ -17,6 +22,8 @@ object SparkEntry {
   private val T0 = 1704412800000L // 2024-01-05 00:00:00 UTC
   private val T1 = 1705017600000L // 2024-01-12 00:00:00 UTC
   private val HOUR = 3600000L
+  private val SIXH = 21600000L
+  private val DAY = 86400000L
 
   /** DuckDB CTE reconstructing the dp view + canonical series key from
     * `events` — the oracle-side twin of [[graft.model.DpView.dp]] and
@@ -42,6 +49,22 @@ object SparkEntry {
   private def scanEnd(endMs: Long, intervalMs: Long): Long =
     endMs - math.floorMod(endMs, intervalMs) + intervalMs - 1
 
+  /** Deterministic 4-decimal rounding shared with the oracle:
+    * `floor(x*10⁴ + 0.5)/10⁴` evaluates identically in Spark and DuckDB on
+    * the same input double, unlike `round()` (Spark rounds the exact
+    * decimal expansion, DuckDB rounds after an fp multiply — they disagree
+    * on boundary doubles).
+    */
+  private def sround(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6) / 10000.0
+
+  private def out(df: DataFrame): DataFrame = {
+    val o = df.select(col("skey"), expr("ts div 1000").as("ts"),
+      sround(col("value")).as("value"))
+    o.orderBy("skey", "ts", "value")
+  }
+
+  // ---------------------------------------------------------------- Spark
+
   def entry(spark: SparkSession): DataFrame = {
     val dp = DpView.dp(spark, "/root/testdata/sf0.001")
     Planner.planSub(
@@ -55,84 +78,489 @@ object SparkEntry {
         groupByTags = Seq("host")))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.2 scan + §2.4 filters + §2.7 last-wins dedup
-    "q_scan_range" -> { (s, dir) =>
-      val df = Planner.planSub(
-        DpView.dp(s, dir),
-        TsQuery(T0, T1),
-        SubQuery(
-          metric = "click",
-          aggregator = "none",
-          tags = Map("host" -> "literal_or(host1|host3)")))
-      df.select(col("skey"), col("ts"), col("value"))
-        .orderBy("skey", "ts", "value")
-    },
+  /** §2.5 per-series 1h downsample, one query per function. */
+  private val dsFuncs =
+    Seq("avg", "sum", "count", "min", "max", "dev", "first", "last", "p50", "p90", "p99")
 
-    // §2.5 downsample 1h-avg per series (aggregator none keeps series apart)
-    "q_ds_avg" -> { (s, dir) =>
-      val df = Planner.planSub(
-        DpView.dp(s, dir),
-        TsQuery(T0, T1),
-        SubQuery(metric = "view", aggregator = "none", downsample = Some("1h-avg")))
-      df.select(col("skey"), expr("ts div 1000").as("ts"),
-          round(col("value"), 4).as("value"))
-        .orderBy("skey", "ts")
-    },
+  /** §2.6 cross-series aggregation by host tag after 1h-avg. */
+  private val crossFuncs = Seq("sum", "avg", "count", "dev", "min", "max", "p95")
 
-    // §2.6 cross-series sum grouped by host tag, after 1h-avg downsample —
-    // the full OpenTSDB pipeline m=sum:1h-avg:click{host=*}
-    "q_agg_sum" -> { (s, dir) =>
-      val df = Planner.planSub(
-        DpView.dp(s, dir),
-        TsQuery(T0, T1),
-        SubQuery(
-          metric = "click",
-          aggregator = "sum",
-          downsample = Some("1h-avg"),
-          tags = Map("host" -> "*"),
-          groupByTags = Seq("host")))
-      df.select(col("tag_host"), expr("ts div 1000").as("ts"),
-          round(col("value"), 4).as("value"))
-        .orderBy("tag_host", "ts")
-    })
+  private def dsQuery(fn: String)(s: SparkSession, dir: String): DataFrame =
+    out(Planner.planSub(
+      DpView.dp(s, dir),
+      TsQuery(T0, T1),
+      SubQuery(metric = "view", aggregator = "none", downsample = Some(s"1h-$fn"))))
 
-  // NB: never interpolate the (already-stripped, multi-line) dpCte inside a
-  // `stripMargin` template — its `||` continuation lines would be re-stripped.
-  def oracleSql: Map[String, String] = Map(
-    "q_scan_range" -> (dpCte + "\n" +
-      s"""SELECT skey, ts, arg_max(value, seq) AS value
-         |FROM dp
-         |WHERE metric = 'click' AND host IN ('host1','host3')
-         |  AND ts BETWEEN $T0 AND $T1
-         |GROUP BY skey, ts
-         |ORDER BY skey, ts, value""".stripMargin),
+  private def crossQuery(fn: String)(s: SparkSession, dir: String): DataFrame = {
+    val df = Planner.planSub(
+      DpView.dp(s, dir),
+      TsQuery(T0, T1),
+      SubQuery(
+        metric = "click",
+        aggregator = fn,
+        downsample = Some("1h-avg"),
+        tags = Map("host" -> "*"),
+        groupByTags = Seq("host")))
+    df.select(col("tag_host"), expr("ts div 1000").as("ts"),
+        sround(col("value")).as("value"))
+      .orderBy("tag_host", "ts")
+  }
 
-    "q_ds_avg" -> (dpCte + ",\n" +
-      s"""dedup AS (
-         |  SELECT skey, ts, arg_max(value, seq) AS value
-         |  FROM dp
-         |  WHERE metric = 'view' AND ts BETWEEN $T0 AND ${scanEnd(T1, HOUR)}
-         |  GROUP BY skey, ts)
-         |SELECT skey, (ts - ts % $HOUR) // 1000 AS ts,
-         |       round(avg(value), 4) AS value
-         |FROM dedup
-         |GROUP BY skey, ts - ts % $HOUR
-         |ORDER BY skey, ts""".stripMargin),
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val ds = dsFuncs.map(fn => s"q_ds_$fn" ->
+      ((s: SparkSession, dir: String) => dsQuery(fn)(s, dir))).toMap
+    val cross = crossFuncs.map(fn => s"q_agg_$fn" ->
+      ((s: SparkSession, dir: String) => crossQuery(fn)(s, dir))).toMap
 
-    "q_agg_sum" -> (dpCte + ",\n" +
-      s"""dedup AS (
-         |  SELECT skey, host, ts, arg_max(value, seq) AS value
-         |  FROM dp
-         |  WHERE metric = 'click' AND host IS NOT NULL
-         |    AND ts BETWEEN $T0 AND ${scanEnd(T1, HOUR)}
-         |  GROUP BY skey, host, ts),
-         |ds AS (
+    ds ++ cross ++ Map(
+      // §2.2 scan + §2.4 exact/literal_or filters + §2.7 dedup + §1.3
+      // relative-time parsing ("7d-ago" of end == T0)
+      "q_scan_range" -> { (s, dir) =>
+        val start = TimeParse.parse("7d-ago", nowMs = T1)
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(start, T1),
+          SubQuery(
+            metric = "click",
+            aggregator = "none",
+            tags = Map("host" -> "literal_or(host1|host3)"))))
+      },
+
+      // §2.4 regexp filter
+      "q_filter_regexp" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "signup",
+            aggregator = "none",
+            tags = Map("host" -> "regexp(host[13])"))))
+      },
+
+      // §2.4 not_iliteral_or + bare-* (key exists)
+      "q_filter_not_iliteral" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "view",
+            aggregator = "none",
+            tags = Map("host" -> "not_iliteral_or(HOST0|Host1)", "od" -> "*"))))
+      },
+
+      // §2.4 iwildcard + explicit_tags (series with exactly {host, dc})
+      "q_filter_explicit" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "purchase",
+            aggregator = "none",
+            tags = Map("host" -> "iwildcard(HOST*)", "dc" -> "*"),
+            explicitTags = true)))
+      },
+
+      // §2.5 0all — single bucket spanning the query range
+      "q_ds_0all_avg" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "purchase", aggregator = "none", downsample = Some("0all-avg"))))
+      },
+      "q_ds_0all_last" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "purchase", aggregator = "none", downsample = Some("0all-last"))))
+      },
+
+      // §2.5 gap fill: zero-filled 6h buckets
+      "q_fill_zero" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "purchase", aggregator = "none", downsample = Some("6h-avg-zero"))))
+      },
+
+      // §2.7 duplicate timestamps: latest ingested wins
+      "q_dedup_lastwins" -> { (s, dir) =>
+        val d = DpView.dp(s, dir)
+        val dup = d
+          .withColumn("value", col("value") + 100)
+          .withColumn("seq", col("seq") + 10000000L)
+        out(Planner.planSub(
+          d.unionByName(dup),
+          TsQuery(T0, T0 + DAY),
+          SubQuery(metric = "click", aggregator = "none")))
+      },
+
+      // §2.8 rate after cross-series sum
+      "q_rate" -> { (s, dir) =>
+        val df = Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "click",
+            aggregator = "sum",
+            downsample = Some("1h-avg"),
+            tags = Map("host" -> "*"),
+            groupByTags = Seq("host"),
+            rate = true))
+        df.select(col("tag_host"), expr("ts div 1000").as("ts"),
+            sround(col("value")).as("value"))
+          .orderBy("tag_host", "ts")
+      },
+
+      // §2.8 counter semantics: wrap at counterMax, resetValue → 0
+      "q_rate_counter" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "error",
+            aggregator = "none",
+            downsample = Some("1h-last"),
+            rate = true,
+            rateOptions = RateOptions(counter = true, counterMax = 10000L, resetValue = 2L))))
+      },
+
+      // §2.8 dropResets: wrapped samples removed but still the next base
+      "q_rate_drop" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "error",
+            aggregator = "none",
+            downsample = Some("1h-last"),
+            rate = true,
+            rateOptions = RateOptions(counter = true, dropResets = true))))
+      },
+
+      // §2.6 topN/bottomN: whole-series selection by max/min of last 3 dps
+      "q_top3" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "signup", aggregator = "top3", downsample = Some("1h-avg"))))
+      },
+      "q_bottom2" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "signup", aggregator = "bottom2", downsample = Some("1h-avg"))))
+      },
+
+      // §2.9 hourly rollup materialization {cnt,min,max,sum}
+      "q_rollup_1h" -> { (s, dir) =>
+        val raw = DpView.dp(s, dir)
+          .filter(col("metric") === "error" && col("ts") >= T0 && col("ts") < T1)
+        Rollup.rollup1h(raw)
+          .select(col("skey"), expr("wts div 1000").as("ts"), col("cnt"),
+            sround(col("min")).as("vmin"), sround(col("max")).as("vmax"),
+            sround(col("sum")).as("vsum"))
+          .orderBy("skey", "ts")
+      },
+
+      // §2.9 daily (level-2) rollup from hourly
+      "q_rollup_1d" -> { (s, dir) =>
+        val raw = DpView.dp(s, dir)
+          .filter(col("metric") === "error" && col("ts") >= T0 && col("ts") < T1)
+        Rollup.rollup1d(Rollup.rollup1h(raw))
+          .select(col("skey"), expr("wts div 1000").as("ts"), col("cnt"),
+            sround(col("min")).as("vmin"), sround(col("max")).as("vmax"),
+            sround(col("sum")).as("vsum"))
+          .orderBy("skey", "ts")
+      },
+
+      // §2.9 rollup-aware downsample: 6h-avg answered from rollup_1h must
+      // equal the raw answer (the oracle computes it from raw)
+      "q_rollup_route" -> { (s, dir) =>
+        val raw = DpView.dp(s, dir)
+          .filter(col("metric") === "error" &&
+            col("ts").between(T0, scanEnd(T1, SIXH)))
+        out(Rollup.downsampleFromRollup(Rollup.rollup1h(raw), SIXH, "avg"))
+      },
+
+      // §2.3 suggest: distinct metrics by prefix, sorted, capped
+      "q_suggest" -> { (s, dir) =>
+        Meta.suggestMetrics(DpView.dp(s, dir), prefix = "")
+      },
+
+      // §2.3 lookup: series paging by limit/offset
+      "q_lookup" -> { (s, dir) =>
+        Meta.lookupSeries(DpView.dp(s, dir), "error", limit = 7, offset = 3)
+      })
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** DuckDB aggregate expression per downsample/cross-series function. */
+  private def sqlAgg(fn: String, v: String = "value", ts: String = "ts"): String = fn match {
+    case "avg" => s"avg($v)"
+    case "sum" => s"sum($v)"
+    case "count" => s"CAST(count($v) AS DOUBLE)"
+    case "min" => s"min($v)"
+    case "max" => s"max($v)"
+    case "dev" => s"stddev_pop($v)"
+    case "first" => s"arg_min($v, $ts)"
+    case "last" => s"arg_max($v, $ts)"
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  /** R-6 exact percentile over a sorted DuckDB list column `l` — the SQL
+    * twin of [[graft.functions.GraftFunctions.exactPercentile]].
+    */
+  private def r6Sql(pRaw: Double): String = {
+    var q = pRaw
+    while (q > 100.0) q /= 10.0
+    val p = q / 100.0
+    val idx = s"$p*(len(l)+1)"
+    s"""CASE WHEN len(l) = 1 THEN l[1]
+       |     WHEN $idx < 1 THEN l[1]
+       |     WHEN $idx >= len(l) THEN l[len(l)]
+       |     ELSE l[CAST(floor($idx) AS INT)]
+       |          + ($idx - floor($idx))
+       |            * (l[CAST(floor($idx) AS INT) + 1] - l[CAST(floor($idx) AS INT)])
+       |END""".stripMargin
+  }
+
+  private def isPct(fn: String) = fn.startsWith("p") && fn.drop(1).forall(_.isDigit)
+
+  /** Shared dedup CTE body (last-wins by seq at raw ts). */
+  private def dedupCte(metric: String, where: String, lo: Long, hi: Long,
+      extraCols: String = ""): String =
+    s"""dedup AS (
+       |  SELECT skey$extraCols, ts, arg_max(value, seq) AS value
+       |  FROM dp
+       |  WHERE metric = '$metric'$where AND ts BETWEEN $lo AND $hi
+       |  GROUP BY skey$extraCols, ts)""".stripMargin
+
+  private def dsOracle(fn: String): String = {
+    val base = dpCte + ",\n" + dedupCte("view", "", T0, scanEnd(T1, HOUR))
+    if (isPct(fn))
+      base + ",\n" +
+        s"""g AS (
+           |  SELECT skey, ts - ts % $HOUR AS b, list(value ORDER BY value) AS l
+           |  FROM dedup GROUP BY skey, ts - ts % $HOUR)
+           |SELECT skey, b // 1000 AS ts, floor((${r6Sql(fn.drop(1).toDouble)}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM g ORDER BY skey, ts, value""".stripMargin
+    else
+      base + "\n" +
+        s"""SELECT skey, (ts - ts % $HOUR) // 1000 AS ts,
+           |       floor((${sqlAgg(fn)}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
+           |GROUP BY skey, ts - ts % $HOUR
+           |ORDER BY skey, ts, value""".stripMargin
+  }
+
+  private def crossOracle(fn: String): String = {
+    val base = dpCte + ",\n" +
+      dedupCte("click", "", T0, scanEnd(T1, HOUR), extraCols = ", host") + ",\n" +
+      s"""ds AS (
          |  SELECT skey, host, ts - ts % $HOUR AS b, avg(value) AS value
-         |  FROM dedup GROUP BY skey, host, ts - ts % $HOUR)
-         |SELECT host AS tag_host, b // 1000 AS ts,
-         |       round(sum(value), 4) AS value
-         |FROM ds
-         |GROUP BY host, b
-         |ORDER BY tag_host, ts""".stripMargin))
+         |  FROM dedup GROUP BY skey, host, ts - ts % $HOUR)""".stripMargin
+    if (isPct(fn))
+      base + ",\n" +
+        s"""g AS (
+           |  SELECT host, b, list(value ORDER BY value) AS l
+           |  FROM ds GROUP BY host, b)
+           |SELECT host AS tag_host, b // 1000 AS ts, floor((${r6Sql(fn.drop(1).toDouble)}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM g ORDER BY tag_host, ts""".stripMargin
+    else
+      base + "\n" +
+        s"""SELECT host AS tag_host, b // 1000 AS ts,
+           |       floor((${sqlAgg(fn, ts = "b")}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM ds
+           |GROUP BY host, b
+           |ORDER BY tag_host, ts""".stripMargin
+  }
+
+  /** Per-series 1h-last + lag-rate CTE chain used by the counter-rate
+    * oracles.
+    */
+  private def rateBase(metric: String): String =
+    dpCte + ",\n" + dedupCte(metric, "", T0, scanEnd(T1, HOUR)) + ",\n" +
+      s"""ds AS (
+         |  SELECT skey, ts - ts % $HOUR AS b, arg_max(value, ts) AS v
+         |  FROM dedup GROUP BY skey, ts - ts % $HOUR),
+         |r AS (
+         |  SELECT skey, b, v,
+         |         lag(v) OVER (PARTITION BY skey ORDER BY b) AS v0,
+         |         lag(b) OVER (PARTITION BY skey ORDER BY b) AS b0
+         |  FROM ds)""".stripMargin
+
+  def oracleSql: Map[String, String] = {
+    val ds = dsFuncs.map(fn => s"q_ds_$fn" -> dsOracle(fn)).toMap
+    val cross = crossFuncs.map(fn => s"q_agg_$fn" -> crossOracle(fn)).toMap
+
+    ds ++ cross ++ Map(
+      "q_scan_range" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'click' AND host IN ('host1','host3')
+           |  AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_filter_regexp" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'signup' AND regexp_matches(host, '^host[13]$$')
+           |  AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_filter_not_iliteral" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'view' AND lower(host) NOT IN ('host0','host1')
+           |  AND has_od AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_filter_explicit" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'purchase' AND lower(host) LIKE 'host%'
+           |  AND NOT has_od AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_ds_0all_avg" -> (dpCte + ",\n" +
+        dedupCte("purchase", "", T0, T1) + "\n" +
+        s"""SELECT skey, ${T0 / 1000} AS ts, floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup GROUP BY skey
+           |ORDER BY skey""".stripMargin),
+
+      "q_ds_0all_last" -> (dpCte + ",\n" +
+        dedupCte("purchase", "", T0, T1) + "\n" +
+        s"""SELECT skey, ${T0 / 1000} AS ts, floor((arg_max(value, ts)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup GROUP BY skey
+           |ORDER BY skey""".stripMargin),
+
+      "q_fill_zero" -> (dpCte + ",\n" +
+        dedupCte("purchase", "", T0, scanEnd(T1, SIXH)) + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, ts - ts % $SIXH AS b, avg(value) AS v
+           |  FROM dedup GROUP BY skey, ts - ts % $SIXH),
+           |spine AS (
+           |  SELECT skey, unnest(generate_series($T0, $T1, $SIXH)) AS b
+           |  FROM (SELECT DISTINCT skey FROM ds))
+           |SELECT s.skey AS skey, s.b // 1000 AS ts,
+           |       floor((coalesce(d.v, 0.0)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM spine s LEFT JOIN ds d ON s.skey = d.skey AND s.b = d.b
+           |ORDER BY 1, 2, 3""".stripMargin),
+
+      "q_dedup_lastwins" -> (dpCte + ",\n" +
+        s"""dup AS (
+           |  SELECT skey, metric, ts, value, seq FROM dp
+           |  UNION ALL
+           |  SELECT skey, metric, ts, value + 100, seq + 10000000 FROM dp)
+           |SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dup
+           |WHERE metric = 'click' AND ts BETWEEN $T0 AND ${T0 + DAY}
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_rate" -> (dpCte + ",\n" +
+        dedupCte("click", "", T0, scanEnd(T1, HOUR), extraCols = ", host") + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, host, ts - ts % $HOUR AS b, avg(value) AS value
+           |  FROM dedup GROUP BY skey, host, ts - ts % $HOUR),
+           |agg AS (SELECT host, b, sum(value) AS v FROM ds GROUP BY host, b),
+           |r AS (
+           |  SELECT host, b, v,
+           |         lag(v) OVER (PARTITION BY host ORDER BY b) AS v0,
+           |         lag(b) OVER (PARTITION BY host ORDER BY b) AS b0
+           |  FROM agg)
+           |SELECT host AS tag_host, b // 1000 AS ts,
+           |       floor(((v - v0) / ((b - b0) / 1000.0)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM r WHERE v0 IS NOT NULL
+           |ORDER BY tag_host, ts""".stripMargin),
+
+      "q_rate_counter" -> (rateBase("error") + "\n" +
+        s"""SELECT skey, b // 1000 AS ts,
+           |       floor((CASE WHEN v - v0 < 0 THEN
+           |               CASE WHEN (10000 - v0 + v) / ((b - b0) / 1000.0) > 2
+           |                    THEN 0.0
+           |                    ELSE (10000 - v0 + v) / ((b - b0) / 1000.0) END
+           |             ELSE (v - v0) / ((b - b0) / 1000.0) END) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM r WHERE v0 IS NOT NULL
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_rate_drop" -> (rateBase("error") + "\n" +
+        s"""SELECT skey, b // 1000 AS ts,
+           |       floor(((v - v0) / ((b - b0) / 1000.0)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM r WHERE v0 IS NOT NULL AND v - v0 >= 0
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_top3" -> (dpCte + ",\n" +
+        dedupCte("signup", "", T0, scanEnd(T1, HOUR)) + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, ts - ts % $HOUR AS b, avg(value) AS v
+           |  FROM dedup GROUP BY skey, ts - ts % $HOUR),
+           |last3 AS (
+           |  SELECT skey, b, v,
+           |         row_number() OVER (PARTITION BY skey ORDER BY b DESC) AS rn
+           |  FROM ds),
+           |score AS (SELECT skey, max(v) AS s FROM last3 WHERE rn <= 3 GROUP BY skey),
+           |keep AS (SELECT skey FROM score ORDER BY s DESC, skey LIMIT 3)
+           |SELECT d.skey, d.b // 1000 AS ts, floor((d.v) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM ds d JOIN keep USING (skey)
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_bottom2" -> (dpCte + ",\n" +
+        dedupCte("signup", "", T0, scanEnd(T1, HOUR)) + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, ts - ts % $HOUR AS b, avg(value) AS v
+           |  FROM dedup GROUP BY skey, ts - ts % $HOUR),
+           |last3 AS (
+           |  SELECT skey, b, v,
+           |         row_number() OVER (PARTITION BY skey ORDER BY b DESC) AS rn
+           |  FROM ds),
+           |score AS (SELECT skey, min(v) AS s FROM last3 WHERE rn <= 3 GROUP BY skey),
+           |keep AS (SELECT skey FROM score ORDER BY s ASC, skey LIMIT 2)
+           |SELECT d.skey, d.b // 1000 AS ts, floor((d.v) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM ds d JOIN keep USING (skey)
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_rollup_1h" -> (dpCte + "\n" +
+        s"""SELECT skey, (ts - ts % $HOUR) // 1000 AS ts,
+           |       count(value) AS cnt,
+           |       floor((min(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS vmin,
+           |       floor((max(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS vmax,
+           |       floor((sum(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS vsum
+           |FROM dp
+           |WHERE metric = 'error' AND ts >= $T0 AND ts < $T1
+           |GROUP BY skey, ts - ts % $HOUR
+           |ORDER BY skey, ts""".stripMargin),
+
+      "q_rollup_1d" -> (dpCte + "\n" +
+        s"""SELECT skey, (ts - ts % $DAY) // 1000 AS ts,
+           |       count(value) AS cnt,
+           |       floor((min(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS vmin,
+           |       floor((max(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS vmax,
+           |       floor((sum(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS vsum
+           |FROM dp
+           |WHERE metric = 'error' AND ts >= $T0 AND ts < $T1
+           |GROUP BY skey, ts - ts % $DAY
+           |ORDER BY skey, ts""".stripMargin),
+
+      "q_rollup_route" -> (dpCte + "\n" +
+        s"""SELECT skey, (ts - ts % $SIXH) // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_suggest" ->
+        """SELECT DISTINCT event_type AS metric FROM events
+          |ORDER BY metric LIMIT 1000""".stripMargin,
+
+      "q_lookup" -> (dpCte + "\n" +
+        s"""SELECT DISTINCT skey FROM dp WHERE metric = 'error'
+           |ORDER BY skey LIMIT 7 OFFSET 3""".stripMargin))
+  }
 }

@@ -1,0 +1,36 @@
+package graft.query
+
+import graft.model.Dp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Series/metric metadata queries — the `/api/suggest` and
+  * `/api/search/lookup` surface (reference `src/core/tsdb.cpp:2595-2713`,
+  * `src/core/query.cpp:1477-1602`). The series "registry" is implicit:
+  * `SELECT DISTINCT metric/tags` — at scale, a maintained dimension table
+  * would serve these, but the queries are identical.
+  */
+object Meta {
+
+  /** Sorted metric names with prefix, capped (default max 1000 —
+    * config `tsdb.suggest.max`, tsdb.cpp:2619-2624).
+    */
+  def suggestMetrics(dp: DataFrame, prefix: String, max: Int = 1000): DataFrame =
+    dp.select(col("metric"))
+      .filter(col("metric").startsWith(prefix))
+      .distinct()
+      .orderBy(col("metric"))
+      .limit(max)
+
+  /** Series lookup with limit/offset paging (default limit 25 —
+    * query.cpp:1486-1494, 1571-1576). Ordered by series key for stable
+    * paging (the reference sorts result sets by tag list).
+    */
+  def lookupSeries(dp: DataFrame, metric: String, limit: Int = 25, offset: Int = 0): DataFrame =
+    Dp.withSeriesKey(dp.filter(col("metric") === metric))
+      .select(col("skey"))
+      .distinct()
+      .orderBy(col("skey"))
+      .offset(offset)
+      .limit(limit)
+}

@@ -159,9 +159,12 @@ object Planner {
   private def rate(df: DataFrame, sub: SubQuery, keys: Seq[Column]): DataFrame = {
     val ro = sub.rateOptions
     val w = Window.partitionBy(keys: _*).orderBy(col("ts"))
-    val v0 = lag(col("value"), 1).over(w)
-    val t0 = lag(col("ts"), 1).over(w)
-    val dtSecs = (col("ts") - t0).cast("double") / 1000.0
+    // materialize the lags first — window expressions can't appear in filters
+    val lagged = df
+      .withColumn("v0_", lag(col("value"), 1).over(w))
+      .withColumn("t0_", lag(col("ts"), 1).over(w))
+    val v0 = col("v0_")
+    val dtSecs = (col("ts") - col("t0_")).cast("double") / 1000.0
     val dv = col("value") - v0
     val wrapped = (lit(ro.counterMax).cast("double") - v0 + col("value")) / dtSecs
     val wrappedOrReset =
@@ -171,12 +174,12 @@ object Planner {
     val rateCol =
       if (ro.counter) when(dv < 0, wrappedOrReset).otherwise(dv / dtSecs)
       else dv / dtSecs
-    var out = df.withColumn("rate_", when(v0.isNotNull, rateCol))
+    var out = lagged.withColumn("rate_", when(v0.isNotNull, rateCol))
     if (ro.counter && ro.dropResets)
-      out = out.filter(!(col("value") - v0 < 0) || v0.isNull)
+      out = out.filter(v0.isNull || dv >= 0)
     out
       .filter(col("rate_").isNotNull)
       .withColumn("value", col("rate_"))
-      .drop("rate_")
+      .drop("rate_", "v0_", "t0_")
   }
 }

@@ -1,0 +1,167 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.model.{Dp, RateOptions, SubQuery, TsQuery}
+import graft.query.Planner
+import graft.rollup.Rollup
+import org.apache.spark.sql.functions._
+
+/** Operator-level correctness against hand-computed expectations, mirroring
+  * the reference's unit cases (`test/query_test.cpp`): duplicate last-wins,
+  * 0all, fill, rate wrap, percentile R-6 formula, rollup ≡ raw.
+  */
+class PlannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+
+  /** 2 series ("a": host1, "b": host2), hourly-ish points over 4 hours. */
+  private def dps: Seq[Dp] = {
+    def mk(host: String, off: Long, vs: Seq[Double]): Seq[Dp] =
+      vs.zipWithIndex.map { case (v, i) =>
+        Dp("m", Map("host" -> host), i * H + off, v, i)
+      }
+    mk("h1", 60000L, Seq(1, 2, 3, 4)) ++ mk("h2", 120000L, Seq(10, 20, 30, 40))
+  }
+
+  private def dpDf = spark.createDataset(dps).toDF()
+
+  test("duplicate timestamps: latest ingested (max seq) wins") {
+    val dup = Dp("m", Map("host" -> "h1"), 60000L, 99.0, 100L)
+    val df = spark.createDataset(dps :+ dup).toDF()
+    val res = Planner
+      .planSub(df, TsQuery(0, 5 * H), SubQuery("m", "none"))
+      .filter($"ts" === 60000L)
+      .select("value").as[Double].collect()
+    assert(res.toSeq === Seq(99.0))
+  }
+
+  test("downsample 1h-avg per series") {
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H), SubQuery("m", "none", Some("1h-avg")))
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    assert(res.contains(("m,host=h1", 0L, 1.0)))
+    assert(res.contains(("m,host=h2", 3 * H, 40.0)))
+    assert(res.size === 8)
+  }
+
+  test("0all: single bucket at query start; last takes max-ts value") {
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H), SubQuery("m", "none", Some("0all-last")))
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    assert(res === Set(("m,host=h1", 0L, 4.0), ("m,host=h2", 0L, 40.0)))
+  }
+
+  test("cross-series sum at aligned buckets") {
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H),
+        SubQuery("m", "sum", Some("1h-sum"), groupByTags = Nil))
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    assert(res === Map(0L -> 11.0, H -> 22.0, 2 * H -> 33.0, 3 * H -> 44.0))
+  }
+
+  test("zero fill pads missing buckets and they join the cross-agg") {
+    // series h1 only has data in hours 0..3; query range extends to hour 5
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H + 1800000L),
+        SubQuery("m", "none", Some("1h-avg-zero"),
+          tags = Map("host" -> "h1")))
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    assert(res === Map(0L -> 1.0, H -> 2.0, 2 * H -> 3.0, 3 * H -> 4.0,
+      4 * H -> 0.0, 5 * H -> 0.0))
+  }
+
+  test("rate: first point dropped, stamped at t1, per-second delta") {
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H),
+        SubQuery("m", "none", Some("1h-last"), rate = true,
+          tags = Map("host" -> "h2")))
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    // delta 10 per hour = 10/3600 per second
+    assert(res.keySet === Set(H, 2 * H, 3 * H))
+    assert(math.abs(res(H) - 10.0 / 3600.0) < 1e-12)
+  }
+
+  test("rate counter wrap + resetValue→0 (rate.cpp:60-72)") {
+    val pts = Seq(
+      Dp("c", Map("host" -> "h"), 0L, 100.0, 0),
+      Dp("c", Map("host" -> "h"), 1000L, 40.0, 1), // wrap: (128-100+40)/1 = 68
+      Dp("c", Map("host" -> "h"), 2000L, 20.0, 2)) // wrap: (128-40+20)/1 = 108 > 100 → 0
+    val df = spark.createDataset(pts).toDF()
+    val res = Planner
+      .planSub(df, TsQuery(0, 10000L),
+        SubQuery("c", "none", rate = true,
+          rateOptions = RateOptions(counter = true, counterMax = 128, resetValue = 100)))
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    assert(res === Map(1000L -> 68.0, 2000L -> 0.0))
+  }
+
+  test("rate dropResets removes wrapped sample but keeps it as base") {
+    val pts = Seq(
+      Dp("c", Map("host" -> "h"), 0L, 100.0, 0),
+      Dp("c", Map("host" -> "h"), 1000L, 40.0, 1), // reset → dropped
+      Dp("c", Map("host" -> "h"), 2000L, 50.0, 2)) // (50-40)/1 = 10
+    val df = spark.createDataset(pts).toDF()
+    val res = Planner
+      .planSub(df, TsQuery(0, 10000L),
+        SubQuery("c", "none", rate = true,
+          rateOptions = RateOptions(counter = true, dropResets = true)))
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    assert(res === Map(2000L -> 10.0))
+  }
+
+  test("top2 keeps the two series with highest max of last-3 dps") {
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H), SubQuery("m", "top1", Some("1h-avg")))
+      .select("skey").distinct().as[String].collect().toSeq
+    assert(res === Seq("m,host=h2"))
+    val bottom = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H), SubQuery("m", "bottom1", Some("1h-avg")))
+      .select("skey").distinct().as[String].collect().toSeq
+    assert(bottom === Seq("m,host=h1"))
+  }
+
+  test("exact percentile replicates the reference R-6 formula") {
+    // reference: idx = p*(n+1); values 1..10, p50 → idx 5.5 → 5.5
+    // p90 → idx 9.9 → v[8]+0.9*(v[9]-v[8]) = 9 + .9 = 9.9
+    // p99 → idx 10.89 ≥ n → max = 10
+    val xs = (1 to 10).map(_.toDouble)
+    val df = xs.toDF("v")
+    def pct(q: Double) =
+      df.agg(GraftFunctions.exactPercentile(col("v"), q)).as[Double].head()
+    assert(math.abs(pct(50) - 5.5) < 1e-12)
+    assert(math.abs(pct(90) - 9.9) < 1e-12)
+    assert(pct(99) === 10.0)
+    assert(pct(999) === 10.0) // p999 normalized to 99.9
+    // single value → identity
+    assert(Seq(7.0).toDF("v").agg(GraftFunctions.exactPercentile(col("v"), 50))
+      .as[Double].head() === 7.0)
+  }
+
+  test("rollup path ≡ raw path for avg/sum/min/max/count (no OOO)") {
+    val raw = dpDf
+    val r1h = Rollup.rollup1h(raw)
+    for (fn <- Seq("avg", "sum", "min", "max", "count")) {
+      val viaRollup = Rollup.downsampleFromRollup(r1h, 2 * H, fn)
+        .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+      val direct = Planner
+        .planSub(raw, TsQuery(0, 4 * H - 1), SubQuery("m", "none", Some(s"2h-$fn")))
+        .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+      assert(viaRollup === direct, s"fn=$fn")
+    }
+  }
+
+  test("rollup routing: eligibility and interval snapping") {
+    import graft.model.RollupUsage
+    import graft.query.Downsample
+    assert(Rollup.route(Some(Downsample.parse("2h-avg")), RollupUsage.FallbackRaw)
+      === Some(Rollup.HourMs))
+    assert(Rollup.route(Some(Downsample.parse("2d-sum")), RollupUsage.FallbackRaw)
+      === Some(Rollup.DayMs))
+    assert(Rollup.route(Some(Downsample.parse("2h-p99")), RollupUsage.FallbackRaw) === None)
+    assert(Rollup.route(Some(Downsample.parse("10m-avg")), RollupUsage.FallbackRaw) === None)
+    assert(Rollup.route(Some(Downsample.parse("2h-avg")), RollupUsage.Raw) === None)
+    assert(Rollup.snap(90 * 60000L, Rollup.HourMs) === Rollup.HourMs) // 1.5h → 1h
+    assert(Rollup.snap(7200000L, Rollup.HourMs) === 7200000L)
+  }
+}
