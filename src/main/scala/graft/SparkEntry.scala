@@ -282,6 +282,52 @@ object SparkEntry {
         out(Rollup.downsampleFromRollup(Rollup.rollup1h(raw), SIXH, "avg"))
       },
 
+      // §2.1 InfluxDB line protocol: field explode, _field tag, escapes,
+      // ns/s/ms timestamps, string fields skipped, missing ts → now
+      "q_ingest_influx" -> { (s, dir) =>
+        import s.implicits._
+        val lines = Seq(
+          "weather,city=SF,country=US temp=65.5,humidity=80i 1704412800000000000",
+          "weather,city=NY temp=20.25 1704412800",
+          """cpu\ load,host=a\ b value=0.5,bad="str" 1704412801000""",
+          "mem free=1024i",
+          "# comment",
+          "garbage line").toDS()
+        val dp = graft.ingest.Ingest.fromInflux(lines, nowMs = 1704412800123L)
+        graft.model.Dp.withSeriesKey(dp)
+          .select(col("skey"), col("ts"), col("value"))
+          .orderBy("skey", "ts", "value")
+      },
+
+      // §2.1 OpenTSDB plain put lines
+      "q_ingest_plain" -> { (s, dir) =>
+        import s.implicits._
+        val lines = Seq(
+          "put sys.cpu 1704412800 42.5 host=a dc=east",
+          "put sys.cpu 1704412801000 43 host=b",
+          "put mem.free 1704412802 1024",
+          "version",
+          "put bad x 1 t=v").toDS()
+        val dp = graft.ingest.Ingest.fromPlain(lines)
+        graft.model.Dp.withSeriesKey(dp)
+          .select(col("skey"), col("ts"), col("value"))
+          .orderBy("skey", "ts", "value")
+      },
+
+      // §2.1 OpenTSDB JSON put bodies (object + array forms)
+      "q_ingest_json" -> { (s, dir) =>
+        import s.implicits._
+        val bodies = Seq(
+          """{"metric":"sys.cpu","timestamp":1704412800,"value":18,"tags":{"host":"web01"}}""",
+          """[{"metric":"a","timestamp":1704412800000,"value":1.5,"tags":{}},
+            |{"metric":"b","timestamp":1704412801,"value":"2.5","tags":{"x":"y"}}]""".stripMargin)
+          .toDS()
+        val dp = graft.ingest.Ingest.fromJson(bodies)
+        graft.model.Dp.withSeriesKey(dp)
+          .select(col("skey"), col("ts"), col("value"))
+          .orderBy("skey", "ts", "value")
+      },
+
       // §2.3 suggest: distinct metrics by prefix, sorted, capped
       "q_suggest" -> { (s, dir) =>
         Meta.suggestMetrics(DpView.dp(s, dir), prefix = "")
@@ -554,6 +600,29 @@ object SparkEntry {
            |WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
            |GROUP BY skey, ts - ts % $SIXH
            |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_ingest_influx" ->
+        """SELECT * FROM (VALUES
+          |  ('cpu load,_field=value,host=a b', 1704412801000, 0.5),
+          |  ('mem,_field=free', 1704412800123, 1024.0),
+          |  ('weather,_field=humidity,city=SF,country=US', 1704412800000, 80.0),
+          |  ('weather,_field=temp,city=NY', 1704412800000, 20.25),
+          |  ('weather,_field=temp,city=SF,country=US', 1704412800000, 65.5)
+          |) AS t(skey, ts, value) ORDER BY skey, ts, value""".stripMargin,
+
+      "q_ingest_plain" ->
+        """SELECT * FROM (VALUES
+          |  ('mem.free', 1704412802000, 1024.0),
+          |  ('sys.cpu,dc=east,host=a', 1704412800000, 42.5),
+          |  ('sys.cpu,host=b', 1704412801000, 43.0)
+          |) AS t(skey, ts, value) ORDER BY skey, ts, value""".stripMargin,
+
+      "q_ingest_json" ->
+        """SELECT * FROM (VALUES
+          |  ('a', 1704412800000, 1.5),
+          |  ('b,x=y', 1704412801000, 2.5),
+          |  ('sys.cpu,host=web01', 1704412800000, 18.0)
+          |) AS t(skey, ts, value) ORDER BY skey, ts, value""".stripMargin,
 
       "q_suggest" ->
         """SELECT DISTINCT event_type AS metric FROM events

@@ -35,15 +35,15 @@ object Dp {
     * (`include/tsdb.h:160-163`, `";"` when tagless). Spark can't group by a
     * MapType column, so this string is the group key everywhere.
     */
-  def seriesKey(metric: Column, tags: Column): Column =
-    concat_ws(
-      ",",
-      metric,
-      array_join(
-        transform(
-          array_sort(map_entries(tags)),
-          e => concat(e.getField("key"), lit("="), e.getField("value"))),
-        ","))
+  def seriesKey(metric: Column, tags: Column): Column = {
+    val joined = array_join(
+      transform(
+        array_sort(map_entries(tags)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))),
+      ",")
+    // concat_ws skips nulls → tagless series key is just the metric
+    concat_ws(",", metric, nullif(joined, lit("")))
+  }
 
   /** Attach the canonical `skey` column. */
   def withSeriesKey(df: DataFrame): DataFrame =
