@@ -1,0 +1,311 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries + DuckDB oracles for the training-data pipeline operators
+  * (dedup, similarity search, multimodal columns, text analysis) over the
+  * driver's `documents` and `embeddings` tables.
+  */
+object PipelineQueries {
+
+  private def sround(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6) / 10000.0
+  private def sroundSql(e: String): String = s"floor(($e) * 10000 + 0.5 + 1e-6) / 10000.0"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** 60-bit md5 hash shared with Spark's GraftFunctions.md5Hash60. */
+  private def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -------------------------------------------------
+    "pl_text_stats" -> { (s, dir) =>
+      val d = docs(s, dir)
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.charCount(col("text")).cast("long").as("n_chars_calc"),
+        sround(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        sround(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
+        sround(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "pl_lang_id" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "pl_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup ---------------------------------------------------------
+    "pl_dedup_exact" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val dup = d.withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.exact(d.unionByName(dup)).orderBy("doc_id")
+    },
+
+    "pl_dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    "pl_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), n = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
+    "pl_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), nBits = 32, maxHamming = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id1", "id2")
+    },
+
+    // ---- similarity search ----------------------------------------------
+    "pl_knn" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteKnn(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    "pl_neardup_cos" -> { (s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)
+        .select(col("id1"), col("id2"), sround(col("cos")).as("cos"))
+        .orderBy("id1", "id2")
+    },
+
+    // LSH-bucketed ANN — the scale path; no SQL oracle (weaker rows-only
+    // check), validated against brute-force recall in SimilaritySpec.
+    "pl_knn_lsh" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 50), k = 5, dim = 64, nPlanes = 4)
+        .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // ---- multimodal columns ---------------------------------------------
+    "pl_mm_meta" -> { (s, dir) =>
+      Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir), "text", "doc_id"))
+        .select(col("id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("checksum"))
+        .orderBy("id")
+    },
+
+    "pl_mm_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withPayload(docs(s, dir), "text", "doc_id"), n = 3, frameBytes = 64)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_md5"))
+        .orderBy("id", "frame_idx")
+    })
+
+  // ------------------------------------------------------------- oracles
+
+  private val tokCte =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+
+  /** Distinct 3-gram shingles per doc (mirror of Dedup.shingles n=3). */
+  private val shingleCte =
+    s"""$tokCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id AS id, s FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(w) - 1),
+       |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |    FROM tok))""".stripMargin
+
+  /** Exact-jaccard pair CTEs over `sh` (→ relation `pairs(id1,id2,jac)`). */
+  private val jaccardCtes =
+    """cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      |  GROUP BY a.id, b.id),
+      |pairs AS (
+      |  SELECT id1, id2, i / (c1.n + c2.n - i) AS jac
+      |  FROM inter
+      |  JOIN cnt c1 ON id1 = c1.id
+      |  JOIN cnt c2 ON id2 = c2.id)""".stripMargin
+
+  private def stopIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = {
+    val stats =
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  length(text) AS n_chars_calc,
+         |  ${sroundSql(
+          "(length(text) - length(regexp_replace(text, '[.,!?;:''\"]', '', 'g'))) / CAST(length(text) AS DOUBLE)")} AS punct_ratio,
+         |  ${sroundSql(
+          s"len(list_filter(w, t -> t IN (${stopIn(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))}))) / CAST(len(w) AS DOUBLE)")} AS stopword_ratio,
+         |  ${sroundSql(
+          s"""least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+             + least(len(list_filter(w, t -> t IN (${stopIn(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))}))) / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3
+             + (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2""")} AS quality
+         |FROM tok
+         |ORDER BY doc_id""".stripMargin
+
+    val langScores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(w, t -> t IN (${stopIn(ws)}))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langBest = TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString(", ")
+    val langCase = TextAnalysis.langProfiles
+      .map { case (lang, _) => s"WHEN s_$lang = best AND best > 0 THEN '$lang'" }
+      .mkString("\n  ")
+    val langId =
+      s"""WITH $tokCte,
+         |scores AS (
+         |  SELECT doc_id, $langScores
+         |  FROM tok),
+         |best AS (SELECT *, greatest($langBest) AS best FROM scores)
+         |SELECT doc_id, CASE $langCase ELSE 'und' END AS lang_pred
+         |FROM best ORDER BY doc_id""".stripMargin
+
+    val fp =
+      s"""WITH $tokCte
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(w, t -> ${h60Sql("t")} % 1099511627776)),
+         |    (a, b) -> (a * 31 + b) % 1099511627776) AS fp
+         |FROM tok ORDER BY doc_id""".stripMargin
+
+    val dedupExact =
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |FROM d ORDER BY doc_id""".stripMargin
+
+    val ngram =
+      s"""WITH $shingleCte,
+         |$jaccardCtes
+         |SELECT id1, id2, ${sroundSql("jac")} AS jaccard
+         |FROM pairs WHERE jac >= 0.8
+         |ORDER BY id1, id2""".stripMargin
+
+    val sigCols = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * h + $b) % ${Dedup.MinhashP}) AS m$i"
+    }.mkString(",\n    ")
+    val bandCond = (0 until 4)
+      .map(k => s"(a.m${2 * k} = b.m${2 * k} AND a.m${2 * k + 1} = b.m${2 * k + 1})")
+      .mkString(" OR ")
+    val minhash =
+      s"""WITH $shingleCte,
+         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM hs GROUP BY id),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandCond)),
+         |$jaccardCtes
+         |SELECT p.id1, p.id2, ${sroundSql("p.jac")} AS jaccard
+         |FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
+         |WHERE p.jac >= 0.8
+         |ORDER BY p.id1, p.id2""".stripMargin
+
+    val nBits = 32
+    val votes = (0 until nBits)
+      .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
+    val bits = (0 until nBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val simhash =
+      s"""WITH tokx AS (
+         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |hs AS (SELECT id, ${h60Sql("t")} AS h FROM tokx),
+         |votes AS (
+         |  SELECT id,
+         |    $votes
+         |  FROM hs GROUP BY id),
+         |sim AS (SELECT id, $bits AS simhash FROM votes),
+         |ck AS (
+         |  SELECT id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+         |  FROM sim, (VALUES (0), (1), (2), (3)) cs(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+         |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY id1, id2""".stripMargin
+
+    val cosExpr =
+      """list_dot_product(qv, nv) /
+        |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))""".stripMargin
+    val knn =
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT qid, nid, $cosExpr AS cos
+         |  FROM q JOIN c ON qid != nid),
+         |r AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM s)
+         |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
+         |ORDER BY qid, nid""".stripMargin
+
+    val nearDup =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       ${sroundSql(
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")} AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+         |ORDER BY id1, id2""".stripMargin
+
+    val mmMeta =
+      """SELECT doc_id AS id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(length(text) % 640 AS BIGINT) AS width,
+        |  CAST(length(text) % 480 AS BIGINT) AS height,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY id""".stripMargin
+
+    val mmFrames =
+      """SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
+        |       md5(substring(text, i * 64 + 1, 64)) AS frame_md5
+        |FROM documents, (VALUES (0), (1), (2)) f(i)
+        |WHERE length(substring(text, i * 64 + 1, 64)) > 0
+        |ORDER BY id, frame_idx""".stripMargin
+
+    Map(
+      "pl_text_stats" -> stats,
+      "pl_lang_id" -> langId,
+      "pl_fingerprint" -> fp,
+      "pl_dedup_exact" -> dedupExact,
+      "pl_dedup_ngram" -> ngram,
+      "pl_dedup_minhash" -> minhash,
+      "pl_dedup_simhash" -> simhash,
+      "pl_knn" -> knn,
+      "pl_neardup_cos" -> nearDup,
+      "pl_mm_meta" -> mmMeta,
+      "pl_mm_frames" -> mmFrames)
+    // pl_knn_lsh intentionally has no oracle (rows-only check)
+  }
+}

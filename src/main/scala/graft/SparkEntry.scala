@@ -112,7 +112,7 @@ object SparkEntry {
     val cross = crossFuncs.map(fn => s"q_agg_$fn" ->
       ((s: SparkSession, dir: String) => crossQuery(fn)(s, dir))).toMap
 
-    ds ++ cross ++ Map(
+    ds ++ cross ++ PipelineQueries.queries ++ Map(
       // §2.2 scan + §2.4 exact/literal_or filters + §2.7 dedup + §1.3
       // relative-time parsing ("7d-ago" of end == T0)
       "q_scan_range" -> { (s, dir) =>
@@ -440,7 +440,7 @@ object SparkEntry {
     val ds = dsFuncs.map(fn => s"q_ds_$fn" -> dsOracle(fn)).toMap
     val cross = crossFuncs.map(fn => s"q_agg_$fn" -> crossOracle(fn)).toMap
 
-    ds ++ cross ++ Map(
+    ds ++ cross ++ PipelineQueries.oracleSql ++ Map(
       "q_scan_range" -> (dpCte + "\n" +
         s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dp

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import graft.functions.GraftFunctions.md5Hash60
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * shuffle-on-key aggregations that hold at 100 TB:
+  *
+  *   - exact: one hash-groupBy on the content digest
+  *   - n-gram Jaccard: shingle self-join (with a document-frequency cap to
+  *     kill hot-shingle skew)
+  *   - MinHash+LSH: signatures via min-aggregation, candidates via
+  *     band-bucket join — avoids the all-pairs comparison entirely
+  *   - SimHash: bit-vote aggregation + chunk-bucket join for small
+  *     Hamming radii
+  *   - embedding cosine near-dup: see [[Similarity]] for the bucketed path
+  *
+  * All hash functions are md5-derived so the DuckDB oracle can reproduce
+  * them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest id.
+    * Returns (id, keep_id); rows with id != keep_id are duplicates.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy(col("digest"))))
+      .select(col(idCol), col("keep_id"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    docs
+      .filter(size(toks) >= n) // sequence(0, negative) would error
+      .select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`.
+    * `maxDocFreq` drops shingles appearing in more than that many docs —
+    * the standard skew guard: a stop-shingle shared by 1M docs would
+    * otherwise create a 10^12-row join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    var sh = shingles(docs, n)
+    maxDocFreq.foreach { df =>
+      val hot = sh.groupBy("shingle").count().filter(col("count") > df).select("shingle")
+      sh = sh.join(hot, Seq("shingle"), "left_anti")
+    }
+    val sizes = sh.groupBy("id").agg(count("*").as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count("*").as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), "id2")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash parameters shared with the oracle SQL: universal hashes
+    * `g_i(h) = (a_i*h + b_i) mod P` over the 60-bit md5 shingle hash
+    * reduced mod P. 8 hashes in 4 bands of 2.
+    */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1103L, 12289L, 331L, 7577L, 901L, 5519L, 241L, 6007L)
+  val MinhashB: Seq[Long] = Seq(12345L, 101L, 20201L, 761L, 4099L, 33301L, 515L, 9001L)
+
+  /** Per-document MinHash signature columns m0..m7. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+      .withColumn("h", pmod(md5Hash60(col("shingle")), lit(MinhashP)))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashP))).as(s"m$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs (band match on the signature), verified by exact
+    * Jaccard ≥ `threshold`. The band join is the scale path: candidates
+    * bucket by (band, minhash values) instead of comparing all pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(docs, n)
+    // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"m${2 * k}").as("x"), col(s"m${2 * k + 1}").as("y"))): _*))
+        .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.x"), col("bk.y"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // verify candidates with the exact measure
+    ngramJaccardPairs(docs, n, threshold)
+      .join(cand, Seq("id1", "id2"), "left_semi")
+  }
+
+  /** SimHash of the token multiset: bit b of the result is the sign of
+    * `Σ_tokens (2·bit_b(md5hash60(tok)) − 1)`. One explode + one groupBy
+    * with nBits sum aggregates (map-side combinable).
+    */
+  def simhash(docs: DataFrame, nBits: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", md5Hash60(col("t")))
+    val votes = (0 until nBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
+    val voted = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until nBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    voted.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ `maxHamming` over `nBits`
+    * SimHash. Scale path: split the hash into maxHamming+1 chunks — by
+    * pigeonhole, any pair within the radius shares at least one chunk —
+    * and join on (chunk_id, chunk_value) buckets only.
+    */
+  def simhashPairs(docs: DataFrame, nBits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, nBits)
+    val chunks = maxHamming + 1
+    val width = nBits / chunks
+    val chunked = sh.select(
+      col("id"), col("simhash"),
+      explode(array((0 until chunks).map(c =>
+        struct(
+          lit(c).as("c"),
+          shiftright(col("simhash"), c * width)
+            .bitwiseAND((1L << width) - 1).as("v"))): _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

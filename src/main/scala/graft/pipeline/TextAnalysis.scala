@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, and document
+  * fingerprinting. All are pure `Column` compositions (codegen'd, no UDFs)
+  * with 1:1 DuckDB equivalents; every operator is embarrassingly parallel
+  * per row — no shuffle at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the corpus is space-separated); a BPE-ish
+    * fallback for unspaced text is `regexTokens`.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex token split approximating byte-pair-ish word pieces: runs of
+    * word chars or single non-space symbols.
+    */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\.,!\\?;:'\"]", ""))) /
+      length(text).cast("double")
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))) /
+      size(tokens(text)).cast("double")
+
+  def avgWordLen(text: Column): Column =
+    (length(text) - (size(tokens(text)) - 1)) /
+      size(tokens(text)).cast("double")
+
+  /** Deterministic quality score in [0,1]: length signal + stopword
+    * presence − punctuation noise (the standard cheap heuristics used to
+    * pre-filter web corpora).
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.2
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — language ID at corpus scale is a
+    * scoring pass, not a model.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "he2"))
+
+  /** Language-ID: argmax of per-language stopword hit counts, 'und'
+    * (undetermined) when no profile scores > 0. Ties resolve in profile
+    * order (en first) — deterministic.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words: _*)))
+    val scores = langProfiles.map { case (lang, ws) => lang -> score(ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), el) =>
+      when(s === best && best > 0, lang).otherwise(el)
+    }
+  }
+
+  private val FpMod = 1L << 40
+
+  /** Rolling polynomial fingerprint over tokens:
+    * `h = (h*31 + md5hash60(tok) mod 2^40) mod 2^40` — order-sensitive,
+    * deterministic, overflow-free in engines with checked 64-bit
+    * arithmetic (DuckDB).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => pmod(GraftFunctions.md5Hash60(t), lit(FpMod))),
+      lit(0L),
+      (acc, h) => pmod(acc * 31 + h, lit(FpMod)))
+}

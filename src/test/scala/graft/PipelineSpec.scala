@@ -1,0 +1,100 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps the smallest id per content digest") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val res = Dedup.exact(d).as[(Long, Long)].collect().toSet
+    assert(res === Set((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("ngram jaccard finds planted near-duplicates, minhash LSH agrees") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+    val lsh = Dedup.minhashLshPairs(docs, 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // LSH candidates verified by exact jaccard ⇒ subset; near-dups at
+    // jac≥0.8 almost surely collide in ≥1 of 4 bands
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact) // at 0.99 jaccard, recall should be total
+  }
+
+  test("simhash near-dup pairs overlap the jaccard near-dups") {
+    val sim = Dedup.simhashPairs(docs, nBits = 32, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // different measure, so not a superset — but near-dups at ~0.99
+    // jaccard should mostly land within hamming 3
+    val caught = exact.intersect(sim).size.toDouble / exact.size
+    assert(caught > 0.7, s"simhash caught $caught of jaccard near-dups")
+  }
+
+  test("brute knn returns k neighbors per query, self excluded") {
+    val res = Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 4)
+    val rows = res.as[(Long, Long, Double)].collect()
+    assert(rows.length === 12)
+    assert(rows.forall { case (q, n, _) => q != n })
+    assert(rows.groupBy(_._1).forall(_._2.length == 4))
+  }
+
+  test("lsh knn recall scales with the number of hash tables") {
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteKnn(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(tables: Int) = {
+      val lsh = Similarity
+        .lshKnn(emb, queries, 5, dim = 64, nPlanes = 4, nTables = tables)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      lsh.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r8 = recall(8)
+    assert(r8 > r1, s"r1=$r1 r8=$r8")
+    assert(r8 > 0.4, s"r8=$r8")
+  }
+
+  test("text analysis columns are sane") {
+    val r = docs.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.stopwordRatio($"text").as("sw"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+    val rows = r.collect()
+    assert(rows.forall(_.getInt(0) > 0))
+    assert(rows.forall(x => x.getDouble(2) >= 0 && x.getDouble(2) <= 1))
+    assert(rows.forall(x => x.getLong(4) >= 0))
+    // fingerprint is order-sensitive
+    val fp = Seq("a b c", "c b a").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fp(0) !== fp(1))
+  }
+
+  test("multimodal: partition-local decode matches declarative meta") {
+    val media = Multimodal.withPayload(docs.limit(10), "text", "doc_id")
+    val declarative = Multimodal.extractMeta(media)
+      .select("id", "byte_len", "checksum").as[(Long, Long, String)].collect().toSet
+    val typed = Multimodal
+      .decodePartitions(media.as[(Long, Array[Byte])])
+      .map(r => (r.id, r.meta.byteLen, r.meta.checksum)).collect().toSet
+    assert(typed === declarative)
+  }
+
+  test("frame sampling: fixed windows, tail kept, empties dropped") {
+    val media = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayload(media, "text", "doc_id"), n = 3, frameBytes = 64)
+    val rows = frames.select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(rows === Seq(0, 1)) // 100 bytes → frame 0 (64) + frame 1 (36)
+  }
+}
