@@ -1,0 +1,183 @@
+package graft.api
+
+import graft.ingest.JsonMini
+import graft.model.{RateOptions, RollupUsage, SubQuery, TsQuery}
+import graft.query.{Planner, TimeParse}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OpenTSDB-compatible JSON query API: `POST /api/query` body → QuerySpec →
+  * Planner → OpenTSDB-shaped JSON response. This is the thin codec layer
+  * (SURVEY.md §3.2) — a real HTTP server would mount [[runQuery]] directly;
+  * the JSON work deliberately stays out of the Spark plan.
+  */
+object QueryApi {
+
+  /** Parse a `POST /api/query` body (reference `Query` ctor,
+    * `src/core/query.cpp:54-170, 1346-1453`). `nowMs` anchors relative
+    * times (injectable for determinism).
+    */
+  def parseRequest(body: String, nowMs: Long = System.currentTimeMillis()): TsQuery = {
+    val m = JsonMini.parseObject(body)
+      .getOrElse(throw new IllegalArgumentException("bad query body"))
+    val tz = m.get("tz").collect { case s: String => s }.getOrElse("UTC")
+    def ts(v: Any): Long = v match {
+      case l: Long => TimeParse.toMs(l)
+      case d: Double => TimeParse.toMs(d.toLong)
+      case s: String => TimeParse.parse(s, nowMs, tz)
+      case other => throw new IllegalArgumentException(s"bad time: $other")
+    }
+    val start = ts(m.getOrElse("start",
+      throw new IllegalArgumentException("missing start")))
+    val end = m.get("end").map(ts).getOrElse(nowMs)
+    val msRes = m.get("msResolution").collect { case b: Boolean => b }.getOrElse(false)
+    val subs = m.get("queries").collect { case xs: Seq[_] =>
+      xs.collect { case q: Map[_, _] => parseSub(q.asInstanceOf[Map[String, Any]]) }
+    }.getOrElse(Nil)
+    TsQuery(start, end, msRes, subs)
+  }
+
+  private def parseSub(m: Map[String, Any]): SubQuery = {
+    val tags = m.get("tags").collect { case mm: Map[_, _] =>
+      mm.collect { case (k: String, v: String) => k -> v }.toMap
+    }.getOrElse(Map.empty[String, String])
+    val ro = m.get("rateOptions").collect { case r: Map[_, _] =>
+      val rm = r.asInstanceOf[Map[String, Any]]
+      RateOptions(
+        counter = rm.get("counter").collect { case b: Boolean => b }.getOrElse(false),
+        dropResets = rm.get("dropResets").collect { case b: Boolean => b }.getOrElse(false),
+        counterMax = rm.get("counterMax").collect {
+          case l: Long => l; case d: Double => d.toLong
+        }.getOrElse(Long.MaxValue),
+        resetValue = rm.get("resetValue").collect {
+          case l: Long => l; case d: Double => d.toLong
+        }.getOrElse(0L))
+    }.getOrElse(RateOptions())
+    SubQuery(
+      metric = m.get("metric").collect { case s: String => s }
+        .getOrElse(throw new IllegalArgumentException("missing metric")),
+      aggregator = m.get("aggregator").collect { case s: String => s }.getOrElse("none"),
+      downsample = m.get("downsample").collect { case s: String => s },
+      rate = m.get("rate").collect { case b: Boolean => b }.getOrElse(false),
+      rateOptions = ro,
+      tags = tags,
+      groupByTags = tags.keys.toSeq.sorted, // 2.x: queried tags group
+      explicitTags = m.get("explicitTags").collect { case b: Boolean => b }.getOrElse(false),
+      rollupUsage = m.get("rollupUsage").collect { case s: String => s } match {
+        case Some("ROLLUP_RAW") => RollupUsage.Raw
+        case _ => RollupUsage.FallbackRaw
+      })
+  }
+
+  /** One OpenTSDB result set: metric + common tags + aggregateTags + dps. */
+  final case class ResultSet(
+      metric: String,
+      tags: Map[String, String],
+      aggregateTags: Seq[String],
+      dps: Seq[(Long, Double)])
+
+  /** aggregateTags semantics (reference `add_query_task`,
+    * `src/core/query.cpp:1683-1738`): over the group's series tag sets —
+    * keys present in EVERY series keep their value if unanimous, move to
+    * `aggregateTags` when values differ (grouping keys always stay);
+    * keys absent from any series are dropped.
+    */
+  def mergeTags(
+      seriesTags: Seq[Map[String, String]],
+      groupingKeys: Set[String]): (Map[String, String], Seq[String]) = {
+    if (seriesTags.isEmpty) return (Map.empty, Nil)
+    val commonKeys = seriesTags.map(_.keySet).reduce(_ intersect _)
+    val (same, differ) = commonKeys.partition { k =>
+      seriesTags.map(_(k)).distinct.size == 1
+    }
+    val kept = (same ++ differ.intersect(groupingKeys))
+      .map(k => k -> seriesTags.head(k)).toMap
+    (kept, differ.diff(groupingKeys).toSeq.sorted)
+  }
+
+  /** Execute every sub-query and serialize the concatenated result sets. */
+  def runQuery(dp: DataFrame, q: TsQuery,
+      opt: Planner.Options = Planner.Options()): String = {
+    val sets = q.subQueries.flatMap(sub => runSub(dp, q, sub, opt))
+    sets.map(toJson(_, q.msResolution)).mkString("[", ",", "]")
+  }
+
+  private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,
+      opt: Planner.Options): Seq[ResultSet] = {
+    val df = Planner.planSub(dp, q, sub, opt)
+    val perSeries = df.columns.contains("skey")
+
+    if (perSeries) {
+      // aggregator none / topN / bottomN: one result set per series
+      val rows = df.select(col("skey"), col("tags"), col("ts"), col("value"))
+        .collect()
+      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+        val tags = rs.head.getAs[Map[String, String]]("tags")
+        ResultSet(sub.metric, tags, Nil,
+          rs.map(r => (r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq)
+      }
+    } else {
+      // aggregated: group rows by grouping-tag values
+      val tagCols = sub.groupByTags.map(k => s"tag_$k")
+      val rows = df.collect()
+      val seriesTags = matchedSeriesTags(dp, q, sub)
+      rows.groupBy(r => tagCols.map(c => Option(r.getAs[String](c)).getOrElse("")))
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (tagVals, rs) =>
+          val groupFilter = sub.groupByTags.zip(tagVals).toMap
+          val members = seriesTags.filter(t =>
+            groupFilter.forall { case (k, v) => t.getOrElse(k, "") == v })
+          val (tags, aggTags) = mergeTags(members, sub.groupByTags.toSet)
+          ResultSet(sub.metric, tags, aggTags,
+            rs.map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+              .sortBy(_._1).toSeq)
+        }
+    }
+  }
+
+  /** Distinct tag maps of the series matched by the sub-query (used for
+    * aggregateTags). Bounded by series cardinality, not data size.
+    */
+  private def matchedSeriesTags(dp: DataFrame, q: TsQuery, sub: SubQuery): Seq[Map[String, String]] = {
+    import graft.model.Dp
+    import graft.query.TagFilters
+    // MAP columns can't be distinct()'d — dedupe on the series key instead
+    Dp.withSeriesKey(
+      dp.filter(col("ts").between(q.startMs, q.endMs))
+        .filter(col("metric") === sub.metric)
+        .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags)))
+      .groupBy(col("skey")).agg(first(col("tags")).as("tags"))
+      .select(col("tags")).collect()
+      .map(_.getAs[Map[String, String]](0)).toSeq
+  }
+
+  /** Reference JSON shape (`QueryResults::to_json`, query.cpp:1767-1796):
+    * `%.16lf` with trailing zeros trimmed, NaN→"NaN", Inf→"Inf",
+    * timestamps in seconds unless msResolution.
+    */
+  def toJson(rs: ResultSet, msResolution: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append("{\"metric\":\"").append(rs.metric).append("\",\"tags\":{")
+    sb.append(rs.tags.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString(","))
+    sb.append("},\"aggregateTags\":[")
+    sb.append(rs.aggregateTags.map(t => s""""$t"""").mkString(","))
+    sb.append("],\"dps\":{")
+    sb.append(rs.dps.map { case (ts, v) =>
+      val t = if (msResolution) ts else ts / 1000
+      val vs =
+        if (v.isNaN) "\"NaN\""
+        else if (v.isInfinity) "\"Inf\""
+        else trimZeros(f"$v%.16f")
+      s""""$t":$vs"""
+    }.mkString(","))
+    sb.append("}}")
+    sb.result()
+  }
+
+  private def trimZeros(s: String): String = {
+    var end = s.length
+    while (end > 1 && s.charAt(end - 1) == '0' && s.charAt(end - 2) != '.') end -= 1
+    s.substring(0, end)
+  }
+}

@@ -37,7 +37,12 @@ object Ingest {
   }
 
   private def withSeq(df: DataFrame): DataFrame =
-    df.withColumn("seq", monotonically_increasing_id())
+    if (df.isStreaming)
+      // monotonically_increasing_id is unsupported under streaming; the
+      // batch timestamp gives "latest batch wins" — the arrival-order
+      // contract at micro-batch granularity
+      df.withColumn("seq", unix_millis(current_timestamp()))
+    else df.withColumn("seq", monotonically_increasing_id())
 
   /** Write a dp batch to the canonical at-rest layout: Parquet partitioned
     * by UTC date — the Spark analogue of the reference's 1-day Tsdb

@@ -1,0 +1,115 @@
+package graft
+
+import graft.api.QueryApi
+import graft.model.Dp
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+  private def dpDf = spark.createDataset(Seq(
+    Dp("m", Map("host" -> "h1", "dc" -> "east"), 0L, 1.0, 0),
+    Dp("m", Map("host" -> "h1", "dc" -> "east"), H, 2.0, 1),
+    Dp("m", Map("host" -> "h2", "dc" -> "east"), 0L, 10.0, 2),
+    Dp("m", Map("host" -> "h2", "dc" -> "east"), H, 20.0, 3))).toDF()
+
+  test("parseRequest: times, subqueries, rate options") {
+    val q = QueryApi.parseRequest(
+      """{"start":"2h-ago","end":1704412800,"msResolution":true,
+        |"queries":[{"metric":"m","aggregator":"sum","downsample":"1h-avg",
+        |  "rate":true,"rateOptions":{"counter":true,"counterMax":100},
+        |  "tags":{"host":"*"},"explicitTags":false}]}""".stripMargin,
+      nowMs = 1704412800000L)
+    assert(q.startMs === 1704412800000L - 2 * H)
+    assert(q.endMs === 1704412800000L)
+    assert(q.msResolution)
+    val sub = q.subQueries.head
+    assert(sub.metric === "m" && sub.aggregator === "sum")
+    assert(sub.downsample === Some("1h-avg"))
+    assert(sub.rateOptions.counter && sub.rateOptions.counterMax === 100L)
+    assert(sub.groupByTags === Seq("host"))
+  }
+
+  test("aggregateTags: differing tag moves out, unanimous stays") {
+    val (tags, agg) = QueryApi.mergeTags(
+      Seq(
+        Map("host" -> "h1", "dc" -> "east"),
+        Map("host" -> "h2", "dc" -> "east")),
+      groupingKeys = Set.empty)
+    assert(tags === Map("dc" -> "east"))
+    assert(agg === Seq("host"))
+    // grouping key with differing values stays in tags (per-group value)
+    val (t2, a2) = QueryApi.mergeTags(
+      Seq(Map("host" -> "h1"), Map("host" -> "h1")), Set("host"))
+    assert(t2 === Map("host" -> "h1") && a2.isEmpty)
+  }
+
+  test("end-to-end JSON query: sum across hosts, OpenTSDB shape") {
+    val body =
+      """{"start":0,"end":7200,"queries":[
+        |  {"metric":"m","aggregator":"sum","tags":{}}]}""".stripMargin
+    val q = QueryApi.parseRequest(body, nowMs = 2 * H)
+    val json = QueryApi.runQuery(dpDf, q)
+    // both series share dc=east (kept); host differs (aggregateTags)
+    assert(json ===
+      """[{"metric":"m","tags":{"dc":"east"},"aggregateTags":["host"],""" +
+        """"dps":{"0":11.0,"3600":22.0}}]""")
+  }
+
+  test("NaN/Inf render as strings; msResolution keeps ms") {
+    val rs = QueryApi.ResultSet("m", Map(), Nil,
+      Seq((1000L, Double.NaN), (2000L, Double.PositiveInfinity), (3000L, 1.25)))
+    assert(QueryApi.toJson(rs, msResolution = true) ===
+      """{"metric":"m","tags":{},"aggregateTags":[],""" +
+        """"dps":{"1000":"NaN","2000":"Inf","3000":1.25}}""")
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest: lines → dp → hourly rollup (memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dp = StreamIngest.dpStream(mem.toDS(), "plain")
+    val rollup = StreamIngest.rollup1hStream(dp, lateness = "0 seconds")
+    val query = rollup.writeStream
+      .format("memory")
+      .queryName("rollup_test")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      mem.addData(
+        "put m 3600 1.5 host=a",
+        "put m 4600 2.5 host=a",
+        "put m 3700 10.0 host=b")
+      query.processAllAvailable()
+      // watermark 0s: append emits nothing until a later batch advances it
+      mem.addData("put m 7300 9.9 host=a")
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT skey, wts, cnt, min, max, sum FROM rollup_test")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      assert(rows.contains(("m,host=a", 3600000L, 2L, 1.5, 2.5, 4.0)))
+      assert(rows.contains(("m,host=b", 3600000L, 1L, 10.0, 10.0, 10.0)))
+    } finally query.stop()
+  }
+
+  test("streaming raw sink: date-partitioned parquet append") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw").toString
+    val mem = MemoryStream[String]
+    val dp = StreamIngest.dpStream(mem.toDS(), "plain")
+    val q = StreamIngest.writeRaw(dp, s"$dir/data", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData("put m 1704412800 5.5 host=a")
+    q.awaitTermination(30000)
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() === 1)
+    assert(back.columns.contains("date"))
+    assert(back.select("value").as[Double].head() === 5.5)
+  }
+}
