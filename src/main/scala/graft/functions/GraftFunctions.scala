@@ -86,6 +86,17 @@ object GraftFunctions {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Statically-unrolled dot product for a known dimension: a flat
+    * codegen'd scalar expression with no per-row array allocation —
+    * ~an order of magnitude faster than the higher-order-function form in
+    * pairwise joins. Left-fold addition order, identical to [[cosineSim]]
+    * and DuckDB's list_dot_product (bit-for-bit same result).
+    */
+  def dotStatic(a: Column, b: Column, dim: Int): Column =
+    (0 until dim)
+      .map(d => element_at(a, d + 1) * element_at(b, d + 1))
+      .reduce(_ + _)
+
   /** Deterministic 60-bit hash of a string shared with the oracle:
     * first 15 hex chars of md5, as a BIGINT. (DuckDB:
     * `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`.)

@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import graft.functions.GraftFunctions.{cosineSim, md5Hash60}
-import org.apache.spark.sql.DataFrame
+import graft.functions.GraftFunctions.{dotStatic, md5Hash60}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,21 +15,38 @@ import org.apache.spark.sql.functions._
   *     patterns, search only within buckets. The scale path when both
   *     sides are huge: the join key is the bucket, not the pair.
   *
+  * Norms are precomputed per vector and the dot product is statically
+  * unrolled ([[dotStatic]]) — the pairwise stage does one flat multiply-add
+  * chain per pair, no array allocation. Addition order matches DuckDB's
+  * list_dot_product, so scores are bit-identical to the oracle's
+  * `dot/(sqrt(dot)·sqrt(dot))`.
+  *
   * Hyperplanes are md5-derived, so buckets are deterministic and
   * reproducible in the oracle.
   */
 object Similarity {
 
+  /** Project (id, double vector, norm) — norms computed once per vector. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      idAs: String, vecAs: String, nrmAs: String): DataFrame =
+    df.select(
+      col(idCol).as(idAs),
+      transform(col(vecCol), x => x.cast("double")).as(vecAs))
+      .withColumn(nrmAs, sqrt(dotStatic(col(vecAs), col(vecAs), dim)))
+
+  private def pairCos(v1: String, n1: String, v2: String, n2: String, dim: Int): Column =
+    dotStatic(col(v1), col(v2), dim) / (col(n1) * col(n2))
+
   /** Exact cosine top-k neighbors for each query row.
     * Output: (query_id, neighbor_id, cos).
     */
-  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = prep(queries, idCol, vecCol, dim, "qid", "qv", "qn")
+    val c = prep(corpus, idCol, vecCol, dim, "nid", "nv", "nn")
     val scored = broadcast(q)
       .join(c, col("qid") =!= col("nid"))
-      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+      .withColumn("cos", pairCos("qv", "qn", "nv", "nn", dim))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -38,15 +55,15 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Brute join here; at corpus×corpus scale use `lshBuckets` to
-    * pre-bucket and join per bucket.
+    * Brute join here; at corpus×corpus scale bucket with [[lshBucket]]
+    * first and join per bucket.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double,
+  def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = prep(emb, idCol, vecCol, dim, "id1", "v1", "n1")
+    val b = prep(emb, idCol, vecCol, dim, "id2", "v2", "n2")
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", cosineSim(col("v1"), col("v2")))
+      .withColumn("cos", pairCos("v1", "n1", "v2", "n2", dim))
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
@@ -63,7 +80,7 @@ object Similarity {
     * `table`: bit p is set iff dot(vec, plane_{table,p}) > 0.
     */
   def lshBucket(vecCol: String, dim: Int, nPlanes: Int,
-      table: Int = 0): org.apache.spark.sql.Column = {
+      table: Int = 0): Column = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val bits = (0 until nPlanes).map { p =>
       val dot = (0 until dim)
@@ -90,18 +107,18 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nPlanes: Int = 8, nTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val cb = prep(corpus, idCol, vecCol, dim, "nid", "nv", "nn")
       .withColumn("tb", lshTableBuckets("nv", dim, nPlanes, nTables))
-      .select(col("nid"), col("nv"), col("tb.tbl"), col("tb.b"))
-    val qb = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("nid"), col("nv"), col("nn"), col("tb.tbl"), col("tb.b"))
+    val qb = prep(queries, idCol, vecCol, dim, "qid", "qv", "qn")
       .withColumn("tb", lshTableBuckets("qv", dim, nPlanes, nTables))
-      .select(col("qid"), col("qv"), col("tb.tbl"), col("tb.b"))
+      .select(col("qid"), col("qv"), col("qn"), col("tb.tbl"), col("tb.b"))
     val cand = qb
       .join(cb, Seq("tbl", "b"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "nv")
+      .select("qid", "qv", "qn", "nid", "nv", "nn")
       .dropDuplicates("qid", "nid") // same pair may collide in many tables
-    val scored = cand.withColumn("cos", cosineSim(col("qv"), col("nv")))
+    val scored = cand.withColumn("cos", pairCos("qv", "qn", "nv", "nn", dim))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rk", row_number().over(w))
