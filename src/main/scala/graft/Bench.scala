@@ -32,7 +32,11 @@ object Bench {
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // codegen warmup
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional substring filter over query names (dev iteration aid);
+    // driver invokes with no args = full run
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -86,16 +86,16 @@ object GraftFunctions {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
-  /** Statically-unrolled dot product for a known dimension: a flat
-    * codegen'd scalar expression with no per-row array allocation —
-    * ~an order of magnitude faster than the higher-order-function form in
-    * pairwise joins. Left-fold addition order, identical to [[cosineSim]]
-    * and DuckDB's list_dot_product (bit-for-bit same result).
+  /** Native codegen'd dot product over `ARRAY<DOUBLE>` columns — one
+    * compact Catalyst [[DotProduct]] node generating a tight primitive
+    * loop. Left-fold addition order, identical to [[cosineSim]] and
+    * DuckDB's list_dot_product (bit-for-bit same result).
     */
-  def dotStatic(a: Column, b: Column, dim: Int): Column =
-    (0 until dim)
-      .map(d => element_at(a, d + 1) * element_at(b, d + 1))
-      .reduce(_ + _)
+  def dotp(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Deterministic 60-bit hash of a string shared with the oracle:
     * first 15 hex chars of md5, as a BIGINT. (DuckDB:

@@ -80,22 +80,27 @@ object Dedup {
   val MinhashA: Seq[Long] = Seq(1103L, 12289L, 331L, 7577L, 901L, 5519L, 241L, 6007L)
   val MinhashB: Seq[Long] = Seq(12345L, 101L, 20201L, 761L, 4099L, 33301L, 515L, 9001L)
 
-  /** Per-document MinHash signature columns m0..m7. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
-      .withColumn("h", pmod(md5Hash60(col("shingle")), lit(MinhashP)))
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", pmod(md5Hash60(col("shingle")), lit(MinhashP)))
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinhashP))).as(s"m$i")
     }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
   }
+
+  /** Per-document MinHash signature columns m0..m7. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    signaturesFrom(shingles(docs, n))
 
   /** LSH candidate pairs (band match on the signature), verified by exact
     * Jaccard ≥ `threshold`. The band join is the scale path: candidates
-    * bucket by (band, minhash values) instead of comparing all pairs.
+    * bucket by (band, minhash values) instead of comparing all pairs, and
+    * verification touches ONLY candidate pairs — each joins its two
+    * shingle sets and intersects them, never the full shingle self-join.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(docs, n)
+    val sh = shingles(docs, n)
+    val sig = signaturesFrom(sh)
     // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
     val banded = sig.select(
       col("id"),
@@ -109,9 +114,16 @@ object Dedup {
           col("a.y") === col("b.y") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // verify candidates with the exact measure
-    ngramJaccardPairs(docs, n, threshold)
-      .join(cand, Seq("id1", "id2"), "left_semi")
+    // exact verification per candidate: shingle-set intersection
+    val sets = sh.groupBy("id").agg(collect_set("shingle").as("hs"))
+    cand
+      .join(sets.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))).cast("double"))
+      .withColumn("jaccard",
+        col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** SimHash of the token multiset: bit b of the result is the sign of

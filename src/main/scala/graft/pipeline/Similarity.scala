@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.GraftFunctions.{dotStatic, md5Hash60}
+import graft.functions.GraftFunctions.dotp
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *     patterns, search only within buckets. The scale path when both
   *     sides are huge: the join key is the bucket, not the pair.
   *
-  * Norms are precomputed per vector and the dot product is statically
-  * unrolled ([[dotStatic]]) — the pairwise stage does one flat multiply-add
-  * chain per pair, no array allocation. Addition order matches DuckDB's
+  * Norms are precomputed per vector and the dot product is a native
+  * codegen'd loop ([[graft.functions.DotProduct]]) — the pairwise stage
+  * does one tight multiply-add loop per pair, no allocation, inside
+  * whole-stage codegen. Addition order matches DuckDB's
   * list_dot_product, so scores are bit-identical to the oracle's
   * `dot/(sqrt(dot)·sqrt(dot))`.
   *
@@ -27,26 +28,34 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Project (id, double vector, norm) — norms computed once per vector. */
-  private def prep(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+  private def prep(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, nrmAs: String): DataFrame =
     df.select(
       col(idCol).as(idAs),
       transform(col(vecCol), x => x.cast("double")).as(vecAs))
-      .withColumn(nrmAs, sqrt(dotStatic(col(vecAs), col(vecAs), dim)))
+      .withColumn(nrmAs, sqrt(dotp(col(vecAs), col(vecAs))))
 
-  private def pairCos(v1: String, n1: String, v2: String, n2: String, dim: Int): Column =
-    dotStatic(col(v1), col(v2), dim) / (col(n1) * col(n2))
+  private def pairCos(v1: String, n1: String, v2: String, n2: String): Column =
+    dotp(col(v1), col(v2)) / (col(n1) * col(n2))
+
+  /** Spread an all-pairs join's streamed side across the cluster. A small
+    * parquet input arrives as one split, and a nested-loop join's
+    * parallelism is exactly the streamed side's partition count — the O(n)
+    * shuffle is noise next to the O(n²) pair work it parallelizes.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact cosine top-k neighbors for each query row.
     * Output: (query_id, neighbor_id, cos).
     */
-  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = prep(queries, idCol, vecCol, dim, "qid", "qv", "qn")
-    val c = prep(corpus, idCol, vecCol, dim, "nid", "nv", "nn")
+    val q = prep(queries, idCol, vecCol, "qid", "qv", "qn")
+    val c = spread(prep(corpus, idCol, vecCol, "nid", "nv", "nn"))
     val scored = broadcast(q)
       .join(c, col("qid") =!= col("nid"))
-      .withColumn("cos", pairCos("qv", "qn", "nv", "nn", dim))
+      .withColumn("cos", pairCos("qv", "qn", "nv", "nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -58,22 +67,27 @@ object Similarity {
     * Brute join here; at corpus×corpus scale bucket with [[lshBucket]]
     * first and join per bucket.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64,
+  def nearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = prep(emb, idCol, vecCol, dim, "id1", "v1", "n1")
-    val b = prep(emb, idCol, vecCol, dim, "id2", "v2", "n2")
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", pairCos("v1", "n1", "v2", "n2", dim))
+    val a = spread(prep(emb, idCol, vecCol, "id1", "v1", "n1"))
+    val b = prep(emb, idCol, vecCol, "id2", "v2", "n2")
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cos", pairCos("v1", "n1", "v2", "n2"))
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
 
-  /** Deterministic hyperplane component r[p][d] ∈ {-1000..1000}/1000,
-    * derived from md5(p || '_' || d) — reproducible in any engine.
+  /** Deterministic hyperplane component r[p][d] ∈ [-1, 1], derived from
+    * md5(p || '_' || d) — the JVM-side twin of
+    * [[graft.functions.GraftFunctions.md5Hash60]], so buckets are
+    * reproducible in any engine. Computed at plan-build time: the planes
+    * reach the executors as array literals, not expression trees.
     */
-  private def planeComponent(p: Int, d: Int) = {
-    val h = md5Hash60(lit(s"${p}_$d"))
-    ((pmod(h, lit(2001L)) - 1000L).cast("double")) / 1000.0
+  private def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble / 1000.0
   }
 
   /** Sign-pattern LSH bucket id over `nPlanes` hyperplanes of table
@@ -83,10 +97,9 @@ object Similarity {
       table: Int = 0): Column = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val bits = (0 until nPlanes).map { p =>
-      val dot = (0 until dim)
-        .map(d => element_at(v, d + 1) * planeComponent(table * nPlanes + p, d))
-        .reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
+      val plane = array((0 until dim).map(d =>
+        lit(planeComponent(table * nPlanes + p, d))): _*)
+      when(dotp(v, plane) > 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -107,10 +120,10 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nPlanes: Int = 8, nTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = prep(corpus, idCol, vecCol, dim, "nid", "nv", "nn")
+    val cb = prep(corpus, idCol, vecCol, "nid", "nv", "nn")
       .withColumn("tb", lshTableBuckets("nv", dim, nPlanes, nTables))
       .select(col("nid"), col("nv"), col("nn"), col("tb.tbl"), col("tb.b"))
-    val qb = prep(queries, idCol, vecCol, dim, "qid", "qv", "qn")
+    val qb = prep(queries, idCol, vecCol, "qid", "qv", "qn")
       .withColumn("tb", lshTableBuckets("qv", dim, nPlanes, nTables))
       .select(col("qid"), col("qv"), col("qn"), col("tb.tbl"), col("tb.b"))
     val cand = qb
@@ -118,7 +131,7 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select("qid", "qv", "qn", "nid", "nv", "nn")
       .dropDuplicates("qid", "nid") // same pair may collide in many tables
-    val scored = cand.withColumn("cos", pairCos("qv", "qn", "nv", "nn", dim))
+    val scored = cand.withColumn("cos", pairCos("qv", "qn", "nv", "nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rk", row_number().over(w))

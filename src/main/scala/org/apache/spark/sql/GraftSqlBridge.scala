@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Accessor for the `private[sql]` Column ↔ Expression conversions — the
+  * supported way to wrap a custom Catalyst expression into the public
+  * `Column` API in Spark 4's classic engine.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
