@@ -182,6 +182,14 @@ object SparkEntry {
           SubQuery(metric = "purchase", aggregator = "none", downsample = Some("6h-avg-zero"))))
       },
 
+      // §2.5 gap fill: null-filled 6h buckets (gap rows present, value NULL)
+      "q_fill_null" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "purchase", aggregator = "none", downsample = Some("6h-avg-null"))))
+      },
+
       // §2.7 duplicate timestamps: latest ingested wins
       "q_dedup_lastwins" -> { (s, dir) =>
         val d = DpView.dp(s, dir)
@@ -326,6 +334,21 @@ object SparkEntry {
         graft.model.Dp.withSeriesKey(dp)
           .select(col("skey"), col("ts"), col("value"))
           .orderBy("skey", "ts", "value")
+      },
+
+      // §3.1 GET /api/query 1.x surface: m= grammar parsed end-to-end —
+      // grouping block splits by dc, non-grouping block filters host only
+      "q_mexpr" -> { (s, dir) =>
+        val q = graft.query.MExpr.parseGet(
+          Map(
+            "start" -> Seq(T0.toString),
+            "end" -> Seq(T1.toString),
+            "m" -> Seq("avg:1h-sum:view{dc=*}{host=literal_or(host2|host4)}")),
+          nowMs = T1)
+        val df = Planner.planSub(DpView.dp(s, dir), q, q.subQueries.head)
+        df.select(col("tag_dc"), expr("ts div 1000").as("ts"),
+            sround(col("value")).as("value"))
+          .orderBy("tag_dc", "ts")
       },
 
       // §2.3 suggest: distinct metrics by prefix, sorted, capped
@@ -498,6 +521,19 @@ object SparkEntry {
            |FROM spine s LEFT JOIN ds d ON s.skey = d.skey AND s.b = d.b
            |ORDER BY 1, 2, 3""".stripMargin),
 
+      "q_fill_null" -> (dpCte + ",\n" +
+        dedupCte("purchase", "", T0, scanEnd(T1, SIXH)) + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, ts - ts % $SIXH AS b, avg(value) AS v
+           |  FROM dedup GROUP BY skey, ts - ts % $SIXH),
+           |spine AS (
+           |  SELECT skey, unnest(generate_series($T0, $T1, $SIXH)) AS b
+           |  FROM (SELECT DISTINCT skey FROM ds))
+           |SELECT s.skey AS skey, s.b // 1000 AS ts,
+           |       floor((d.v) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM spine s LEFT JOIN ds d ON s.skey = d.skey AND s.b = d.b
+           |ORDER BY 1, 2, 3""".stripMargin),
+
       "q_dedup_lastwins" -> (dpCte + ",\n" +
         s"""dup AS (
            |  SELECT skey, metric, ts, value, seq FROM dp
@@ -623,6 +659,17 @@ object SparkEntry {
           |  ('b,x=y', 1704412801000, 2.5),
           |  ('sys.cpu,host=web01', 1704412800000, 18.0)
           |) AS t(skey, ts, value) ORDER BY skey, ts, value""".stripMargin,
+
+      "q_mexpr" -> (dpCte + ",\n" +
+        dedupCte("view", " AND host IN ('host2','host4')", T0, scanEnd(T1, HOUR),
+          extraCols = ", dc") + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, dc, ts - ts % $HOUR AS b, sum(value) AS value
+           |  FROM dedup GROUP BY skey, dc, ts - ts % $HOUR)
+           |SELECT dc AS tag_dc, b // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM ds GROUP BY dc, b
+           |ORDER BY tag_dc, ts""".stripMargin),
 
       "q_suggest" ->
         """SELECT DISTINCT event_type AS metric FROM events

@@ -84,8 +84,9 @@ object Planner {
       // ---- 5. gap fill on the bucket spine [stepUp(start), lastBucket]
       // (fill_if_needed, down.cpp:280-311); filled points are real rows and
       // participate in the cross-series aggregation (query.cpp step 6→7).
-      ds.fill.valueOrNull match {
-        case Some(fv) if !ds.isAll =>
+      ds.fill match {
+        case FillPolicy.None => ()
+        case f if !ds.isAll =>
           val i = ds.intervalMs
           val spineStart = ds.stepUp(q.startMs)
           val lastBucket = q.endMs - math.floorMod(q.endMs, i)
@@ -95,9 +96,13 @@ object Planner {
             .withColumn(
               "ts",
               explode(sequence(lit(spineStart), lit(lastBucket), lit(i))))
-          df = spine
+          val joined = spine
             .join(df.select("skey", "ts", "value"), Seq("skey", "ts"), "left")
-            .withColumn("value", coalesce(col("value"), lit(fv)))
+          // zero/nan substitute a value; null leaves the gap row's NULL
+          df = f.valueOrNull match {
+            case Some(fv) => joined.withColumn("value", coalesce(col("value"), lit(fv)))
+            case None => joined
+          }
         case _ => ()
       }
     }

@@ -61,3 +61,52 @@ class TagFiltersSpec extends AnyFunSuite {
     assert(TagFilters.globToRegex("a.b*c") === "^a\\.b.*c$")
   }
 }
+
+class MExprSpec extends AnyFunSuite {
+  import graft.model.{RollupUsage, TsQuery}
+  import graft.query.MExpr
+
+  test("full m= grammar: agg:rate{...}:downsample:explicit_tags:metric{g}{ng}") {
+    val s = MExpr.parse(
+      "sum:rate{true,10000,2}:1h-avg:explicit_tags:sys.cpu{host=*,dc=dc0}{od=literal_or(od0|od1)}")
+    assert(s.aggregator === "sum")
+    assert(s.rate && s.rateOptions.counter)
+    assert(s.rateOptions.counterMax === 10000L && s.rateOptions.resetValue === 2L)
+    assert(!s.rateOptions.dropResets) // m= form can't enable it (query.cpp:280-283)
+    assert(s.downsample === Some("1h-avg"))
+    assert(s.explicitTags)
+    assert(s.metric === "sys.cpu")
+    assert(s.tags === Map("host" -> "*", "dc" -> "dc0", "od" -> "literal_or(od0|od1)"))
+    assert(s.groupByTags === Seq("dc", "host")) // first block only
+  }
+
+  test("minimal and intermediate forms") {
+    val min = MExpr.parse("avg:view")
+    assert(min.aggregator === "avg" && min.metric === "view" &&
+      min.tags.isEmpty && !min.rate && min.downsample.isEmpty)
+    val r = MExpr.parse("max:rate:10m-sum:m1{a=b}")
+    assert(r.rate && !r.rateOptions.counter && r.downsample === Some("10m-sum"))
+    assert(r.groupByTags === Seq("a"))
+    val ru = MExpr.parse("avg:rollupUsage=ROLLUP_RAW:m1")
+    assert(ru.rollupUsage === RollupUsage.Raw)
+    assert(MExpr.parse("avg:percentiles[p50]:m1").metric === "m1")
+  }
+
+  test("parseGet: start/end/tz/ms/m params") {
+    val now = 1705017600000L
+    val q = MExpr.parseGet(
+      Map(
+        "start" -> Seq("1d-ago"),
+        "end" -> Seq("1704931200"),
+        "m" -> Seq("sum:1h-avg:click{host=*}")),
+      nowMs = now)
+    assert(q.startMs === now - 86400000L)
+    assert(q.endMs === 1704931200000L)
+    assert(!q.msResolution)
+    assert(q.subQueries.size === 1 && q.subQueries.head.metric === "click")
+    val ms = MExpr.parseGet(
+      Map("start" -> Seq("1704931200"), "ms" -> Seq(""), "m" -> Seq.empty),
+      nowMs = now)
+    assert(ms.msResolution)
+  }
+}
