@@ -356,6 +356,14 @@ object SparkEntry {
         Meta.suggestMetrics(DpView.dp(s, dir), prefix = "")
       },
 
+      // §2.3 suggest type=tagk / type=tagv
+      "q_suggest_tagk" -> { (s, dir) =>
+        Meta.suggestTagKeys(DpView.dp(s, dir), prefix = "")
+      },
+      "q_suggest_tagv" -> { (s, dir) =>
+        Meta.suggestTagValues(DpView.dp(s, dir), prefix = "host")
+      },
+
       // §2.3 lookup: series paging by limit/offset
       "q_lookup" -> { (s, dir) =>
         Meta.lookupSeries(DpView.dp(s, dir), "error", limit = 7, offset = 3)
@@ -674,6 +682,17 @@ object SparkEntry {
       "q_suggest" ->
         """SELECT DISTINCT event_type AS metric FROM events
           |ORDER BY metric LIMIT 1000""".stripMargin,
+
+      "q_suggest_tagk" ->
+        """SELECT DISTINCT tagk FROM (
+          |  SELECT unnest(CASE WHEN user_id % 3 = 0 THEN ['dc','host','od']
+          |                     ELSE ['dc','host'] END) AS tagk
+          |  FROM events)
+          |ORDER BY tagk LIMIT 1000""".stripMargin,
+
+      "q_suggest_tagv" -> (dpCte + "\n" +
+        """SELECT DISTINCT host AS tagv FROM dp
+          |ORDER BY tagv LIMIT 1000""".stripMargin),
 
       "q_lookup" -> (dpCte + "\n" +
         s"""SELECT DISTINCT skey FROM dp WHERE metric = 'error'

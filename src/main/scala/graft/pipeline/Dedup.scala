@@ -31,7 +31,10 @@ object Dedup {
       .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy(col("digest"))))
       .select(col(idCol), col("keep_id"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle). Rows are
+    * unique per (id, shingle) already — `array_distinct` dedupes within
+    * the doc and ids are unique — so no shuffle happens here.
+    */
   def shingles(docs: DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(col(textCol), " ")
@@ -41,7 +44,51 @@ object Dedup {
     docs
       .filter(size(toks) >= n) // sequence(0, negative) would error
       .select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
-      .distinct()
+  }
+
+  /** Hashed shingles: (id, h, hp) with `h` a 64-bit join/intersection key
+    * and `hp` the oracle-shared 60-bit md5 hash mod [[MinhashP]] (the
+    * MinHash base hash, reproducible in DuckDB).
+    *
+    * One typed flatMap does tokenize → shingle → per-doc dedup → ONE md5
+    * per shingle, deriving both hashes from the same digest. The
+    * declarative form (split + transform/slice/array_join + array_distinct
+    * + explode + md5-hex + conv) evaluates interpreted higher-order
+    * lambdas allocating per-shingle arrays and hex strings — ~10× the
+    * cost, re-run once per consuming plan branch. Downstream work then
+    * shuffles 8-byte longs, never shingle text. Collisions
+    * (~|shingles|²/2⁶⁴) are negligible.
+    */
+  def shingleHashes(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          (0 to toks.length - n).iterator.flatMap { i =>
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            val s = sb.toString
+            if (seen.add(s)) {
+              val d = md.digest(s.getBytes("UTF-8"))
+              var h = 0L
+              var k = 0
+              while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+              // first 15 hex chars == top 60 bits of the first 8 bytes
+              Some((id, h, (h >>> 4) % MinhashP))
+            } else None
+          }
+        }
+      }
+      .toDF("id", "h", "hp")
   }
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`.
@@ -51,16 +98,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    var sh = shingles(docs, n)
+    var sh = shingleHashes(docs, n).select("id", "h")
     maxDocFreq.foreach { df =>
-      val hot = sh.groupBy("shingle").count().filter(col("count") > df).select("shingle")
-      sh = sh.join(hot, Seq("shingle"), "left_anti")
+      val hot = sh.groupBy("h").count().filter(col("count") > df).select("h")
+      sh = sh.join(hot, Seq("h"), "left_anti")
     }
     val sizes = sh.groupBy("id").agg(count("*").as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
     val inter = a
-      .join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count("*").as("i"))
     inter
@@ -80,17 +127,19 @@ object Dedup {
   val MinhashA: Seq[Long] = Seq(1103L, 12289L, 331L, 7577L, 901L, 5519L, 241L, 6007L)
   val MinhashB: Seq[Long] = Seq(12345L, 101L, 20201L, 761L, 4099L, 33301L, 515L, 9001L)
 
+  /** Signatures from [[shingleHashes]] rows — `hp` is the oracle-shared
+    * md5-derived base hash, so signatures reproduce in DuckDB.
+    */
   private def signaturesFrom(sh: DataFrame): DataFrame = {
-    val hashed = sh.withColumn("h", pmod(md5Hash60(col("shingle")), lit(MinhashP)))
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MinhashP))).as(s"m$i")
+      min(pmod(col("hp") * a + b, lit(MinhashP))).as(s"m$i")
     }
-    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** Per-document MinHash signature columns m0..m7. */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
-    signaturesFrom(shingles(docs, n))
+    signaturesFrom(shingleHashes(docs, n))
 
   /** LSH candidate pairs (band match on the signature), verified by exact
     * Jaccard ≥ `threshold`. The band join is the scale path: candidates
@@ -99,7 +148,7 @@ object Dedup {
     * shingle sets and intersects them, never the full shingle self-join.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = shingleHashes(docs, n)
     val sig = signaturesFrom(sh)
     // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
     val banded = sig.select(
@@ -114,8 +163,8 @@ object Dedup {
           col("a.y") === col("b.y") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // exact verification per candidate: shingle-set intersection
-    val sets = sh.groupBy("id").agg(collect_set("shingle").as("hs"))
+    // exact verification per candidate: shingle-hash-set intersection
+    val sets = sh.groupBy("id").agg(collect_set("h").as("hs"))
     cand
       .join(sets.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(sets.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
@@ -132,10 +181,23 @@ object Dedup {
     */
   def simhash(docs: DataFrame, nBits: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(
-      col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", md5Hash60(col("t")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one JVM md5 per token (oracle-shared 60-bit hash), multiset kept
+    val tok = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        text.split(" ", -1).iterator.map { t =>
+          val d = md.digest(t.getBytes("UTF-8"))
+          var h = 0L
+          var k = 0
+          while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+          (id, h >>> 4)
+        }
+      }
+      .toDF("id", "h")
     val votes = (0 until nBits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
     val voted = tok.groupBy("id").agg(votes.head, votes.tail: _*)

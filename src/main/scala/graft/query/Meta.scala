@@ -22,6 +22,27 @@ object Meta {
       .orderBy(col("metric"))
       .limit(max)
 
+  /** Sorted distinct tag KEYS across all series with prefix, capped
+    * (`type=tagk`, tsdb.cpp:2648-2673). Note `metrics` treats a lone `*`
+    * as match-all but tagk/tagv don't — replicated.
+    */
+  def suggestTagKeys(dp: DataFrame, prefix: String, max: Int = 1000): DataFrame =
+    dp.select(explode(map_keys(col("tags"))).as("tagk"))
+      .filter(col("tagk").startsWith(prefix))
+      .distinct()
+      .orderBy(col("tagk"))
+      .limit(max)
+
+  /** Sorted distinct tag VALUES across all series with prefix, capped
+    * (`type=tagv`, tsdb.cpp:2675-2699).
+    */
+  def suggestTagValues(dp: DataFrame, prefix: String, max: Int = 1000): DataFrame =
+    dp.select(explode(map_values(col("tags"))).as("tagv"))
+      .filter(col("tagv").startsWith(prefix))
+      .distinct()
+      .orderBy(col("tagv"))
+      .limit(max)
+
   /** Series lookup with limit/offset paging (default limit 25 —
     * query.cpp:1486-1494, 1571-1576). Ordered by series key for stable
     * paging (the reference sorts result sets by tag list).
