@@ -290,6 +290,21 @@ object SparkEntry {
         out(Rollup.downsampleFromRollup(Rollup.rollup1h(raw), SIXH, "avg"))
       },
 
+      // §2.9 OOO invalidation + per-slice raw fallback: the stored rollup
+      // misses late re-ingested points; marked (series, day) slices are
+      // recomputed from raw (with dedup) and merged with clean rollup
+      // slices — the result must equal the all-raw truth.
+      "q_rollup_fallback" -> { (s, dir) =>
+        val d = DpView.dp(s, dir)
+          .filter(col("metric") === "error" &&
+            col("ts").between(T0, scanEnd(T1, SIXH)))
+        val late = d.filter(col("seq") % 5 === 0)
+          .withColumn("value", col("value") + 0.5)
+          .withColumn("seq", col("seq") + 10000000L)
+        val stored = Rollup.rollup1h(d) // built before the late arrivals
+        out(Rollup.downsampleWithFallback(d.unionByName(late), stored, SIXH, "avg"))
+      },
+
       // §2.1 InfluxDB line protocol: field explode, _field tag, escapes,
       // ns/s/ms timestamps, string fields skipped, missing ts → now
       "q_ingest_influx" -> { (s, dir) =>
@@ -642,6 +657,23 @@ object SparkEntry {
            |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dp
            |WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_rollup_fallback" -> (dpCte + ",\n" +
+        s"""dup AS (
+           |  SELECT skey, ts, value, seq FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |  UNION ALL
+           |  SELECT skey, ts, value + 0.5, seq + 10000000 FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |    AND seq % 5 = 0),
+           |dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dup GROUP BY skey, ts)
+           |SELECT skey, (ts - ts % $SIXH) // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
            |GROUP BY skey, ts - ts % $SIXH
            |ORDER BY skey, ts, value""".stripMargin),
 

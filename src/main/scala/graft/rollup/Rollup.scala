@@ -3,6 +3,7 @@ package graft.rollup
 import graft.model.{Dp, RollupUsage}
 import graft.query.Downsample
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Materialized rollup aggregates — the Spark equivalent of the
@@ -80,6 +81,62 @@ object Rollup {
   def snap(intervalMs: Long, rollupMs: Long): Long = {
     val down = intervalMs - math.floorMod(intervalMs, rollupMs)
     if (down == 0) rollupMs else down
+  }
+
+  /** Per-(day-partition, series) OOO invalidation marks, derived from
+    * ingest order: a slice's rollup is invalid once any point arrives
+    * with `ts <=` an earlier-ingested point's ts in that slice, or with a
+    * NaN/Inf value — exactly the conditions that route a write to the
+    * reference's OOO page and set `out_of_order2` for the partition
+    * (`src/core/ts.cpp:281-324`, `src/agg/rollup.cpp:214-243`,
+    * `src/core/tsdb.cpp:1985-2005`). Output: distinct (skey, day).
+    */
+  def oooSlices(dp: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("skey"), col("day")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Dp.withSeriesKey(dp)
+      .withColumn("day", col("ts") - pmod(col("ts"), lit(DayMs)))
+      .withColumn("hwm", max(col("ts")).over(w))
+      .filter(
+        (col("hwm").isNotNull && col("ts") <= col("hwm")) ||
+          isnan(col("value")) || col("value") === Double.PositiveInfinity ||
+          col("value") === Double.NegativeInfinity)
+      .select(col("skey"), col("day"))
+      .distinct()
+  }
+
+  /** Rollup-answered downsample with per-slice raw fallback — the mixed
+    * plan of `QuerySuperTask::query_rollup_hourly`
+    * (`src/core/query.cpp:1109-1160`): (series, day) slices whose rollup
+    * is OOO-invalidated are recomputed from raw data (with last-wins
+    * dedup, like any raw read), everything else reads the materialized
+    * rollup; both halves meet as hourly entries and aggregate together.
+    * `rollup` is the stored rollup_1h table, possibly missing the
+    * late-arriving points that `dp` has.
+    *
+    * Scale shape: the marks frame is tiny (distinct invalidated slices) —
+    * both the anti-join and the semi-join broadcast it; the raw recompute
+    * touches only marked slices' rows.
+    */
+  def downsampleWithFallback(dp: DataFrame, rollup: DataFrame,
+      intervalMs: Long, func: String): DataFrame = {
+    val marks = broadcast(oooSlices(dp))
+    val clean = rollup
+      .withColumn("day", col("wts") - pmod(col("wts"), lit(DayMs)))
+      .join(marks, Seq("skey", "day"), "left_anti")
+      .drop("day")
+    val rawSlices = Dp.withSeriesKey(dp)
+      .withColumn("day", col("ts") - pmod(col("ts"), lit(DayMs)))
+      .join(marks, Seq("skey", "day"), "left_semi")
+      .groupBy(col("skey"), col("ts")) // last-wins dedup at raw resolution
+      .agg(
+        first(col("metric")).as("metric"),
+        first(col("tags")).as("tags"),
+        max_by(col("value"), col("seq")).as("value"),
+        max(col("seq")).as("seq"))
+    downsampleFromRollup(
+      clean.unionByName(rollup1h(rawSlices), allowMissingColumns = false),
+      intervalMs, func)
   }
 
   /** Downsample a rollup table to `intervalMs` buckets with function
