@@ -63,6 +63,9 @@ object DpView {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts-range predicates over the ns→ms division must reach the parquet
+    // scan as raw-column bounds (row-group pruning at scale)
+    graft.plans.GraftOptimizations.install(spark)
     spark.read.parquet(s"$dir/events.parquet")
   }
 
