@@ -87,6 +87,16 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // IVF ANN — deterministic centroids (vec_id % 16), 3-probe search;
+    // oracle replays the exact assign/probe/rank pipeline in SQL.
+    "pl_knn_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5,
+        centStep = 16, nProbe = 3)
+        .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
     // LSH-bucketed ANN — the scale path; no SQL oracle (weaker rows-only
     // check), validated against brute-force recall in SimilaritySpec.
     "pl_knn_lsh" -> { (s, dir) =>
@@ -267,6 +277,35 @@ object PipelineQueries {
          |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
          |ORDER BY qid, nid""".stripMargin
 
+    val cosOf = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val ivf =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 16 = 0),
+         |asg AS (
+         |  SELECT nid, nv, cid FROM (
+         |    SELECT a.vec_id AS nid, a.v AS nv, c.cid,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cosOf("a.v", "c.cv")} DESC, c.cid) AS rk
+         |    FROM e a, cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosOf("q.v", "c.cv")} DESC, c.cid) AS rk
+         |    FROM e q, cent c WHERE q.vec_id < 10) WHERE rk <= 3),
+         |s AS (
+         |  SELECT qid, nid, ${cosOf("qv", "nv")} AS cos
+         |  FROM probe JOIN asg USING (cid) WHERE qid != nid),
+         |r AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM s)
+         |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
+         |ORDER BY qid, nid""".stripMargin
+
     val nearDup =
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -303,6 +342,7 @@ object PipelineQueries {
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
+      "pl_knn_ivf" -> ivf,
       "pl_neardup_cos" -> nearDup,
       "pl_mm_meta" -> mmMeta,
       "pl_mm_frames" -> mmFrames)

@@ -98,7 +98,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // consumed by three plan branches (sizes + both join sides) — persist
+    // so tokenize+md5 runs once; spills to disk when it outgrows memory
     var sh = shingleHashes(docs, n).select("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxDocFreq.foreach { df =>
       val hot = sh.groupBy("h").count().filter(col("count") > df).select("h")
       sh = sh.join(hot, Seq("h"), "left_anti")
@@ -148,7 +151,9 @@ object Dedup {
     * shingle sets and intersects them, never the full shingle self-join.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // consumed by two plan branches (signatures + verification sets)
     val sh = shingleHashes(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesFrom(sh)
     // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
     val banded = sig.select(

@@ -112,6 +112,52 @@ object Similarity {
     explode(array((0 until nTables).map(t =>
       struct(lit(t).as("tbl"), lshBucket(vecCol, dim, nPlanes, t).as("b"))): _*))
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned once to their
+    * nearest centroid (the inverted lists); each query probes only the
+    * `nProbe` nearest centroids' lists. Centroids are a deterministic
+    * corpus subsample (`id % centStep == 0`) standing in for k-means —
+    * the assign/probe/search plumbing is identical, and determinism makes
+    * the operator oracle-checkable.
+    *
+    * Scale shape: centroids are small by construction (|corpus|/centStep),
+    * so both assignment and probing are broadcast nested-loop joins whose
+    * per-vector fan-out collapses map-side — assignment reduces via a
+    * partial `max_by` before its shuffle, so the exchanged rows are
+    * O(|corpus|), and candidate generation shuffles on `cid`, never on
+    * query × corpus.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      centStep: Int = 16, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = prep(corpus.filter(pmod(col(idCol), lit(centStep)) === 0),
+      idCol, vecCol, "cid", "cv", "cn")
+    // nearest centroid per corpus vector; ties break to the smallest cid
+    // (max_by on (cos, -cid), mirrored by the oracle's ORDER BY cos DESC, cid)
+    val assigned = spread(prep(corpus, idCol, vecCol, "nid", "nv", "nn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", pairCos("nv", "nn", "cv", "cn"))
+      .groupBy(col("nid"))
+      .agg(max_by(
+        struct(col("cid"), col("nv"), col("nn")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("best.cid"), col("nid"), col("best.nv"), col("best.nn"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = prep(queries, idCol, vecCol, "qid", "qv", "qn")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", pairCos("qv", "qn", "cv", "cn"))
+      .withColumn("crk", row_number().over(qw))
+      .filter(col("crk") <= nProbe)
+      .select(col("cid"), col("qid"), col("qv"), col("qn"))
+    val scored = probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", pairCos("qv", "qn", "nv", "nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** ANN top-k restricted to candidates sharing a bucket in ≥1 of
     * `nTables` hash tables. Trades recall for a bucket-key join: at 100 TB
     * the shuffle is on (table, bucket), never on (query × corpus); recall

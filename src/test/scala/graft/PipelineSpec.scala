@@ -63,6 +63,25 @@ class PipelineSpec extends SparkSpec {
     assert(r8 > 0.4, s"r8=$r8")
   }
 
+  test("ivf knn: k results per query, self excluded, decent recall") {
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteKnn(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, queries, k = 5, centStep = 16, nProbe = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(ivf.groupBy(_._1).size === 20)
+    assert(ivf.forall { case (q, n) => q != n })
+    // 3 probes over ~31 lists cover a small corpus slice; planted
+    // near-dups cluster into the same list, so recall stays well above
+    // the ~10% volume fraction searched
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+    // more probes ⇒ recall grows toward exact
+    val all = Similarity.ivfKnn(emb, queries, k = 5, centStep = 16, nProbe = 32)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(all.intersect(brute).size >= ivf.intersect(brute).size)
+  }
+
   test("text analysis columns are sane") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("n"),
