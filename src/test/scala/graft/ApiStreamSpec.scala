@@ -1,7 +1,8 @@
 package graft
 
-import graft.api.QueryApi
+import graft.api.{QueryApi, SelfMetrics}
 import graft.model.Dp
+import org.apache.spark.sql.functions.col
 import graft.streaming.StreamIngest
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
@@ -57,6 +58,28 @@ class ApiSpec extends SparkSpec {
     assert(json ===
       """[{"metric":"m","tags":{"dc":"east"},"aggregateTags":["host"],""" +
         """"dps":{"0":11.0,"3600":22.0}}]""")
+  }
+
+  test("self-metrics: actions record latency samples queryable as dp") {
+    val rec = SelfMetrics.install(spark)
+    try {
+      spark.range(100).count()
+      // listener delivery is async on the listener bus — poll
+      var samples = Seq.empty[SelfMetrics.Sample]
+      val deadline = System.currentTimeMillis() + 10000
+      while (samples.isEmpty && System.currentTimeMillis() < deadline) {
+        samples = rec.drain()
+        if (samples.isEmpty) Thread.sleep(50)
+      }
+      assert(samples.exists(s =>
+        s.metric == "graft.query.latency.ms" && s.status == "ok" && s.value >= 0))
+      assert(samples.exists(_.metric == "graft.query.count"))
+      val dp = SelfMetrics.toDp(spark, samples)
+      assert(dp.columns.toSeq === Seq("metric", "tags", "ts", "value", "seq"))
+      // round-trips through the normal query planner
+      val latest = dp.filter(col("metric") === "graft.query.latency.ms")
+      assert(latest.count() >= 1)
+    } finally spark.listenerManager.unregister(rec)
   }
 
   test("NaN/Inf render as strings; msResolution keeps ms") {

@@ -121,6 +121,46 @@ class PlannerSpec extends SparkSpec {
     assert(bottom === Seq("m,host=h1"))
   }
 
+  test("tag filter grammar: every form compiles to the right predicate") {
+    import graft.query.TagFilters
+    val tagged = Seq(
+      Map("host" -> "web1"), Map("host" -> "WEB2"), Map("host" -> "db1"),
+      Map("host" -> "web1", "dc" -> "east"), Map("dc" -> "west"))
+      .zipWithIndex.map { case (m, i) => Dp("m", m, i * 1000L, i.toDouble, i) }
+    val df = spark.createDataset(tagged).toDF()
+    def hosts(filter: String, explicit: Boolean = false): Set[Double] =
+      df.filter(TagFilters.compileAll(col("tags"), Map("host" -> filter), explicit))
+        .select("value").as[Double].collect().toSet
+    assert(hosts("iliteral_or(WEB1|web2)") === Set(0.0, 1.0, 3.0))
+    assert(hosts("not_literal_or(web1|db1)") === Set(1.0))
+    assert(hosts("wildcard(web*)") === Set(0.0, 3.0)) // case-sensitive
+    assert(hosts("web*") === Set(0.0, 3.0)) // legacy 1.x trailing-*
+    assert(hosts("web1|db1") === Set(0.0, 2.0, 3.0)) // legacy embedded-|
+    assert(hosts("*") === Set(0.0, 1.0, 2.0, 3.0)) // key exists
+    assert(hosts("web1", explicit = true) === Set(0.0)) // exactly {host}
+  }
+
+  test("nan fill: gap buckets carry NaN and survive the spine join") {
+    val res = Planner
+      .planSub(dpDf, TsQuery(0, 5 * H),
+        SubQuery("m", "none", Some("1h-avg-nan"), tags = Map("host" -> "h1")))
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    assert(res.keySet === Set(0L, H, 2 * H, 3 * H, 4 * H, 5 * H))
+    assert(res(3 * H) === 4.0)
+    assert(res(4 * H).isNaN && res(5 * H).isNaN)
+  }
+
+  test("dedup=false skips last-wins: duplicate rows both survive") {
+    val dup = Dp("m", Map("host" -> "h1"), 60000L, 99.0, 100L)
+    val df = spark.createDataset(dps :+ dup).toDF()
+    val res = Planner
+      .planSub(df, TsQuery(0, 5 * H), SubQuery("m", "none"),
+        Planner.Options(dedup = false))
+      .filter($"ts" === 60000L)
+      .select("value").as[Double].collect().toSet
+    assert(res === Set(1.0, 99.0))
+  }
+
   test("exact percentile replicates the reference R-6 formula") {
     // reference: idx = p*(n+1); values 1..10, p50 → idx 5.5 → 5.5
     // p90 → idx 9.9 → v[8]+0.9*(v[9]-v[8]) = 9 + .9 = 9.9
