@@ -141,13 +141,14 @@ object QueryApi {
   private def matchedSeriesTags(dp: DataFrame, q: TsQuery, sub: SubQuery): Seq[Map[String, String]] = {
     import graft.model.Dp
     import graft.query.TagFilters
-    // MAP columns can't be distinct()'d — dedupe on the series key instead
+    // MAP columns can't be distinct()'d — dedupe on the series key (a
+    // plain hash distinct) and re-derive the map from it
     Dp.withSeriesKey(
       dp.filter(col("ts").between(q.startMs, q.endMs))
         .filter(col("metric") === sub.metric)
         .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags)))
-      .groupBy(col("skey")).agg(first(col("tags")).as("tags"))
-      .select(col("tags")).collect()
+      .select(col("skey")).distinct()
+      .select(Dp.tagsFromKey(col("skey")).as("tags")).collect()
       .map(_.getAs[Map[String, String]](0)).toSeq
   }
 

@@ -48,6 +48,33 @@ object Dp {
   /** Attach the canonical `skey` column. */
   def withSeriesKey(df: DataFrame): DataFrame =
     df.withColumn("skey", seriesKey(col("metric"), col("tags")))
+
+  /** Inverse of [[seriesKey]]: re-derive the tag map from the canonical
+    * key. Exists so aggregation stages never carry a MapType column —
+    * `first(tags)` forces SortAggregate (maps have no mutable hash
+    * buffer), while grouping on the string `skey` and re-parsing tags
+    * afterwards keeps every stage a codegen'd HashAggregate. Relies on
+    * the OpenTSDB tag charset (no `,` or `=` in keys; no `,` in values —
+    * reference `include/tsdb.h:160-163`).
+    */
+  def tagsFromKey(skey: Column): Column = {
+    val parts = split(skey, ",")
+    map_from_entries(
+      transform(
+        slice(parts, lit(2), size(parts)),
+        s => {
+          val kv = split(s, "=", 2)
+          struct(kv.getItem(0).as("key"), kv.getItem(1).as("value"))
+        }))
+  }
+
+  /** One tag value from the canonical key (null when absent). */
+  def tagFromKey(skey: Column, key: String): Column =
+    element_at(tagsFromKey(skey), key)
+
+  /** Metric from the canonical key. */
+  def metricFromKey(skey: Column): Column =
+    split(skey, ",").getItem(0)
 }
 
 /** Views deriving a dp table from the driver-provided test data

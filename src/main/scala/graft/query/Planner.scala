@@ -63,10 +63,14 @@ object Planner {
 
     // ---- 3. last-wins dedup (seq = ingest order). max_by gets map-side
     // partial aggregation, so duplicates collapse before the shuffle.
+    // The tags map is deliberately NOT carried through any aggregation —
+    // skey encodes it canonically and Dp.tagsFromKey re-derives it at the
+    // output edge; a MapType aggregate would force SortAggregate (maps
+    // have no mutable hash buffer) and kill map-side combine.
     if (opt.dedup)
       df = df
         .groupBy(col("skey"), col("ts"))
-        .agg(max_by(col("value"), col("seq")).as("value"), first(col("tags")).as("tags"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
 
     // ---- 4. per-series downsample
     dsOpt.foreach { ds =>
@@ -76,9 +80,7 @@ object Planner {
       df = df
         .withColumn("bucket", bucket)
         .groupBy(col("skey"), col("bucket"))
-        .agg(
-          GraftFunctions.aggFor(ds.func, col("value"), col("ts")).as("value"),
-          first(col("tags")).as("tags"))
+        .agg(GraftFunctions.aggFor(ds.func, col("value"), col("ts")).as("value"))
         .withColumnRenamed("bucket", "ts")
 
       // ---- 5. gap fill on the bucket spine [stepUp(start), lastBucket]
@@ -91,8 +93,7 @@ object Planner {
           val spineStart = ds.stepUp(q.startMs)
           val lastBucket = q.endMs - math.floorMod(q.endMs, i)
           val spine = df
-            .groupBy(col("skey"))
-            .agg(first(col("tags")).as("tags"))
+            .select("skey").distinct()
             .withColumn(
               "ts",
               explode(sequence(lit(spineStart), lit(lastBucket), lit(i))))
@@ -110,10 +111,12 @@ object Planner {
     // ---- 6. cross-series aggregation at each timestamp, grouped by the
     // queried grouping-tag values (aggregate.cpp:158-215; grouping rules
     // query.cpp:505-554)
-    val groupCols = sub.groupByTags.map(k => col("tags").getItem(k).as(s"tag_$k"))
+    val groupCols =
+      sub.groupByTags.map(k => Dp.tagFromKey(col("skey"), k).as(s"tag_$k"))
     val out = sub.aggregator match {
       case "none" =>
-        df.select(col("skey") +: col("tags") +: col("ts") +: col("value") +: Nil: _*)
+        df.select(col("skey"), Dp.tagsFromKey(col("skey")).as("tags"),
+          col("ts"), col("value"))
 
       case TopBottom(dir, n) =>
         // rank whole series by max (top) / min (bottom) of each series'
@@ -133,7 +136,8 @@ object Planner {
           .limit(n)
           .select("skey")
         df.join(broadcast(keep), Seq("skey"), "left_semi")
-          .select(col("skey"), col("tags"), col("ts"), col("value"))
+          .select(col("skey"), Dp.tagsFromKey(col("skey")).as("tags"),
+            col("ts"), col("value"))
 
       case agg =>
         df.groupBy(col("ts") +: groupCols: _*)

@@ -26,13 +26,15 @@ object Rollup {
     * accumulators, so at 100 TB this shuffles only (series × hours) rows.
     */
   def rollup1h(dp: DataFrame): DataFrame =
-    Dp.withSeriesKey(dp)
+    rollup1hKeyed(Dp.withSeriesKey(dp))
+
+  /** Hourly rollup over a frame that already carries `skey`. */
+  def rollup1hKeyed(dp: DataFrame): DataFrame =
+    dp
       .groupBy(
         col("skey"),
         (col("ts") - pmod(col("ts"), lit(HourMs))).as("wts"))
       .agg(
-        first(col("metric")).as("metric"),
-        first(col("tags")).as("tags"),
         count(col("value")).as("cnt"),
         min(col("value")).as("min"),
         max(col("value")).as("max"),
@@ -47,8 +49,6 @@ object Rollup {
         col("skey"),
         (col("wts") - pmod(col("wts"), lit(DayMs))).as("wts"))
       .agg(
-        first(col("metric")).as("metric"),
-        first(col("tags")).as("tags"),
         sum(col("cnt")).as("cnt"),
         min(col("min")).as("min"),
         max(col("max")).as("max"),
@@ -129,20 +129,16 @@ object Rollup {
       .withColumn("day", col("ts") - pmod(col("ts"), lit(DayMs)))
       .join(marks, Seq("skey", "day"), "left_semi")
       .groupBy(col("skey"), col("ts")) // last-wins dedup at raw resolution
-      .agg(
-        first(col("metric")).as("metric"),
-        first(col("tags")).as("tags"),
-        max_by(col("value"), col("seq")).as("value"),
-        max(col("seq")).as("seq"))
+      .agg(max_by(col("value"), col("seq")).as("value"))
     downsampleFromRollup(
-      clean.unionByName(rollup1h(rawSlices), allowMissingColumns = false),
+      clean.unionByName(rollup1hKeyed(rawSlices), allowMissingColumns = false),
       intervalMs, func)
   }
 
   /** Downsample a rollup table to `intervalMs` buckets with function
     * `func` — the rollup-aware downsampler variants
     * (`down.cpp:344-373, 407-427, 531-551, 575-595, 679-699`).
-    * Output matches the raw downsampler: (skey, tags, ts, value).
+    * Output matches the raw downsampler: (skey, ts, value).
     */
   def downsampleFromRollup(rollup: DataFrame, intervalMs: Long, func: String): DataFrame = {
     val agg = func match {
@@ -158,6 +154,6 @@ object Rollup {
       .groupBy(
         col("skey"),
         (col("wts") - pmod(col("wts"), lit(intervalMs))).as("ts"))
-      .agg(first(col("tags")).as("tags"), agg.as("value"))
+      .agg(agg.as("value"))
   }
 }

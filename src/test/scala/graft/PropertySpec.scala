@@ -1,0 +1,116 @@
+package graft
+
+import graft.model.{Dp, SubQuery, TsQuery}
+import graft.query.Planner
+import graft.rollup.Rollup
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests promised by SURVEY §5: operator invariants that must
+  * hold for ANY input, not just the fixtures — downsample results are
+  * invariant under point arrival order, the rollup path is equivalent to
+  * the raw path absent OOO data, and last-wins dedup depends only on the
+  * max-seq row per (series, ts). Uses raw ScalaCheck generators with
+  * fixed seeds (scalatest-plus bridge isn't available offline); each
+  * sampled case is a full Spark job, so cases are few and meaty.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+  private val Cases = 6
+
+  /** Random in-order multi-series input: strictly increasing ts per
+    * series (no dups → no OOO), values in [0, 100).
+    */
+  private val seriesGen: Gen[Seq[Dp]] = for {
+    nSeries <- Gen.choose(1, 3)
+    n <- Gen.choose(1, 40)
+    gaps <- Gen.listOfN(n, Gen.choose(60000L, 2 * H))
+    vals <- Gen.listOfN(n, Gen.choose(0.0, 100.0))
+  } yield {
+    val ts = gaps.scanLeft(0L)(_ + _).tail
+    (0 until nSeries).flatMap { s =>
+      ts.zip(vals).zipWithIndex.map { case ((t, v), i) =>
+        Dp("m", Map("host" -> s"h$s"), t, v + s, (s.toLong << 32) + i)
+      }
+    }
+  }
+
+  private def samples[A](g: Gen[A]): Seq[A] =
+    (0 until Cases).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  /** JVM twin of [[Dp.seriesKey]]. */
+  private def skeyOf(metric: String, tags: Map[String, String]): String =
+    (metric +: tags.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+      .mkString(",")
+
+  private def runDs(points: Seq[Dp], ds: String): Map[(String, Long), Double] = {
+    val end = points.map(_.ts).max + 1
+    Planner
+      .planSub(spark.createDataset(points).toDF(), TsQuery(0, end),
+        SubQuery("m", "none", Some(ds)))
+      .select("skey", "ts", "value").as[(String, Long, Double)]
+      .collect().map { case (k, t, v) => (k, t) -> v }.toMap
+  }
+
+  test("downsample is invariant under point arrival order") {
+    for ((points, i) <- samples(seriesGen).zipWithIndex) {
+      val shuffled = new scala.util.Random(i).shuffle(points)
+      for (fn <- Seq("sum", "avg", "min", "max", "count", "p50")) {
+        val a = runDs(points, s"1h-$fn")
+        val b = runDs(shuffled, s"1h-$fn")
+        assert(a.keySet === b.keySet, s"case $i fn=$fn")
+        // tolerance: fp addition order differs with partitioning
+        a.foreach { case (k, v) =>
+          assert(math.abs(v - b(k)) < 1e-9, s"case $i fn=$fn @$k")
+        }
+      }
+    }
+  }
+
+  test("rollup path ≡ raw path for eligible functions on any OOO-free input") {
+    for ((points, i) <- samples(seriesGen).zipWithIndex) {
+      val df = spark.createDataset(points).toDF()
+      val end = points.map(_.ts).max + 1
+      val r1h = Rollup.rollup1h(df)
+      for (fn <- Seq("avg", "sum", "min", "max", "count")) {
+        val viaRollup = Rollup.downsampleFromRollup(r1h, 2 * H, fn)
+          .select("skey", "ts", "value").as[(String, Long, Double)]
+          .collect().map { case (k, t, v) => (k, t) -> v }.toMap
+        val direct = runDs(points, s"2h-$fn")
+        assert(viaRollup.keySet === direct.keySet, s"case $i fn=$fn")
+        direct.foreach { case (k, v) =>
+          assert(math.abs(v - viaRollup(k)) < 1e-9, s"case $i fn=$fn @$k")
+        }
+      }
+    }
+  }
+
+  test("last-wins dedup: result is exactly the max-seq row per (series, ts)") {
+    val dupGen = for {
+      base <- seriesGen
+      extra <- Gen.choose(1, 5)
+    } yield {
+      val maxSeq = base.map(_.seq).max
+      // re-ingest some points with new values and higher seqs
+      val overrides = base.take(extra).zipWithIndex.map { case (p, i) =>
+        p.copy(value = p.value + 1000, seq = maxSeq + 1 + i)
+      }
+      (base, overrides)
+    }
+    for (((base, overrides), i) <- samples(dupGen).zipWithIndex) {
+      val all = new scala.util.Random(i).shuffle(base ++ overrides)
+      val end = base.map(_.ts).max + 1
+      val res = Planner
+        .planSub(spark.createDataset(all).toDF(), TsQuery(0, end),
+          SubQuery("m", "none"))
+        .select("skey", "ts", "value").as[(String, Long, Double)]
+        .collect().map { case (k, t, v) => (k, t) -> v }.toMap
+      val expect = (base ++ overrides)
+        .groupBy(p => (skeyOf(p.metric, p.tags), p.ts))
+        .map { case (k, ps) => k -> ps.maxBy(_.seq).value }
+      assert(res === expect, s"case $i")
+    }
+  }
+}
