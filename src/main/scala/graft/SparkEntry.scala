@@ -82,8 +82,11 @@ object SparkEntry {
   private val dsFuncs =
     Seq("avg", "sum", "count", "min", "max", "dev", "first", "last", "p50", "p90", "p99")
 
-  /** §2.6 cross-series aggregation by host tag after 1h-avg. */
-  private val crossFuncs = Seq("sum", "avg", "count", "dev", "min", "max", "p95")
+  /** §2.6 cross-series aggregation by host tag after 1h-avg. first/last
+    * pick the first/last series' value in canonical skey order.
+    */
+  private val crossFuncs =
+    Seq("sum", "avg", "count", "dev", "min", "max", "p95", "first", "last")
 
   private def dsQuery(fn: String)(s: SparkSession, dir: String): DataFrame =
     out(Planner.planSub(
@@ -459,13 +462,16 @@ object SparkEntry {
            |  FROM ds GROUP BY host, b)
            |SELECT host AS tag_host, b // 1000 AS ts, floor((${r6Sql(fn.drop(1).toDouble)}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM g ORDER BY tag_host, ts""".stripMargin
-    else
+    else {
+      // first/last across series = first/last series in skey order
+      val ord = if (fn == "first" || fn == "last") "skey" else "b"
       base + "\n" +
         s"""SELECT host AS tag_host, b // 1000 AS ts,
-           |       floor((${sqlAgg(fn, ts = "b")}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |       floor((${sqlAgg(fn, ts = ord)}) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM ds
            |GROUP BY host, b
            |ORDER BY tag_host, ts""".stripMargin
+    }
   }
 
   /** Per-series 1h-last + lag-rate CTE chain used by the counter-rate

@@ -140,8 +140,12 @@ object Planner {
             col("ts"), col("value"))
 
       case agg =>
+        // order column is skey, not ts: rows in a cross-series group share
+        // the timestamp, so first/last mean "first/last series" — the
+        // reference walks series in creation order (aggregate.cpp:218-233);
+        // we define canonical skey order for determinism
         df.groupBy(col("ts") +: groupCols: _*)
-          .agg(GraftFunctions.aggFor(agg, col("value"), col("ts")).as("value"))
+          .agg(GraftFunctions.aggFor(agg, col("value"), col("skey")).as("value"))
     }
 
     // ---- 7. rate conversion, applied after aggregation per result group
