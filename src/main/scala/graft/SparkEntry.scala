@@ -129,6 +129,21 @@ object SparkEntry {
             tags = Map("host" -> "literal_or(host1|host3)"))))
       },
 
+      // §2.2 series-index scan: tag predicates resolve on the series dim
+      // table, fact scan broadcast-semi-joins on skey (same result as the
+      // per-row predicate path — the oracle computes it directly)
+      "q_index_scan" -> { (s, dir) =>
+        val d = DpView.dp(s, dir)
+        out(Planner.planSub(
+          d,
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "click",
+            aggregator = "none",
+            tags = Map("host" -> "literal_or(host1|host3)")),
+          Planner.Options(seriesIndex = Some(graft.query.Meta.seriesTable(d)))))
+      },
+
       // §2.4 regexp filter
       "q_filter_regexp" -> { (s, dir) =>
         out(Planner.planSub(
@@ -494,6 +509,14 @@ object SparkEntry {
 
     ds ++ cross ++ PipelineQueries.oracleSql ++ Map(
       "q_scan_range" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'click' AND host IN ('host1','host3')
+           |  AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_index_scan" -> (dpCte + "\n" +
         s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dp
            |WHERE metric = 'click' AND host IN ('host1','host3')

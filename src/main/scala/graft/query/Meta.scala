@@ -43,6 +43,22 @@ object Meta {
       .orderBy(col("tagv"))
       .limit(max)
 
+  /** The series dimension table: one row per distinct series —
+    * (skey, metric, tags). The Spark analog of the reference's per-metric
+    * series index (`g_metric_map` + `Mapping`, `src/core/tsdb.cpp:
+    * 1586-1609`). At 100 TB this is maintained incrementally (it is tiny
+    * next to the fact data: cardinality = #series, not #points) and
+    * serves suggest/lookup AND the planner's index-scan path
+    * ([[graft.query.Planner.Options.seriesIndex]]).
+    */
+  def seriesTable(dp: DataFrame): DataFrame =
+    Dp.withSeriesKey(dp)
+      .select(col("skey")).distinct()
+      .select(
+        col("skey"),
+        Dp.metricFromKey(col("skey")).as("metric"),
+        Dp.tagsFromKey(col("skey")).as("tags"))
+
   /** Series lookup with limit/offset paging (default limit 25 —
     * query.cpp:1486-1494, 1571-1576). Ordered by series key for stable
     * paging (the reference sorts result sets by tag list).

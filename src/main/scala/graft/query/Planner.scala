@@ -33,8 +33,19 @@ object Planner {
   /** `dedup=false` skips the last-wins stage (one less shuffle) when the
     * source is known duplicate-free — the common case for immutable
     * batch-loaded data.
+    *
+    * `seriesIndex` is the index-scan path (reference `Tsdb::query_for_ts`,
+    * `src/core/tsdb.cpp:1586-1609`): a (skey, metric, tags) dimension
+    * table (see [[Meta.seriesTable]]). Tag predicates then run on the
+    * tiny dim table to resolve the matching series set, and the fact scan
+    * does a broadcast semi-join on `skey` — no per-row regex/map probing
+    * over the bulk data. Results are identical either way; at 100 TB the
+    * dim-table route is the difference between evaluating a wildcard
+    * regex 10¹¹ times and 10⁶ times.
     */
-  final case class Options(dedup: Boolean = true)
+  final case class Options(
+      dedup: Boolean = true,
+      seriesIndex: Option[DataFrame] = None)
 
   /** Plan one sub-query against a dp DataFrame. */
   def planSub(
@@ -54,12 +65,26 @@ object Planner {
       case _ => (q.startMs, q.endMs)
     }
 
-    // ---- 2. predicate pushdown: time ∧ metric ∧ tag filters
-    var df = dp
+    // ---- 2. predicate pushdown: time ∧ metric ∧ tag filters. With a
+    // series index the tag predicates resolve on the dim table and the
+    // fact scan semi-joins on skey; otherwise they evaluate per row.
+    val timeAndMetric = dp
       .filter(col("ts").between(scanStart, scanEnd))
       .filter(col("metric") === sub.metric)
-      .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
-      .withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+    var df = opt.seriesIndex match {
+      case Some(index) =>
+        val matched = index
+          .filter(col("metric") === sub.metric)
+          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
+          .select(col("skey"))
+        timeAndMetric
+          .withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+          .join(broadcast(matched), Seq("skey"), "left_semi")
+      case None =>
+        timeAndMetric
+          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
+          .withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+    }
 
     // ---- 3. last-wins dedup (seq = ingest order). max_by gets map-side
     // partial aggregation, so duplicates collapse before the shuffle.

@@ -161,6 +161,26 @@ class PlannerSpec extends SparkSpec {
     assert(res === Set(1.0, 99.0))
   }
 
+  test("series-index scan path ≡ direct tag-predicate path") {
+    import graft.query.Meta
+    val tagged = Seq(
+      Map("host" -> "web1"), Map("host" -> "WEB2"), Map("host" -> "db1"),
+      Map("host" -> "web1", "dc" -> "east"), Map("dc" -> "west"))
+      .zipWithIndex.flatMap { case (m, i) =>
+        (0 until 3).map(j => Dp("m", m, i * 1000L + j * 100L, i + j / 10.0, i * 10 + j))
+      }
+    val df = spark.createDataset(tagged).toDF()
+    val index = Meta.seriesTable(df)
+    for (filter <- Seq("wildcard(web*)", "iliteral_or(WEB1|web2)", "*")) {
+      val sub = SubQuery("m", "none", tags = Map("host" -> filter))
+      def run(opt: Planner.Options) =
+        Planner.planSub(df, TsQuery(0, 10000L), sub, opt)
+          .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+      assert(run(Planner.Options(seriesIndex = Some(index)))
+        === run(Planner.Options()), filter)
+    }
+  }
+
   test("exact percentile replicates the reference R-6 formula") {
     // reference: idx = p*(n+1); values 1..10, p50 → idx 5.5 → 5.5
     // p90 → idx 9.9 → v[8]+0.9*(v[9]-v[8]) = 9 + .9 = 9.9
