@@ -134,6 +134,9 @@ object SparkEntry {
       // per-row predicate path — the oracle computes it directly)
       "q_index_scan" -> { (s, dir) =>
         val d = DpView.dp(s, dir)
+        // per-metric index, like the reference's per-metric Mapping; at
+        // scale this table is maintained incrementally, not derived here
+        val index = graft.query.Meta.seriesTable(d.filter(col("metric") === "click"))
         out(Planner.planSub(
           d,
           TsQuery(T0, T1),
@@ -141,7 +144,7 @@ object SparkEntry {
             metric = "click",
             aggregator = "none",
             tags = Map("host" -> "literal_or(host1|host3)")),
-          Planner.Options(seriesIndex = Some(graft.query.Meta.seriesTable(d)))))
+          Planner.Options(seriesIndex = Some(index))))
       },
 
       // §2.4 regexp filter

@@ -53,11 +53,14 @@ object Meta {
     */
   def seriesTable(dp: DataFrame): DataFrame =
     Dp.withSeriesKey(dp)
-      .select(col("skey")).distinct()
-      .select(
-        col("skey"),
-        Dp.metricFromKey(col("skey")).as("metric"),
-        Dp.tagsFromKey(col("skey")).as("tags"))
+      .groupBy(col("skey"))
+      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
+  // first(real columns), NOT Dp.tagsFromKey(skey): were tags an expression
+  // of skey, constraint propagation would rewrite the index's tag
+  // predicate in terms of the join key and push the whole skey-rebuild
+  // onto the fact side of the semi-join — per-row again, worse than no
+  // index. first(MapType) costs a SortAggregate, but only in this
+  // derivation (maintained incrementally at scale), never in a query.
 
   /** Series lookup with limit/offset paging (default limit 25 —
     * query.cpp:1486-1494, 1571-1576). Ordered by series key for stable

@@ -60,6 +60,20 @@ class ApiSpec extends SparkSpec {
         """"dps":{"0":11.0,"3600":22.0}}]""")
   }
 
+  test("multi-subquery POST: result sets concatenate in request order") {
+    val body =
+      """{"start":0,"end":7200,"queries":[
+        |  {"metric":"m","aggregator":"sum","tags":{}},
+        |  {"metric":"m","aggregator":"max","tags":{}}]}""".stripMargin
+    val q = QueryApi.parseRequest(body, nowMs = 2 * H)
+    val json = QueryApi.runQuery(dpDf, q)
+    assert(json ===
+      """[{"metric":"m","tags":{"dc":"east"},"aggregateTags":["host"],""" +
+        """"dps":{"0":11.0,"3600":22.0}},""" +
+        """{"metric":"m","tags":{"dc":"east"},"aggregateTags":["host"],""" +
+        """"dps":{"0":10.0,"3600":20.0}}]""")
+  }
+
   test("self-metrics: actions record latency samples queryable as dp") {
     val rec = SelfMetrics.install(spark)
     try {

@@ -28,6 +28,21 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === exact) // at 0.99 jaccard, recall should be total
   }
 
+  test("maxDocFreq drops hot shingles from the jaccard join") {
+    // 3 docs sharing one hot phrase; two are near-identical
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tail"),
+      (2L, "the quick brown fox jumps over the lazy dog tails"),
+      (3L, "the quick brown completely different text here now")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, 3, 0.1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    // cap at df≤1: every shared shingle is dropped → no candidate pairs
+    val capped = Dedup.ngramJaccardPairs(d, 3, 0.1, maxDocFreq = Some(1))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dups") {
     val sim = Dedup.simhashPairs(docs, nBits = 32, maxHamming = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
