@@ -60,7 +60,16 @@ object GraftFunctions {
     *   - first/last = value at min/max timestamp (input is time-sorted in
     *     the reference; ties broken by ts only).
     */
-  def aggFor(name: String, value: Column, ts: Column): Column = name match {
+  /** `approxPercentileAccuracy`: when set, pNN uses Spark's
+    * `percentile_approx` (t-digest-style sketch, mergeable, O(accuracy)
+    * state) instead of the exact sort-based form. The exact form matches
+    * the reference bit-for-bit but buffers every group value — the right
+    * default, and safe for downsample buckets (group size = points per
+    * series-bucket); the sketch is the scale path for cross-series
+    * percentiles over unbounded series counts.
+    */
+  def aggFor(name: String, value: Column, ts: Column,
+      approxPercentileAccuracy: Option[Int] = None): Column = name match {
     case "avg" => avg(value)
     case "sum" => sum(value)
     case "count" => count(value).cast("double")
@@ -70,7 +79,13 @@ object GraftFunctions {
     case "first" => min_by(value, ts)
     case "last" => max_by(value, ts)
     case p if p.startsWith("p") && p.drop(1).forall(_.isDigit) =>
-      exactPercentile(value, p.drop(1).toDouble)
+      approxPercentileAccuracy match {
+        case Some(acc) =>
+          var q = p.drop(1).toDouble
+          while (q > 100.0) q /= 10.0
+          percentile_approx(value, lit(q / 100.0), lit(acc))
+        case None => exactPercentile(value, p.drop(1).toDouble)
+      }
     case other => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
 

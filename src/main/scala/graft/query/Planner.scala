@@ -43,9 +43,14 @@ object Planner {
     * dim-table route is the difference between evaluating a wildcard
     * regex 10¹¹ times and 10⁶ times.
     */
+  /** `approxPercentileAccuracy`: opt-in sketch percentiles for
+    * cross-series pNN over unbounded series counts (see
+    * [[GraftFunctions.aggFor]]); None = exact reference semantics.
+    */
   final case class Options(
       dedup: Boolean = true,
-      seriesIndex: Option[DataFrame] = None)
+      seriesIndex: Option[DataFrame] = None,
+      approxPercentileAccuracy: Option[Int] = None)
 
   /** Plan one sub-query against a dp DataFrame. */
   def planSub(
@@ -170,7 +175,8 @@ object Planner {
         // reference walks series in creation order (aggregate.cpp:218-233);
         // we define canonical skey order for determinism
         df.groupBy(col("ts") +: groupCols: _*)
-          .agg(GraftFunctions.aggFor(agg, col("value"), col("skey")).as("value"))
+          .agg(GraftFunctions.aggFor(agg, col("value"), col("skey"),
+            opt.approxPercentileAccuracy).as("value"))
     }
 
     // ---- 7. rate conversion, applied after aggregation per result group

@@ -198,6 +198,21 @@ class PlannerSpec extends SparkSpec {
       .as[Double].head() === 7.0)
   }
 
+  test("approx percentile option tracks the exact cross-series p95") {
+    val many = (0 until 50).flatMap(s => (0 until 4).map(i =>
+      Dp("m", Map("host" -> s"h$s"), i * H, s + i / 10.0, (s * 4 + i).toLong)))
+    val df = spark.createDataset(many).toDF()
+    def p95(opt: Planner.Options) = Planner
+      .planSub(df, TsQuery(0, 4 * H), SubQuery("m", "p95", Some("1h-avg")), opt)
+      .select("ts", "value").as[(Long, Double)].collect().toMap
+    val exact = p95(Planner.Options())
+    val approx = p95(Planner.Options(approxPercentileAccuracy = Some(10000)))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - approx(k)) < 1.0, s"@$k exact=$v approx=${approx(k)}")
+    }
+  }
+
   test("rollup path ≡ raw path for avg/sum/min/max/count (no OOO)") {
     val raw = dpDf
     val r1h = Rollup.rollup1h(raw)
