@@ -31,6 +31,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // codegen warmup
+    // warm the dp-view expression stack (skey build, map ops) so the
+    // first measured events query doesn't pay its JIT
+    graft.model.Dp
+      .withSeriesKey(graft.model.DpView.dp(spark, sfDir).limit(64))
+      .count()
 
     // optional substring filter over query names (dev iteration aid);
     // driver invokes with no args = full run

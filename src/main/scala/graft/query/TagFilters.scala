@@ -33,11 +33,11 @@ object TagFilters {
         v.isNotNull && !v.isin(split(args): _*)
       case Fn("not_iliteral_or", args) =>
         v.isNotNull && !lower(v).isin(split(args).map(_.toLowerCase): _*)
-      case Fn("wildcard", arg) => v.rlike(globToRegex(arg))
-      case Fn("iwildcard", arg) => lower(v).rlike(globToRegex(arg.toLowerCase))
+      case Fn("wildcard", arg) => glob(v, arg)
+      case Fn("iwildcard", arg) => glob(lower(v), arg.toLowerCase)
       case Fn("regexp", arg) => v.rlike(anchor(arg))
       // legacy 1.x: trailing-or-embedded '*' → glob; '|' → alternation
-      case s if s.contains("*") => v.rlike(globToRegex(s))
+      case s if s.contains("*") => glob(v, s)
       case s if s.contains("|") => v.isin(split(s): _*)
       case s => v === s
     }
@@ -59,6 +59,25 @@ object TagFilters {
 
   private def split(args: String): Seq[String] =
     args.split('|').toSeq.map(_.trim)
+
+  /** Glob match. The common shapes — `p*`, `*s`, `*m*`, and `p*s` —
+    * compile to codegen'd string ops (startsWith/endsWith/contains)
+    * instead of a regex; anything else falls back to `rlike`.
+    */
+  private def glob(v: Column, pattern: String): Column = {
+    val stars = pattern.count(_ == '*')
+    val parts = pattern.split("\\*", -1)
+    (stars, parts.toSeq) match {
+      case (0, _) => v === pattern
+      case (1, Seq(p, "")) => v.startsWith(p)
+      case (1, Seq("", s)) => v.endsWith(s)
+      case (1, Seq(p, s)) =>
+        v.startsWith(p) && v.endsWith(s) &&
+          length(v) >= lit(p.length + s.length)
+      case (2, Seq("", m, "")) => v.contains(m)
+      case _ => v.rlike(globToRegex(pattern))
+    }
+  }
 
   /** Glob → anchored regex: `*` → `.*`, regex metacharacters escaped
     * (reference `replace_stars`, tag.cpp:798-821 escapes dots).

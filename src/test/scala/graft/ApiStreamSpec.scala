@@ -135,6 +135,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("end-to-end: streamed lines → parquet → planner query answers") {
+    import graft.model.{SubQuery, TsQuery}
+    import graft.query.Planner
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val mem = MemoryStream[String]
+    val dp = StreamIngest.dpStream(mem.toDS(), "plain")
+    val q = StreamIngest.writeRaw(dp, s"$dir/data", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData(
+      "put m 1704412800 1.0 host=a",
+      "put m 1704412860 3.0 host=a",
+      "put m 1704412800 10.0 host=b")
+    q.awaitTermination(30000)
+    val stored = spark.read.parquet(s"$dir/data")
+      .select("metric", "tags", "ts", "value", "seq")
+    val res = Planner
+      .planSub(stored, TsQuery(1704412800000L, 1704416400000L),
+        SubQuery("m", "sum", Some("1h-avg"), tags = Map("host" -> "*"),
+          groupByTags = Seq("host")))
+      .select("tag_host", "value").as[(String, Double)].collect().toMap
+    assert(res === Map("a" -> 2.0, "b" -> 10.0))
+  }
+
+  test("self-metrics round-trip: drained samples answer a planner query") {
+    import graft.model.{SubQuery, TsQuery}
+    import graft.query.Planner
+    val samples = Seq(
+      SelfMetrics.Sample("graft.query.latency.ms", "count", "ok", 1000L, 12.5),
+      SelfMetrics.Sample("graft.query.latency.ms", "collect", "ok", 2000L, 7.5),
+      SelfMetrics.Sample("graft.query.count", "count", "ok", 1000L, 1.0))
+    val dp = SelfMetrics.toDp(spark, samples)
+    val res = Planner
+      .planSub(dp, TsQuery(0L, 10000L),
+        SubQuery("graft.query.latency.ms", "avg", Some("0all-avg"),
+          tags = Map("status" -> "ok")))
+      .select("value").as[Double].collect().toSeq
+    assert(res === Seq(10.0))
+  }
+
   test("streaming raw sink: date-partitioned parquet append") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_raw").toString

@@ -135,6 +135,11 @@ class PlannerSpec extends SparkSpec {
     assert(hosts("not_literal_or(web1|db1)") === Set(1.0))
     assert(hosts("wildcard(web*)") === Set(0.0, 3.0)) // case-sensitive
     assert(hosts("web*") === Set(0.0, 3.0)) // legacy 1.x trailing-*
+    assert(hosts("wildcard(*1)") === Set(0.0, 2.0, 3.0)) // suffix
+    assert(hosts("wildcard(*eb*)") === Set(0.0, 3.0)) // contains
+    assert(hosts("wildcard(w*1)") === Set(0.0, 3.0)) // prefix+suffix
+    assert(hosts("wildcard(web1*1)") === Set()) // overlap guard: len < p+s
+    assert(hosts("wildcard(d*1*)") === Set(2.0)) // ≥2 stars → regex fallback
     assert(hosts("web1|db1") === Set(0.0, 2.0, 3.0)) // legacy embedded-|
     assert(hosts("*") === Set(0.0, 1.0, 2.0, 3.0)) // key exists
     assert(hosts("web1", explicit = true) === Set(0.0)) // exactly {host}
