@@ -76,19 +76,24 @@ object Planner {
     val timeAndMetric = dp
       .filter(col("ts").between(scanStart, scanEnd))
       .filter(col("metric") === sub.metric)
+    // a source with a pre-materialized skey (e.g. the bucketed store,
+    // Maintenance.writeBucketed) keeps its scan attribute — recomputing
+    // the expression would hide the bucket partitioning from the
+    // aggregates and reintroduce their shuffles
+    def keyed(d: DataFrame): DataFrame =
+      if (d.columns.contains("skey")) d
+      else d.withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
     var df = opt.seriesIndex match {
       case Some(index) =>
         val matched = index
           .filter(col("metric") === sub.metric)
           .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
           .select(col("skey"))
-        timeAndMetric
-          .withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+        keyed(timeAndMetric)
           .join(broadcast(matched), Seq("skey"), "left_semi")
       case None =>
-        timeAndMetric
-          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
-          .withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+        keyed(timeAndMetric
+          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags)))
     }
 
     // ---- 3. last-wins dedup (seq = ingest order). max_by gets map-side

@@ -62,6 +62,26 @@ object Maintenance {
     victims
   }
 
+  /** Write the dp frame as a table bucketed by the series key — the
+    * co-located layout for the heavy query path. Grouping on (skey, …)
+    * is then satisfied by the scan's bucket partitioning, so last-wins
+    * dedup and per-series downsampling run with ZERO exchanges; only the
+    * cross-series stage (different keys) shuffles. This is the Spark
+    * analog of the reference's per-series page chains: all of one
+    * series' data is co-resident (`include/tsdb.h:176-216` buckets
+    * metric-ids the same way, `metric bucket` SURVEY §1.1). `sortBy ts`
+    * additionally gives parquet row-group min/max pruning on time.
+    */
+  def writeBucketed(dp: org.apache.spark.sql.DataFrame, tableName: String,
+      buckets: Int = 64): Unit =
+    graft.model.Dp.withSeriesKey(dp)
+      .write
+      .bucketBy(buckets, "skey")
+      .sortBy("skey", "ts")
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Store-wide stats for the admin `stat` command: per-partition file
     * and byte counts.
     */

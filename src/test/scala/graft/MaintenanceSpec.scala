@@ -63,6 +63,30 @@ class MaintenanceSpec extends SparkSpec {
       === Right("purged 1"))
   }
 
+  test("bucketed store: per-series dedup+downsample plan has no exchange") {
+    import graft.model.{SubQuery, TsQuery}
+    import graft.query.Planner
+    import graft.store.Maintenance
+    val dp = spark.createDataset((0 until 200).map { i =>
+      Dp("m", Map("host" -> s"h${i % 5}"), i * 60000L, i.toDouble, i)
+    }).toDF()
+    Maintenance.writeBucketed(dp, "dp_bucketed", buckets = 4)
+    try {
+      // skey pre-materialized by the writer → planner reuses the scan
+      // attribute and the bucket partitioning feeds the aggregates
+      val stored = spark.table("dp_bucketed")
+      val plan = Planner.planSub(
+        stored,
+        TsQuery(0, 200 * 60000L),
+        SubQuery("m", "none", Some("1h-avg")))
+      val physical = plan.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"expected shuffle-free per-series plan, got:\n$physical")
+      // and it still answers correctly
+      assert(plan.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS dp_bucketed")
+  }
+
   test("ooo slice detection marks late, duplicate, and NaN points only") {
     val dp = spark.createDataset(Seq(
       // clean series: strictly increasing ts
