@@ -32,10 +32,12 @@ object Bench {
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // codegen warmup
     // warm the dp-view expression stack (skey build, map ops) so the
-    // first measured events query doesn't pay its JIT
+    // first measured events query doesn't pay its JIT; collect() of the
+    // actual columns — count() would let Catalyst prune them all away
     graft.model.Dp
       .withSeriesKey(graft.model.DpView.dp(spark, sfDir).limit(64))
-      .count()
+      .select("skey", "tags", "ts", "value")
+      .collect()
 
     // optional substring filter over query names (dev iteration aid);
     // driver invokes with no args = full run

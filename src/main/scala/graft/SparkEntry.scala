@@ -425,9 +425,7 @@ object SparkEntry {
     * twin of [[graft.functions.GraftFunctions.exactPercentile]].
     */
   private def r6Sql(pRaw: Double): String = {
-    var q = pRaw
-    while (q > 100.0) q /= 10.0
-    val p = q / 100.0
+    val p = graft.functions.GraftFunctions.normalizeQuantile(pRaw)
     val idx = s"$p*(len(l)+1)"
     s"""CASE WHEN len(l) = 1 THEN l[1]
        |     WHEN $idx < 1 THEN l[1]
@@ -711,7 +709,7 @@ object SparkEntry {
 
       "q_ingest_influx" ->
         """SELECT * FROM (VALUES
-          |  ('cpu load,_field=value,host=a b', 1704412801000, 0.5),
+          |  ('cpu_Sload,_field=value,host=a_Sb', 1704412801000, 0.5),
           |  ('mem,_field=free', 1704412800123, 1024.0),
           |  ('weather,_field=humidity,city=SF,country=US', 1704412800000, 80.0),
           |  ('weather,_field=temp,city=NY', 1704412800000, 20.25),

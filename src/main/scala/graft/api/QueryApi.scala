@@ -120,7 +120,7 @@ object QueryApi {
       // aggregated: group rows by grouping-tag values
       val tagCols = sub.groupByTags.map(k => s"tag_$k")
       val rows = df.collect()
-      val seriesTags = matchedSeriesTags(dp, q, sub)
+      val seriesTags = matchedSeriesTags(dp, q, sub, opt)
       rows.groupBy(r => tagCols.map(c => Option(r.getAs[String](c)).getOrElse("")))
         .toSeq.sortBy(_._1.mkString(","))
         .map { case (tagVals, rs) =>
@@ -136,20 +136,32 @@ object QueryApi {
   }
 
   /** Distinct tag maps of the series matched by the sub-query (used for
-    * aggregateTags). Bounded by series cardinality, not data size.
+    * aggregateTags). Bounded by series cardinality, not data size. With a
+    * series index the whole question is answered on the dim table — the
+    * fact data is never touched.
     */
-  private def matchedSeriesTags(dp: DataFrame, q: TsQuery, sub: SubQuery): Seq[Map[String, String]] = {
+  private def matchedSeriesTags(dp: DataFrame, q: TsQuery, sub: SubQuery,
+      opt: Planner.Options): Seq[Map[String, String]] = {
     import graft.model.Dp
     import graft.query.TagFilters
-    // MAP columns can't be distinct()'d — dedupe on the series key (a
-    // plain hash distinct) and re-derive the map from it
-    Dp.withSeriesKey(
-      dp.filter(col("ts").between(q.startMs, q.endMs))
-        .filter(col("metric") === sub.metric)
-        .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags)))
-      .select(col("skey")).distinct()
-      .select(Dp.tagsFromKey(col("skey")).as("tags")).collect()
-      .map(_.getAs[Map[String, String]](0)).toSeq
+    opt.seriesIndex match {
+      case Some(index) =>
+        index
+          .filter(col("metric") === sub.metric)
+          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
+          .select(col("tags")).collect()
+          .map(_.getAs[Map[String, String]](0)).toSeq
+      case None =>
+        // MAP columns can't be distinct()'d — dedupe on the series key (a
+        // plain hash distinct) and re-derive the map from it
+        Dp.withSeriesKey(
+          dp.filter(col("ts").between(q.startMs, q.endMs))
+            .filter(col("metric") === sub.metric)
+            .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags)))
+          .select(col("skey")).distinct()
+          .select(Dp.tagsFromKey(col("skey")).as("tags")).collect()
+          .map(_.getAs[Map[String, String]](0)).toSeq
+    }
   }
 
   /** Reference JSON shape (`QueryResults::to_json`, query.cpp:1767-1796):

@@ -32,6 +32,10 @@ object SelfMetrics {
     */
   final class Recorder extends QueryExecutionListener {
     private val buf = new ConcurrentLinkedQueue[Sample]
+    // strictly increasing sample timestamps: two actions completing in
+    // the same millisecond must not share (series, ts) — the TSDB's
+    // last-wins dedup would silently collapse them
+    private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
 
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit =
@@ -42,7 +46,8 @@ object SelfMetrics {
       record(funcName, "error", 0L)
 
     private def record(func: String, status: String, durationNs: Long): Unit = {
-      val now = System.currentTimeMillis()
+      val now = lastTs.updateAndGet(prev =>
+        math.max(System.currentTimeMillis(), prev + 1))
       buf.add(Sample("graft.query.latency.ms", func, status, now, durationNs / 1e6))
       buf.add(Sample("graft.query.count", func, status, now, 1.0))
     }

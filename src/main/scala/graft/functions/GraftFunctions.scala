@@ -28,10 +28,19 @@ object GraftFunctions {
     * aggregate *expression*, usable inside any groupBy. Per-group state is
     * the value array, exactly like the reference (aggregate.h:186-190).
     */
-  def exactPercentile(value: Column, quantile: Double): Column = {
-    var q = quantile
+  /** pNNN quantile normalization shared by the exact and approx paths
+    * (and mirrored by the oracle SQL builder): divide by 10 until ≤ 100,
+    * then scale to (0,1) — reference `set_quantile`,
+    * aggregate.cpp:329-337.
+    */
+  def normalizeQuantile(raw: Double): Double = {
+    var q = raw
     while (q > 100.0) q /= 10.0
-    val p = q / 100.0
+    q / 100.0
+  }
+
+  def exactPercentile(value: Column, quantile: Double): Column = {
+    val p = normalizeQuantile(quantile)
     val arr = sort_array(collect_list(
       when(!isnan(value) && value =!= Double.PositiveInfinity &&
         value =!= Double.NegativeInfinity, value)))
@@ -57,16 +66,17 @@ object GraftFunctions {
     *     (`include/down.h:151-155`, sqrt(m2/count)) and the cross-series
     *     Welford (`aggregate.cpp:263-294`, divides by n=values.size())
     *     compute σ over n.
-    *   - first/last = value at min/max timestamp (input is time-sorted in
-    *     the reference; ties broken by ts only).
-    */
-  /** `approxPercentileAccuracy`: when set, pNN uses Spark's
-    * `percentile_approx` (t-digest-style sketch, mergeable, O(accuracy)
-    * state) instead of the exact sort-based form. The exact form matches
-    * the reference bit-for-bit but buffers every group value — the right
-    * default, and safe for downsample buckets (group size = points per
-    * series-bucket); the sketch is the scale path for cross-series
-    * percentiles over unbounded series counts.
+    *   - first/last = value at min/max `ts` (input is time-sorted in the
+    *     reference; ties broken by ts only). Callers pass the series key
+    *     as `ts` for cross-series first/last (rows in a group share the
+    *     timestamp there).
+    *   - `approxPercentileAccuracy`: when set, pNN uses Spark's
+    *     `percentile_approx` (t-digest-style sketch, mergeable,
+    *     O(accuracy) state) instead of the exact sort-based form. The
+    *     exact form matches the reference bit-for-bit but buffers every
+    *     group value — the right default, and safe for downsample buckets
+    *     (group size = points per series-bucket); the sketch is the scale
+    *     path for cross-series percentiles over unbounded series counts.
     */
   def aggFor(name: String, value: Column, ts: Column,
       approxPercentileAccuracy: Option[Int] = None): Column = name match {
@@ -81,9 +91,7 @@ object GraftFunctions {
     case p if p.startsWith("p") && p.drop(1).forall(_.isDigit) =>
       approxPercentileAccuracy match {
         case Some(acc) =>
-          var q = p.drop(1).toDouble
-          while (q > 100.0) q /= 10.0
-          percentile_approx(value, lit(q / 100.0), lit(acc))
+          percentile_approx(value, lit(normalizeQuantile(p.drop(1).toDouble)), lit(acc))
         case None => exactPercentile(value, p.drop(1).toDouble)
       }
     case other => throw new IllegalArgumentException(s"unknown aggregator: $other")

@@ -26,9 +26,10 @@ object LineParsers {
       val value = parts(3).toDouble
       val tags = parts.drop(4).flatMap { kv =>
         val i = kv.indexOf('=')
-        if (i <= 0) None else Some(kv.substring(0, i) -> kv.substring(i + 1))
+        if (i <= 0) None
+        else Some(sanitize(kv.substring(0, i)) -> sanitize(kv.substring(i + 1)))
       }.toMap
-      Some(Dp(metric, tags, ts, value, 0L))
+      Some(Dp(sanitize(metric), tags, ts, value, 0L))
     } catch { case _: NumberFormatException => None }
   }
 
@@ -80,16 +81,20 @@ object LineParsers {
     * recursive-descent JSON scan — no external deps; tolerant of
     * whitespace; numbers for ts/value, string map for tags.
     */
-  def parseJson(body: String): Seq[Dp] = {
+  def parseJson(body: String): Seq[Dp] = try {
     val t = body.trim
     if (t.isEmpty) Nil
     else if (t.startsWith("[")) JsonMini.parseArray(t).flatMap(fromJsonMap)
     else JsonMini.parseObject(t).toSeq.flatMap(m => fromJsonMap(m))
+  } catch {
+    // malformed body: drop it (the reference answers 400 and moves on) —
+    // a bad request must never fail the whole ingest task
+    case _: RuntimeException => Nil
   }
 
   private def fromJsonMap(m: Map[String, Any]): Option[Dp] =
     for {
-      metric <- m.get("metric").collect { case s: String => s }
+      metric <- m.get("metric").collect { case s: String => sanitize(s) }
       ts <- m.get("timestamp").collect {
         case d: Double => TimeParse.toMs(d.toLong)
         case l: Long => TimeParse.toMs(l)
@@ -102,11 +107,21 @@ object LineParsers {
     } yield Dp(
       metric,
       m.get("tags").collect { case mm: Map[_, _] =>
-        mm.collect { case (k: String, v: String) => k -> v }.toMap
+        mm.collect { case (k: String, v: String) => sanitize(k) -> sanitize(v) }.toMap
       }.getOrElse(Map.empty),
       ts, value, 0L)
 
   // -------------------------------------------------------------- helpers
+
+  /** Enforce the OpenTSDB name charset at ingest: `,` and `=` (illegal in
+    * OpenTSDB metric/tag names and values) become `_`. The canonical skey
+    * `metric,k=v,…` is then always losslessly parseable
+    * ([[graft.model.Dp.tagsFromKey]]). Influx input never reaches this —
+    * its escape rewriting (see [[unescape]]) already excludes both.
+    */
+  private def sanitize(s: String): String =
+    if (s.indexOf(',') < 0 && s.indexOf('=') < 0) s
+    else s.map(c => if (c == ',' || c == '=') '_' else c)
 
   private def splitUnescaped(s: String, sep: Char): Array[String] = {
     val out = Array.newBuilder[String]
@@ -122,8 +137,30 @@ object LineParsers {
     out.result()
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\,", ",").replace("\\=", "=").replace("\\ ", " ")
+  /** Escape REWRITING, byte-for-byte like the reference
+    * (`src/core/tsdb.cpp:2725-2760`): `\,`→`_C`, `\=`→`_E`, `\ `→`_S`,
+    * any other escaped char→`__`. Escaped characters are deliberately
+    * NOT restored — the stored charset then never contains `,` or `=`
+    * inside names/values, which is also what keeps the canonical skey
+    * (metric,k=v,…) losslessly parseable.
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        sb.append('_').append(s.charAt(i + 1) match {
+          case ',' => 'C'
+          case '=' => 'E'
+          case ' ' => 'S'
+          case _ => '_'
+        })
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
 
   /** Influx field value: float, or int with `i`/`u` suffix; strings and
     * booleans → None (not storable as double).
@@ -239,6 +276,8 @@ private[graft] object JsonMini {
       val sb = new StringBuilder
       var done = false
       while (!done) {
+        if (i >= s.length) // EOF inside a string: fail, don't spin
+          throw new IllegalArgumentException("unterminated string")
         val c = next()
         if (c == '\\') {
           next() match {

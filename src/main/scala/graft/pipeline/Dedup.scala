@@ -96,12 +96,25 @@ object Dedup {
     * the standard skew guard: a stop-shingle shared by 1M docs would
     * otherwise create a 10^12-row join.
     */
+  /** Materialize `result` (bounded: near-dup pairs), then release the
+    * shingle cache. Returned frame is cached; callers may unpersist it.
+    * Without this, each call would pin a shingle-sized cache for the
+    * session lifetime.
+    */
+  private def materializeAndRelease(result: DataFrame, sh: DataFrame): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist()
+    out
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = None): DataFrame = {
     // consumed by three plan branches (sizes + both join sides) — persist
     // so tokenize+md5 runs once; spills to disk when it outgrows memory
-    var sh = shingleHashes(docs, n).select("id", "h")
+    val sh0 = shingleHashes(docs, n).select("id", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var sh: DataFrame = sh0
     maxDocFreq.foreach { df =>
       val hot = sh.groupBy("h").count().filter(col("count") > df).select("h")
       sh = sh.join(hot, Seq("h"), "left_anti")
@@ -113,13 +126,14 @@ object Dedup {
       .join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count("*").as("i"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), "id2")
       .withColumn("jaccard",
         col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+    materializeAndRelease(pairs, sh0)
   }
 
   /** MinHash parameters shared with the oracle SQL: universal hashes
@@ -170,7 +184,7 @@ object Dedup {
       .distinct()
     // exact verification per candidate: shingle-hash-set intersection
     val sets = sh.groupBy("id").agg(collect_set("h").as("hs"))
-    cand
+    val pairs = cand
       .join(sets.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(sets.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))).cast("double"))
@@ -178,6 +192,7 @@ object Dedup {
         col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+    materializeAndRelease(pairs, sh)
   }
 
   /** SimHash of the token multiset: bit b of the result is the sign of

@@ -30,22 +30,23 @@ import org.apache.spark.sql.functions._
   */
 object Planner {
 
-  /** `dedup=false` skips the last-wins stage (one less shuffle) when the
-    * source is known duplicate-free — the common case for immutable
-    * batch-loaded data.
+  /** Planner options.
     *
-    * `seriesIndex` is the index-scan path (reference `Tsdb::query_for_ts`,
-    * `src/core/tsdb.cpp:1586-1609`): a (skey, metric, tags) dimension
-    * table (see [[Meta.seriesTable]]). Tag predicates then run on the
-    * tiny dim table to resolve the matching series set, and the fact scan
-    * does a broadcast semi-join on `skey` — no per-row regex/map probing
-    * over the bulk data. Results are identical either way; at 100 TB the
-    * dim-table route is the difference between evaluating a wildcard
-    * regex 10¹¹ times and 10⁶ times.
-    */
-  /** `approxPercentileAccuracy`: opt-in sketch percentiles for
-    * cross-series pNN over unbounded series counts (see
-    * [[GraftFunctions.aggFor]]); None = exact reference semantics.
+    *   - `dedup=false` skips the last-wins stage (one less shuffle) when
+    *     the source is known duplicate-free — the common case for
+    *     immutable batch-loaded data.
+    *   - `seriesIndex` is the index-scan path (reference
+    *     `Tsdb::query_for_ts`, `src/core/tsdb.cpp:1586-1609`): a
+    *     (skey, metric, tags) dimension table (see [[Meta.seriesTable]]).
+    *     Tag predicates then run on the tiny dim table to resolve the
+    *     matching series set, and the fact scan does a broadcast
+    *     semi-join on `skey` — no per-row regex/map probing over the bulk
+    *     data. Results are identical either way; at 100 TB the dim-table
+    *     route is the difference between evaluating a wildcard regex
+    *     10¹¹ times and 10⁶ times.
+    *   - `approxPercentileAccuracy`: opt-in sketch percentiles for
+    *     cross-series pNN over unbounded series counts (see
+    *     [[GraftFunctions.aggFor]]); None = exact reference semantics.
     */
   final case class Options(
       dedup: Boolean = true,

@@ -31,13 +31,29 @@ class IngestSpec extends AnyFunSuite {
     assert(byField("temp").tags("city") === "SF")
   }
 
-  test("influx line: escapes \\, \\= \\space (tsdb.cpp:2725-2741)") {
+  test("influx line: escapes rewrite byte-for-byte (tsdb.cpp:2725-2760)") {
+    // the reference REWRITES escapes — \␣→_S, \=→_E, \,→_C, other→__ —
+    // rather than restoring the characters; the stored charset then never
+    // contains ',' or '=', keeping the canonical skey parseable
     val dps = LineParsers.parseInflux(
       """cpu\ load,host=a\ b,k\=1=v\,2 value=0.5 1704412801000""", 0L)
     assert(dps.length === 1)
-    assert(dps.head.metric === "cpu load")
-    assert(dps.head.tags("host") === "a b")
-    assert(dps.head.tags("k=1") === "v,2")
+    assert(dps.head.metric === "cpu_Sload")
+    assert(dps.head.tags("host") === "a_Sb")
+    assert(dps.head.tags("k_E1") === "v_C2")
+  }
+
+  test("plain/json puts sanitize ','/'=' out of names (OpenTSDB charset)") {
+    val p = LineParsers.parsePlain("put m,x 1704412800 1 k=a,b").get
+    assert(p.metric === "m_x" && p.tags("k") === "a_b")
+    val j = LineParsers.parseJson(
+      """{"metric":"m","timestamp":1,"value":1,"tags":{"k":"a=b"}}""")
+    assert(j.head.tags("k") === "a_b")
+  }
+
+  test("malformed json body is dropped, not an ingest failure") {
+    assert(LineParsers.parseJson("""{"metric":"a""") === Nil) // unterminated
+    assert(LineParsers.parseJson("""[{"metric":}""") === Nil)
   }
 
   test("influx line: string/bool fields skipped, missing ts = now") {
