@@ -87,6 +87,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("glob fast paths agree with the anchored-regex semantics") {
+    import graft.query.TagFilters
+    import org.apache.spark.sql.functions.{col, lit}
+    // short patterns/values: k adjacent `.*` segments backtrack
+    // exponentially in the reference regex we compare against
+    val patGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "*", "*", ".")).map(_.mkString))
+    val valGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", ".")).map(_.mkString))
+    val pats = (0 until 40).map(i => patGen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    val vals = (0 until 60).map(i => valGen.pureApply(Gen.Parameters.default, Seed(99L + i)))
+    // evaluate every (pattern × value) pair in ONE job: two boolean
+    // columns per pattern (fast path vs anchored regex)
+    val ps = pats.distinct.filter(_.nonEmpty)
+    val df = spark.createDataFrame(
+      vals.distinct.map(v => Tuple1(Map("k" -> v)))).toDF("tags")
+    val cols = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        TagFilters.compile(col("tags"), "k", s"wildcard($p)").as(s"fast$i"),
+        col("tags")("k").rlike(TagFilters.globToRegex(p)).as(s"re$i"))
+    }
+    val rows = df.select(col("tags")("k").as("v") +: cols: _*).collect()
+    for (r <- rows; i <- ps.indices) {
+      assert(r.getAs[Boolean](s"fast$i") === r.getAs[Boolean](s"re$i"),
+        s"pattern '${ps(i)}' value '${r.getAs[String]("v")}'")
+    }
+  }
+
+  test("simple rate telescopes: sum(rate·dt) = last − first per series") {
+    for ((points, i) <- samples(seriesGen).zipWithIndex if points.nonEmpty) {
+      val end = points.map(_.ts).max + 1
+      val rated = Planner
+        .planSub(spark.createDataset(points).toDF(), TsQuery(0, end),
+          SubQuery("m", "none", rate = true))
+        .select("skey", "ts", "value").as[(String, Long, Double)].collect()
+      // recover dt from consecutive raw points of the same series
+      val bySeries = points.groupBy(p => s"m,host=${p.tags("host")}")
+      rated.groupBy(_._1).foreach { case (skey, rows) =>
+        val raw = bySeries(skey).sortBy(_.ts)
+        val expected = raw.last.value - raw.head.value
+        val total = rows.sortBy(_._2).zip(raw.sliding(2).toSeq).map {
+          case ((_, _, r), Seq(p0, p1)) => r * ((p1.ts - p0.ts) / 1000.0)
+        }.sum
+        assert(math.abs(total - expected) < 1e-6, s"case $i $skey")
+      }
+    }
+  }
+
+  test("zero fill emits the exact bucket spine with zeros only in gaps") {
+    for ((points, i) <- samples(seriesGen).zipWithIndex if points.nonEmpty) {
+      val end = points.map(_.ts).max + 1
+      val unfilled = runDs(points, "1h-sum")
+      val filled = runDs(points, "1h-sum-zero")
+      val lastBucket = end - math.floorMod(end, H)
+      val spine = (0L to lastBucket by H).toSet
+      filled.keySet.groupBy(_._1).foreach { case (_, keys) =>
+        assert(keys.map(_._2) === spine, s"case $i spine")
+      }
+      filled.foreach { case (k, v) =>
+        assert(v === unfilled.getOrElse(k, 0.0), s"case $i @$k")
+      }
+    }
+  }
+
   test("last-wins dedup: result is exactly the max-seq row per (series, ts)") {
     val dupGen = for {
       base <- seriesGen
