@@ -387,6 +387,22 @@ object SparkEntry {
           .orderBy("tag_dc", "ts")
       },
 
+      // §1.3 msResolution output: same pipeline, millisecond timestamps
+      // in the result (no /1000 at the response edge)
+      "q_ds_msres" -> { (s, dir) =>
+        Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1, msResolution = true),
+          SubQuery(metric = "purchase", aggregator = "none", downsample = Some("90m-avg")))
+          .select(col("skey"), col("ts"), sround(col("value")).as("value"))
+          .orderBy("skey", "ts", "value")
+      },
+
+      // §2.3 GET /api/aggregators
+      "q_aggregators" -> { (s, dir) =>
+        graft.query.Meta.aggregatorsDf(s)
+      },
+
       // §2.3 suggest: distinct metrics by prefix, sorted, capped
       "q_suggest" -> { (s, dir) =>
         Meta.suggestMetrics(DpView.dp(s, dir), prefix = "")
@@ -740,6 +756,19 @@ object SparkEntry {
            |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM ds GROUP BY dc, b
            |ORDER BY tag_dc, ts""".stripMargin),
+
+      "q_ds_msres" -> (dpCte + ",\n" +
+        dedupCte("purchase", "", T0, scanEnd(T1, 5400000L)) + "\n" +
+        s"""SELECT skey, ts - ts % 5400000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
+           |GROUP BY skey, ts - ts % 5400000
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_aggregators" ->
+        ("SELECT * FROM (VALUES " +
+          graft.query.Meta.aggregators.map(a => s"('$a')").mkString(", ") +
+          ") AS t(aggregator) ORDER BY aggregator"),
 
       "q_suggest" ->
         """SELECT DISTINCT event_type AS metric FROM events

@@ -43,6 +43,19 @@ object Meta {
       .orderBy(col("tagv"))
       .limit(max)
 
+  /** `GET /api/aggregators` — the supported cross-series aggregator
+    * names, sorted (reference list `src/agg/aggregate.cpp:33-36`).
+    */
+  val aggregators: Seq[String] = Seq(
+    "avg", "bottom1", "bottom3", "bottom5", "bottom9", "count", "dev",
+    "first", "last", "max", "min", "none", "p50", "p90", "p95", "p98",
+    "p99", "p999", "sum", "top1", "top3", "top5", "top9")
+
+  def aggregatorsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    aggregators.toDF("aggregator").orderBy("aggregator")
+  }
+
   /** The series dimension table: one row per distinct series —
     * (skey, metric, tags). The Spark analog of the reference's per-metric
     * series index (`g_metric_map` + `Mapping`, `src/core/tsdb.cpp:
