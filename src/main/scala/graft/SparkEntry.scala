@@ -22,6 +22,7 @@ object SparkEntry {
   private val T0 = 1704412800000L // 2024-01-05 00:00:00 UTC
   private val T1 = 1705017600000L // 2024-01-12 00:00:00 UTC
   private val HOUR = 3600000L
+  private val M90 = 5400000L
   private val SIXH = 21600000L
   private val DAY = 86400000L
 
@@ -387,12 +388,13 @@ object SparkEntry {
           .orderBy("tag_dc", "ts")
       },
 
-      // §1.3 msResolution output: same pipeline, millisecond timestamps
-      // in the result (no /1000 at the response edge)
+      // §1.3 internal ms timestamps: planner output keeps epoch-ms on a
+      // sub-hour bucket grid (the sec/ms response-edge conversion itself
+      // is covered by ApiSpec on QueryApi.toJson)
       "q_ds_msres" -> { (s, dir) =>
         Planner.planSub(
           DpView.dp(s, dir),
-          TsQuery(T0, T1, msResolution = true),
+          TsQuery(T0, T1),
           SubQuery(metric = "purchase", aggregator = "none", downsample = Some("90m-avg")))
           .select(col("skey"), col("ts"), sround(col("value")).as("value"))
           .orderBy("skey", "ts", "value")
@@ -758,17 +760,22 @@ object SparkEntry {
            |ORDER BY tag_dc, ts""".stripMargin),
 
       "q_ds_msres" -> (dpCte + ",\n" +
-        dedupCte("purchase", "", T0, scanEnd(T1, 5400000L)) + "\n" +
-        s"""SELECT skey, ts - ts % 5400000 AS ts,
+        dedupCte("purchase", "", T0, scanEnd(T1, M90)) + "\n" +
+        s"""SELECT skey, ts - ts % $M90 AS ts,
            |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dedup
-           |GROUP BY skey, ts - ts % 5400000
+           |GROUP BY skey, ts - ts % $M90
            |ORDER BY skey, ts, value""".stripMargin),
 
+      // hardcoded independently of Meta.aggregators on purpose — a
+      // generated list would make the differential gate tautological
       "q_aggregators" ->
-        ("SELECT * FROM (VALUES " +
-          graft.query.Meta.aggregators.map(a => s"('$a')").mkString(", ") +
-          ") AS t(aggregator) ORDER BY aggregator"),
+        """SELECT * FROM (VALUES
+          |  ('avg'), ('bottom1'), ('bottom3'), ('bottom5'), ('bottom9'),
+          |  ('count'), ('dev'), ('first'), ('last'), ('max'), ('min'),
+          |  ('none'), ('p50'), ('p90'), ('p95'), ('p98'), ('p99'),
+          |  ('p999'), ('sum'), ('top1'), ('top3'), ('top5'), ('top9')
+          |) AS t(aggregator) ORDER BY aggregator""".stripMargin,
 
       "q_suggest" ->
         """SELECT DISTINCT event_type AS metric FROM events

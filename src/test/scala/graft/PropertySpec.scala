@@ -89,7 +89,7 @@ class PropertySpec extends SparkSpec {
 
   test("glob fast paths agree with the anchored-regex semantics") {
     import graft.query.TagFilters
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     // short patterns/values: k adjacent `.*` segments backtrack
     // exponentially in the reference regex we compare against
     val patGen = Gen.choose(1, 6).flatMap(n =>
@@ -146,7 +146,9 @@ class PropertySpec extends SparkSpec {
         assert(keys.map(_._2) === spine, s"case $i spine")
       }
       filled.foreach { case (k, v) =>
-        assert(v === unfilled.getOrElse(k, 0.0), s"case $i @$k")
+        // tolerance: the filled plan's extra join stage can merge fp
+        // partial sums in a different order
+        assert(math.abs(v - unfilled.getOrElse(k, 0.0)) < 1e-9, s"case $i @$k")
       }
     }
   }
