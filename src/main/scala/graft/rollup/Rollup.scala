@@ -119,8 +119,17 @@ object Rollup {
     * touches only marked slices' rows.
     */
   def downsampleWithFallback(dp: DataFrame, rollup: DataFrame,
-      intervalMs: Long, func: String): DataFrame = {
-    val marks = broadcast(oooSlices(dp))
+      intervalMs: Long, func: String): DataFrame =
+    downsampleWithFallback(dp, rollup, oooSlices(dp), intervalMs, func)
+
+  /** Variant taking a precomputed `(skey, day)` marks frame — at scale
+    * the invalidation table is maintained incrementally at ingest (the
+    * reference sets `out_of_order2` on write, `src/core/ts.cpp:281-324`),
+    * not re-derived per query.
+    */
+  def downsampleWithFallback(dp: DataFrame, rollup: DataFrame,
+      precomputedMarks: DataFrame, intervalMs: Long, func: String): DataFrame = {
+    val marks = broadcast(precomputedMarks)
     val clean = rollup
       .withColumn("day", col("wts") - pmod(col("wts"), lit(DayMs)))
       .join(marks, Seq("skey", "day"), "left_anti")
