@@ -312,6 +312,18 @@ object SparkEntry {
         out(Rollup.downsampleFromRollup(Rollup.rollup1h(raw), SIXH, "avg"))
       },
 
+      // §3.1 routed execution end-to-end: planRouted picks rollup_1h,
+      // snaps 6h to the grid, applies OOO fallback — must equal the raw
+      // truth the oracle computes
+      "q_routed_e2e" -> { (s, dir) =>
+        val d = DpView.dp(s, dir)
+        val base = d.filter(col("metric") === "error")
+        out(Planner.planRouted(
+          d, Rollup.rollup1h(base), None,
+          TsQuery(T0, T1),
+          SubQuery(metric = "error", aggregator = "none", downsample = Some("6h-avg"))))
+      },
+
       // §2.9 OOO invalidation + per-slice raw fallback: the stored rollup
       // misses late re-ingested points; marked (series, day) slices are
       // recomputed from raw (with dedup) and merged with clean rollup
@@ -699,6 +711,14 @@ object SparkEntry {
            |WHERE metric = 'error' AND ts >= $T0 AND ts < $T1
            |GROUP BY skey, ts - ts % $DAY
            |ORDER BY skey, ts""".stripMargin),
+
+      "q_routed_e2e" -> (dpCte + "\n" +
+        s"""SELECT skey, (ts - ts % $SIXH) // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
 
       "q_rollup_route" -> (dpCte + "\n" +
         s"""SELECT skey, (ts - ts % $SIXH) // 1000 AS ts,

@@ -190,6 +190,77 @@ object Planner {
     if (sub.rate) rate(out, sub, groupKeysOf(out)) else out
   }
 
+  /** Routed execution — the reference's `QuerySuperTask` lifecycle
+    * (`src/core/query.cpp:1240-1305`) as one entry point: decide
+    * raw vs rollup_1h vs rollup_1d ([[Rollup.route]]), snap the
+    * downsample interval to the rollup grid ([[Rollup.snap]]), honor the
+    * per-slice OOO invalidation marks (raw recompute for dirty slices),
+    * then run the rest of the pipeline (cross-series agg, rate) on the
+    * downsampled series exactly as the raw path would.
+    *
+    * `rollup1h`/`rollup1d` are the materialized tables; `oooMarks` the
+    * maintained `(skey, day)` invalidation frame (None ⇒ derive from
+    * `dp`). Queries whose downsample has no rollup form (dev, first,
+    * last, pNN), sub-hour intervals, and `rollupUsage=Raw` all fall
+    * through to the raw path untouched.
+    */
+  def planRouted(
+      dp: DataFrame,
+      rollup1h: DataFrame,
+      rollup1d: Option[DataFrame],
+      q: TsQuery,
+      sub: SubQuery,
+      opt: Options = Options(),
+      oooMarks: Option[DataFrame] = None): DataFrame = {
+    import graft.rollup.Rollup
+    val dsOpt = sub.downsample.map(Downsample.parse).filter(_.func != "none")
+    Rollup.route(dsOpt, sub.rollupUsage) match {
+      case None => planSub(dp, q, sub, opt)
+      case Some(level) =>
+        val ds = dsOpt.get
+        val snapped = Rollup.snap(ds.intervalMs, level)
+        val source =
+          if (level == Rollup.DayMs)
+            rollup1d.getOrElse(Rollup.rollup1d(rollup1h))
+          else rollup1h
+        val scanEnd = q.endMs - math.floorMod(q.endMs, snapped) + snapped - 1
+        val raw = dp
+          .filter(col("ts").between(q.startMs, scanEnd))
+          .filter(col("metric") === sub.metric)
+          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
+        // the rollup table is keyed by skey only — apply the same metric
+        // and tag predicates on the key-derived columns
+        val rolled = source
+          .filter(col("wts").between(q.startMs, scanEnd))
+          .filter(Dp.metricFromKey(col("skey")) === sub.metric)
+          .filter(TagFilters.compileAll(
+            Dp.tagsFromKey(col("skey")), sub.tags, sub.explicitTags))
+        val marks = oooMarks.getOrElse(Rollup.oooSlices(raw))
+        val series = Rollup
+          .downsampleWithFallback(raw, rolled, marks, snapped, ds.func)
+        // hand the per-series buckets to the shared pipeline tail (fill,
+        // cross-series aggregation, rate): an identity re-downsample at
+        // the snapped interval — values sit exactly on the bucket grid,
+        // so `last` is a no-op — carries the original fill policy through
+        val fillSuffix = ds.fill match {
+          case FillPolicy.NaN => "-nan"
+          case FillPolicy.Null => "-null"
+          case FillPolicy.Zero => "-zero"
+          case FillPolicy.None => ""
+        }
+        val tail = sub.copy(
+          downsample = Some(s"${snapped}ms-last$fillSuffix"),
+          tags = Map.empty)
+        planSub(
+          series.withColumn("metric", lit(sub.metric))
+            .withColumn("tags", Dp.tagsFromKey(col("skey")))
+            .withColumn("seq", lit(0L)),
+          q,
+          tail,
+          opt.copy(dedup = false))
+    }
+  }
+
   private val TopBottomRe = """(top|bottom)([1-9])""".r
   private object TopBottom {
     def unapply(s: String): Option[(String, Int)] = s match {

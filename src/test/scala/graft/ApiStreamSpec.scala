@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamed rollup rows equal the batch rollup of the same data") {
+    import graft.rollup.Rollup
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Seq(
+      "put m 3600 1.5 host=a",
+      "put m 4600 2.5 host=a",
+      "put m 3700 10.0 host=b",
+      "put m 8000 4.0 host=a")
+    val mem = MemoryStream[String]
+    val q = StreamIngest.rollup1hStream(
+      StreamIngest.dpStream(mem.toDS(), "plain"), lateness = "0 seconds")
+      .writeStream.format("memory").queryName("r1h_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(lines: _*)
+      q.processAllAvailable()
+      mem.addData("put m 999999 0.0 host=w") // advance watermark: flush all
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT skey, wts, cnt, min, max, sum FROM r1h_eq")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      val batch = Rollup.rollup1h(
+        graft.ingest.Ingest.fromPlain(spark.createDataset(lines)))
+        .select("skey", "wts", "cnt", "min", "max", "sum")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      assert(batch.subsetOf(streamed)) // streamed adds only the flusher row
+      assert((streamed -- batch).forall(_._1 == "m,host=w"))
+    } finally q.stop()
+  }
+
   test("end-to-end: streamed lines → parquet → planner query answers") {
     import graft.model.{SubQuery, TsQuery}
     import graft.query.Planner

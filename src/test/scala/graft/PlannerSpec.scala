@@ -231,6 +231,31 @@ class PlannerSpec extends SparkSpec {
     }
   }
 
+  test("planRouted ≡ raw path: clean data, fill, ineligible funcs, and OOO fallback") {
+    import graft.model.RollupUsage
+    val r1h = Rollup.rollup1h(dpDf)
+    def routed(ds: String, usage: RollupUsage = RollupUsage.FallbackRaw,
+        src: org.apache.spark.sql.DataFrame = dpDf) = Planner
+      .planRouted(src, r1h, None, TsQuery(0, 4 * H - 1),
+        SubQuery("m", "none", Some(ds), rollupUsage = usage))
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    def raw(ds: String, src: org.apache.spark.sql.DataFrame = dpDf) = Planner
+      .planSub(src, TsQuery(0, 4 * H - 1), SubQuery("m", "none", Some(ds)))
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+
+    for (ds <- Seq("2h-avg", "2h-sum", "2h-max", "2h-avg-zero"))
+      assert(routed(ds) === raw(ds), ds)
+    // no rollup form / sub-hour / usage=Raw: must still answer (via raw)
+    assert(routed("2h-p99") === raw("2h-p99"))
+    assert(routed("30m-avg") === raw("30m-avg"))
+    assert(routed("2h-avg", usage = RollupUsage.Raw) === raw("2h-avg"))
+    // stored rollup missing late re-ingested points: routed fallback
+    // recomputes marked slices from raw and still matches the raw truth
+    val late = Dp("m", Map("host" -> "h1"), 60000L, 50.0, 100L)
+    val withLate = spark.createDataset(dps :+ late).toDF()
+    assert(routed("2h-avg", src = withLate) === raw("2h-avg", src = withLate))
+  }
+
   test("rollup routing: eligibility and interval snapping") {
     import graft.model.RollupUsage
     import graft.query.Downsample
