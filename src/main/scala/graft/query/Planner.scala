@@ -47,11 +47,17 @@ object Planner {
     *   - `approxPercentileAccuracy`: opt-in sketch percentiles for
     *     cross-series pNN over unbounded series counts (see
     *     [[GraftFunctions.aggFor]]); None = exact reference semantics.
+    *   - `rollup1h`/`rollup1d`/`oooMarks`: materialized rollup tables and
+    *     the maintained invalidation frame. When `rollup1h` is set, the
+    *     API layer executes eligible queries through [[planRouted]].
     */
   final case class Options(
       dedup: Boolean = true,
       seriesIndex: Option[DataFrame] = None,
-      approxPercentileAccuracy: Option[Int] = None)
+      approxPercentileAccuracy: Option[Int] = None,
+      rollup1h: Option[DataFrame] = None,
+      rollup1d: Option[DataFrame] = None,
+      oooMarks: Option[DataFrame] = None)
 
   /** Plan one sub-query against a dp DataFrame. */
   def planSub(

@@ -60,6 +60,19 @@ class ApiSpec extends SparkSpec {
         """"dps":{"0":11.0,"3600":22.0}}]""")
   }
 
+  test("API routes through rollups when configured, same JSON out") {
+    import graft.rollup.Rollup
+    import graft.query.Planner
+    val body =
+      """{"start":0,"end":7200,"queries":[
+        |  {"metric":"m","aggregator":"sum","downsample":"1h-sum","tags":{}}]}""".stripMargin
+    val q = QueryApi.parseRequest(body, nowMs = 2 * H)
+    val direct = QueryApi.runQuery(dpDf, q)
+    val routed = QueryApi.runQuery(dpDf, q,
+      Planner.Options(rollup1h = Some(Rollup.rollup1h(dpDf))))
+    assert(routed === direct)
+  }
+
   test("multi-subquery POST: result sets concatenate in request order") {
     val body =
       """{"start":0,"end":7200,"queries":[
