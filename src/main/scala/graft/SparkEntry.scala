@@ -319,9 +319,10 @@ object SparkEntry {
         val d = DpView.dp(s, dir)
         val base = d.filter(col("metric") === "error")
         out(Planner.planRouted(
-          d, Rollup.rollup1h(base), None,
+          d,
           TsQuery(T0, T1),
-          SubQuery(metric = "error", aggregator = "none", downsample = Some("6h-avg"))))
+          SubQuery(metric = "error", aggregator = "none", downsample = Some("6h-avg")),
+          Planner.Options(rollup1h = Some(Rollup.rollup1h(base)))))
       },
 
       // §2.9 OOO invalidation + per-slice raw fallback: the stored rollup

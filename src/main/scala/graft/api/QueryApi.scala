@@ -104,11 +104,7 @@ object QueryApi {
 
   private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,
       opt: Planner.Options): Seq[ResultSet] = {
-    val df = opt.rollup1h match {
-      case Some(r1h) =>
-        Planner.planRouted(dp, r1h, opt.rollup1d, q, sub, opt, opt.oooMarks)
-      case None => Planner.planSub(dp, q, sub, opt)
-    }
+    val df = Planner.planRouted(dp, q, sub, opt)
     val perSeries = df.columns.contains("skey")
 
     if (perSeries) {

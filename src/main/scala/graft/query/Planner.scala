@@ -204,44 +204,77 @@ object Planner {
     * then run the rest of the pipeline (cross-series agg, rate) on the
     * downsampled series exactly as the raw path would.
     *
-    * `rollup1h`/`rollup1d` are the materialized tables; `oooMarks` the
-    * maintained `(skey, day)` invalidation frame (None ⇒ derive from
-    * `dp`). Queries whose downsample has no rollup form (dev, first,
-    * last, pNN), sub-hour intervals, and `rollupUsage=Raw` all fall
-    * through to the raw path untouched.
+    * `opt.rollup1h` is the materialized hourly table (required for
+    * routing — absent, everything runs raw); `opt.rollup1d` the daily
+    * one (derived from hourly when absent); `opt.oooMarks` the
+    * maintained `(skey, day)` invalidation frame (None ⇒ derived here
+    * over the query's full day span — a witness for an out-of-order
+    * point can sit anywhere in its day slice, so the derivation must
+    * not be clipped to the query window). Queries whose downsample has
+    * no rollup form (dev, first, last, pNN), sub-hour intervals, and
+    * `rollupUsage=Raw` all fall through to the raw path untouched.
     */
   def planRouted(
       dp: DataFrame,
-      rollup1h: DataFrame,
-      rollup1d: Option[DataFrame],
       q: TsQuery,
       sub: SubQuery,
-      opt: Options = Options(),
-      oooMarks: Option[DataFrame] = None): DataFrame = {
+      opt: Options): DataFrame = {
     import graft.rollup.Rollup
     val dsOpt = sub.downsample.map(Downsample.parse).filter(_.func != "none")
-    Rollup.route(dsOpt, sub.rollupUsage) match {
+    val routedLevel =
+      if (opt.rollup1h.isEmpty) None else Rollup.route(dsOpt, sub.rollupUsage)
+    routedLevel match {
       case None => planSub(dp, q, sub, opt)
       case Some(level) =>
         val ds = dsOpt.get
         val snapped = Rollup.snap(ds.intervalMs, level)
         val source =
           if (level == Rollup.DayMs)
-            rollup1d.getOrElse(Rollup.rollup1d(rollup1h))
-          else rollup1h
+            opt.rollup1d.getOrElse(Rollup.rollup1d(opt.rollup1h.get))
+          else opt.rollup1h.get
         val scanEnd = q.endMs - math.floorMod(q.endMs, snapped) + snapped - 1
-        val raw = dp
+
+        // series selection, shared by the raw and rollup sides: with an
+        // index, resolve matching skeys on the dim table once and
+        // semi-join; otherwise per-row predicates (key-derived columns
+        // on the rollup side, which carries skey only)
+        val matched = opt.seriesIndex.map { index =>
+          broadcast(index
+            .filter(col("metric") === sub.metric)
+            .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
+            .select(col("skey")))
+        }
+        def selectSeries(d: DataFrame, keyDerived: Boolean): DataFrame =
+          matched match {
+            case Some(m) =>
+              val keyed = if (d.columns.contains("skey")) d
+                else d.withColumn("skey", Dp.seriesKey(col("metric"), col("tags")))
+              keyed.join(m, Seq("skey"), "left_semi")
+            case None =>
+              val tags =
+                if (keyDerived) Dp.tagsFromKey(col("skey")) else col("tags")
+              val metricPred =
+                if (keyDerived) Dp.metricFromKey(col("skey")) === sub.metric
+                else col("metric") === sub.metric
+              d.filter(metricPred)
+                .filter(TagFilters.compileAll(tags, sub.tags, sub.explicitTags))
+          }
+
+        val raw = selectSeries(dp, keyDerived = false)
           .filter(col("ts").between(q.startMs, scanEnd))
-          .filter(col("metric") === sub.metric)
-          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
-        // the rollup table is keyed by skey only — apply the same metric
-        // and tag predicates on the key-derived columns
-        val rolled = source
+        val rolled = selectSeries(source, keyDerived = true)
           .filter(col("wts").between(q.startMs, scanEnd))
-          .filter(Dp.metricFromKey(col("skey")) === sub.metric)
-          .filter(TagFilters.compileAll(
-            Dp.tagsFromKey(col("skey")), sub.tags, sub.explicitTags))
-        val marks = oooMarks.getOrElse(Rollup.oooSlices(raw))
+        // marks derive over WHOLE day slices intersecting the range: an
+        // OOO point's earlier-ingested witness may lie outside the query
+        // window but inside the slice
+        val marks = opt.oooMarks.getOrElse {
+          val dayLo = q.startMs - math.floorMod(q.startMs, Rollup.DayMs)
+          val dayHi = scanEnd - math.floorMod(scanEnd, Rollup.DayMs) +
+            Rollup.DayMs - 1
+          Rollup.oooSlices(
+            selectSeries(dp, keyDerived = false)
+              .filter(col("ts").between(dayLo, dayHi)))
+        }
         val series = Rollup
           .downsampleWithFallback(raw, rolled, marks, snapped, ds.func)
         // hand the per-series buckets to the shared pipeline tail (fill,
@@ -254,16 +287,20 @@ object Planner {
           case FillPolicy.Zero => "-zero"
           case FillPolicy.None => ""
         }
+        // series selection already happened above — the tail must not
+        // re-filter (explicitTags against the cleared tag map would
+        // reject everything)
         val tail = sub.copy(
           downsample = Some(s"${snapped}ms-last$fillSuffix"),
-          tags = Map.empty)
+          tags = Map.empty,
+          explicitTags = false)
         planSub(
           series.withColumn("metric", lit(sub.metric))
             .withColumn("tags", Dp.tagsFromKey(col("skey")))
             .withColumn("seq", lit(0L)),
           q,
           tail,
-          opt.copy(dedup = false))
+          opt.copy(dedup = false, seriesIndex = None, rollup1h = None))
     }
   }
 

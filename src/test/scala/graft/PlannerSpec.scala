@@ -236,8 +236,9 @@ class PlannerSpec extends SparkSpec {
     val r1h = Rollup.rollup1h(dpDf)
     def routed(ds: String, usage: RollupUsage = RollupUsage.FallbackRaw,
         src: org.apache.spark.sql.DataFrame = dpDf) = Planner
-      .planRouted(src, r1h, None, TsQuery(0, 4 * H - 1),
-        SubQuery("m", "none", Some(ds), rollupUsage = usage))
+      .planRouted(src, TsQuery(0, 4 * H - 1),
+        SubQuery("m", "none", Some(ds), rollupUsage = usage),
+        Planner.Options(rollup1h = Some(r1h)))
       .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
     def raw(ds: String, src: org.apache.spark.sql.DataFrame = dpDf) = Planner
       .planSub(src, TsQuery(0, 4 * H - 1), SubQuery("m", "none", Some(ds)))
@@ -254,6 +255,34 @@ class PlannerSpec extends SparkSpec {
     val late = Dp("m", Map("host" -> "h1"), 60000L, 50.0, 100L)
     val withLate = spark.createDataset(dps :+ late).toDF()
     assert(routed("2h-avg", src = withLate) === raw("2h-avg", src = withLate))
+
+    // explicitTags must survive routing (series selection happens before
+    // the pipeline tail, which must not re-apply it to a cleared tag map)
+    def run(opts: Planner.Options, src: org.apache.spark.sql.DataFrame = dpDf) =
+      Planner.planRouted(src, TsQuery(0, 4 * H - 1),
+        SubQuery("m", "none", Some("2h-avg"), tags = Map("host" -> "*"),
+          explicitTags = true), opts)
+        .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    val viaRaw = run(Planner.Options())
+    assert(viaRaw.nonEmpty)
+    assert(run(Planner.Options(rollup1h = Some(r1h))) === viaRaw)
+
+    // OOO witness OUTSIDE the query window: the late point at 30min
+    // (seq 200) is only provably out-of-order against the 1h..3h rows
+    // (earlier seqs, later ts) — all beyond the [0, 1h) window. Day-span
+    // marks derivation must still invalidate the slice; a window-clipped
+    // derivation would serve the stale hour-0 rollup.
+    val lateEarly = Dp("m", Map("host" -> "h1"), 1800000L, 77.0, 200L)
+    val withOoo = spark.createDataset(dps :+ lateEarly).toDF()
+    val narrowQ = TsQuery(0, H - 1)
+    val routedNarrow = Planner
+      .planRouted(withOoo, narrowQ, SubQuery("m", "none", Some("1h-avg")),
+        Planner.Options(rollup1h = Some(Rollup.rollup1h(dpDf)))) // stale rollup
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    val rawNarrow = Planner
+      .planSub(withOoo, narrowQ, SubQuery("m", "none", Some("1h-avg")))
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    assert(routedNarrow === rawNarrow)
   }
 
   test("rollup routing: eligibility and interval snapping") {
