@@ -67,7 +67,7 @@ object LineParsers {
       if (bits.length == 2) Some(unescape(bits(0)) -> unescape(bits(1))) else None
     }.toMap
 
-    splitUnescaped(fieldPart, ',').flatMap { fv =>
+    splitUnescaped(fieldPart, ',').toSeq.flatMap { fv =>
       val bits = splitUnescaped(fv, '=')
       if (bits.length != 2) None
       else numericValue(bits(1)).map { v =>
