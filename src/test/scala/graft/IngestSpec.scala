@@ -41,6 +41,9 @@ class IngestSpec extends AnyFunSuite {
     assert(dps.head.metric === "cpu_Sload")
     assert(dps.head.tags("host") === "a_Sb")
     assert(dps.head.tags("k_E1") === "v_C2")
+    // any other escaped char → __ (reference default branch)
+    val other = LineParsers.parseInflux("""m,t=a\xb v=1 1""", 0L)
+    assert(other.head.tags("t") === "a__b")
   }
 
   test("plain/json puts sanitize ','/'=' out of names (OpenTSDB charset)") {
