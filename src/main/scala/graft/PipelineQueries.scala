@@ -61,6 +61,17 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // the maxDocFreq skew guard actually biting: cap=3 drops the corpus's
+    // hottest shingles (test data has shingles in up to 9 docs); the
+    // oracle replays the identical cap, so the guarded result is still
+    // hash-checked
+    "pl_dedup_ngram_hot" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8,
+        maxDocFreq = Some(3))
+        .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
     "pl_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, threshold = 0.8)
         .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
@@ -97,8 +108,9 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
-    // LSH-bucketed ANN — the scale path; no SQL oracle (weaker rows-only
-    // check), validated against brute-force recall in SimilaritySpec.
+    // LSH-bucketed ANN — the scale path; hyperplanes are md5-derived so
+    // the oracle replays bucket assignment exactly (plus a brute-force
+    // recall check in PipelineSpec).
     "pl_knn_lsh" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.lshKnn(e, e.filter(col("vec_id") < 50), k = 5, dim = 64, nPlanes = 4)
@@ -138,18 +150,30 @@ object PipelineQueries {
        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
        |    FROM tok))""".stripMargin
 
-  /** Exact-jaccard pair CTEs over `sh` (→ relation `pairs(id1,id2,jac)`). */
-  private val jaccardCtes =
-    """cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-      |inter AS (
-      |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
-      |  GROUP BY a.id, b.id),
-      |pairs AS (
-      |  SELECT id1, id2, i / (c1.n + c2.n - i) AS jac
-      |  FROM inter
-      |  JOIN cnt c1 ON id1 = c1.id
-      |  JOIN cnt c2 ON id2 = c2.id)""".stripMargin
+  /** Exact-jaccard pair CTEs over relation `rel(id, s)` (→ relation
+    * `pairs(id1,id2,jac)`).
+    */
+  private def jaccardCtes(rel: String = "sh") =
+    s"""cnt AS (SELECT id, count(*) AS n FROM $rel GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+       |  FROM $rel a JOIN $rel b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |pairs AS (
+       |  SELECT id1, id2, i / (c1.n + c2.n - i) AS jac
+       |  FROM inter
+       |  JOIN cnt c1 ON id1 = c1.id
+       |  JOIN cnt c2 ON id2 = c2.id)""".stripMargin
+
+  /** The `maxDocFreq` skew guard's oracle twin: shingles kept iff their
+    * document frequency is ≤ cap (mirror of Dedup.ngramJaccardPairs'
+    * left_anti against hot shingles).
+    */
+  private def cappedShingleCte(cap: Int) =
+    s"""shf AS (
+       |  SELECT sh.id, sh.s FROM sh
+       |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= $cap) keep
+       |  USING (s))""".stripMargin
 
   private def stopIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
@@ -205,7 +229,16 @@ object PipelineQueries {
 
     val ngram =
       s"""WITH $shingleCte,
-         |$jaccardCtes
+         |${cappedShingleCte(1000)},
+         |${jaccardCtes("shf")}
+         |SELECT id1, id2, ${sroundSql("jac")} AS jaccard
+         |FROM pairs WHERE jac >= 0.8
+         |ORDER BY id1, id2""".stripMargin
+
+    val ngramHot =
+      s"""WITH $shingleCte,
+         |${cappedShingleCte(3)},
+         |${jaccardCtes("shf")}
          |SELECT id1, id2, ${sroundSql("jac")} AS jaccard
          |FROM pairs WHERE jac >= 0.8
          |ORDER BY id1, id2""".stripMargin
@@ -226,7 +259,7 @@ object PipelineQueries {
          |cand AS (
          |  SELECT DISTINCT a.id AS id1, b.id AS id2
          |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandCond)),
-         |$jaccardCtes
+         |${jaccardCtes()}
          |SELECT p.id1, p.id2, ${sroundSql("p.jac")} AS jaccard
          |FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
          |WHERE p.jac >= 0.8
@@ -306,6 +339,42 @@ object PipelineQueries {
          |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
          |ORDER BY qid, nid""".stripMargin
 
+    // Replays Similarity.lshKnn(dim=64, nPlanes=4, nTables=4) exactly:
+    // plane component (p, d) = (md5-hex60(p || '_' || d) % 2001 - 1000) /
+    // 1000 (Similarity.planeComponent), bucket bit p set iff dot > 0.
+    // IEEE addition order matches list_dot_product, so the sign tests —
+    // and hence the buckets — are bit-identical across engines.
+    val lshKnn =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT t.tbl, p.p,
+         |    list_transform(range(0, 64), d ->
+         |      (CAST(('0x' || substr(md5(CAST(t.tbl * 4 + p.p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0) AS pv
+         |  FROM (SELECT unnest(range(0, 4)) AS tbl) t,
+         |       (SELECT unnest(range(0, 4)) AS p) p),
+         |bkt AS (
+         |  SELECT e.vec_id, pl.tbl,
+         |         SUM(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+         |                  THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS b
+         |  FROM e, planes pl
+         |  GROUP BY e.vec_id, pl.tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.b = c.b
+         |   AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 50),
+         |s AS (
+         |  SELECT qid, nid, ${cosOf("eq.v", "en.v")} AS cos
+         |  FROM cand JOIN e eq ON qid = eq.vec_id JOIN e en ON nid = en.vec_id),
+         |r AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM s)
+         |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
+         |ORDER BY qid, nid""".stripMargin
+
     val nearDup =
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -339,13 +408,14 @@ object PipelineQueries {
       "pl_fingerprint" -> fp,
       "pl_dedup_exact" -> dedupExact,
       "pl_dedup_ngram" -> ngram,
+      "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
       "pl_knn_ivf" -> ivf,
+      "pl_knn_lsh" -> lshKnn,
       "pl_neardup_cos" -> nearDup,
       "pl_mm_meta" -> mmMeta,
       "pl_mm_frames" -> mmFrames)
-    // pl_knn_lsh intentionally has no oracle (rows-only check)
   }
 }

@@ -423,6 +423,12 @@ object SparkEntry {
         Meta.suggestMetrics(DpView.dp(s, dir), prefix = "")
       },
 
+      // §2.3 suggest: lone `*` is match-all for type=metrics
+      // (reference `is_star`, tsdb.cpp:2631-2646)
+      "q_suggest_star" -> { (s, dir) =>
+        Meta.suggestMetrics(DpView.dp(s, dir), prefix = "*")
+      },
+
       // §2.3 suggest type=tagk / type=tagv
       "q_suggest_tagk" -> { (s, dir) =>
         Meta.suggestTagKeys(DpView.dp(s, dir), prefix = "")
@@ -799,6 +805,10 @@ object SparkEntry {
           |) AS t(aggregator) ORDER BY aggregator""".stripMargin,
 
       "q_suggest" ->
+        """SELECT DISTINCT event_type AS metric FROM events
+          |ORDER BY metric LIMIT 1000""".stripMargin,
+
+      "q_suggest_star" ->
         """SELECT DISTINCT event_type AS metric FROM events
           |ORDER BY metric LIMIT 1000""".stripMargin,
 

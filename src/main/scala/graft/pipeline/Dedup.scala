@@ -91,11 +91,6 @@ object Dedup {
       .toDF("id", "h", "hp")
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`.
-    * `maxDocFreq` drops shingles appearing in more than that many docs —
-    * the standard skew guard: a stop-shingle shared by 1M docs would
-    * otherwise create a 10^12-row join.
-    */
   /** Materialize `result` (bounded: near-dup pairs), then release the
     * shingle cache. Returned frame is cached; callers may unpersist it.
     * Without this, each call would pin a shingle-sized cache for the
@@ -108,8 +103,16 @@ object Dedup {
     out
   }
 
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`.
+    * `maxDocFreq` drops shingles appearing in more than that many docs —
+    * the standard skew guard: a stop-shingle shared by 1M docs would
+    * otherwise create a 10^12-row join. ON by default (a cap of 1000 is
+    * far above anything a ≥0.8-jaccard pair depends on, and the docs a
+    * hot shingle would connect are nowhere near duplicates); pass None
+    * only when the corpus is known skew-free.
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     // consumed by three plan branches (sizes + both join sides) — persist
     // so tokenize+md5 runs once; spills to disk when it outgrows memory
     val sh0 = shingleHashes(docs, n).select("id", "h")
@@ -233,7 +236,12 @@ object Dedup {
     * and join on (chunk_id, chunk_value) buckets only.
     */
   def simhashPairs(docs: DataFrame, nBits: Int = 32, maxHamming: Int = 3): DataFrame = {
+    // one row per doc — tiny next to the token flatMap + nBits-vote
+    // aggregation that builds it; persisted so the chunk self-join's two
+    // branches don't each re-run that pipeline (minhashLshPairs persists
+    // for exactly the same reason)
     val sh = simhash(docs, nBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = maxHamming + 1
     val width = nBits / chunks
     val chunked = sh.select(
@@ -244,7 +252,7 @@ object Dedup {
           shiftright(col("simhash"), c * width)
             .bitwiseAND((1L << width) - 1).as("v"))): _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
-    chunked.as("a")
+    val pairs = chunked.as("a")
       .join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
@@ -252,5 +260,6 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    materializeAndRelease(pairs, sh)
   }
 }

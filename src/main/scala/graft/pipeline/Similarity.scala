@@ -63,18 +63,50 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Brute join here; at corpus×corpus scale bucket with [[lshBucket]]
-    * first and join per bucket.
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection),
+    * computed EXACTLY via a blocked (triangle) self-join.
+    *
+    * Exactness rules out sign-LSH banding here: for any finite hyperplane
+    * family, a qualifying pair has nonzero probability of sharing no
+    * bucket, so a banded candidate set silently misses pairs — acceptable
+    * for ANN top-k ([[lshKnn]]), wrong for "ALL pairs ≥ threshold". What
+    * scales instead is blocking: assign each vector to one of `nBlocks`
+    * blocks by id hash, replicate each row to the `nBlocks` block-pair
+    * keys it participates in, and shuffle on the (i, j) key — an
+    * equi-join whose B(B+1)/2 key groups spread across the cluster. No
+    * corpus broadcast, no cartesian product in the plan; shuffle volume
+    * is O(n·B) rows against the inherent O(n²) pairwise work it
+    * distributes. At 100 TB, size `nBlocks` so one block's vectors fit an
+    * executor's memory (tasks hold two blocks).
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = spread(prep(emb, idCol, vecCol, "id1", "v1", "n1"))
-    val b = prep(emb, idCol, vecCol, "id2", "v2", "n2")
-    a.join(broadcast(b), col("id1") < col("id2"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nBlocks: Int = 16): DataFrame = {
+    // a row in block b participates in every block pair containing b:
+    // emit (i, j) = (min(b,c), max(b,c)) for all c — nBlocks distinct keys
+    def expanded(df: DataFrame, idAs: String): DataFrame =
+      df.withColumn("blk", pmod(hash(col(idAs)), lit(nBlocks)))
+        .withColumn("bp", explode(array((0 until nBlocks).map(c =>
+          struct(least(col("blk"), lit(c)).as("i"),
+            greatest(col("blk"), lit(c)).as("j"))): _*)))
+        .withColumn("i", col("bp.i"))
+        .withColumn("j", col("bp.j"))
+        .drop("bp")
+    val a = expanded(prep(emb, idCol, vecCol, "id1", "v1", "n1"), "id1").as("a")
+    val b = expanded(prep(emb, idCol, vecCol, "id2", "v2", "n2"), "id2").as("b")
+    // roles pin each unordered pair to exactly one (key, orientation):
+    // the a-side row is the one from block i, the b-side from block j;
+    // same-block pairs (i == j) dedupe by id order
+    a.join(b,
+        col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          col("a.blk") === col("a.i") && col("b.blk") === col("b.j") &&
+          (col("a.i") < col("a.j") || col("a.id1") < col("b.id2")))
       .withColumn("cos", pairCos("v1", "n1", "v2", "n2"))
       .filter(col("cos") >= threshold)
-      .select("id1", "id2", "cos")
+      .select(
+        least(col("a.id1"), col("b.id2")).as("id1"),
+        greatest(col("a.id1"), col("b.id2")).as("id2"),
+        col("cos"))
   }
 
   /** Deterministic hyperplane component r[p][d] ∈ [-1, 1], derived from

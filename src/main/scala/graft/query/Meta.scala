@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
 object Meta {
 
   /** Sorted metric names with prefix, capped (default max 1000 —
-    * config `tsdb.suggest.max`, tsdb.cpp:2619-2624).
+    * config `tsdb.suggest.max`, tsdb.cpp:2619-2624). A lone `*` is
+    * match-all for metrics only (`is_star`, tsdb.cpp:2631-2646).
     */
   def suggestMetrics(dp: DataFrame, prefix: String, max: Int = 1000): DataFrame =
     dp.select(col("metric"))
-      .filter(col("metric").startsWith(prefix))
+      .filter(if (prefix == "*") lit(true) else col("metric").startsWith(prefix))
       .distinct()
       .orderBy(col("metric"))
       .limit(max)

@@ -54,6 +54,23 @@ class PipelineSpec extends SparkSpec {
     assert(caught > 0.7, s"simhash caught $caught of jaccard near-dups")
   }
 
+  test("near-dup blocked join equals brute-force pairs; no cartesian in plan") {
+    import graft.functions.GraftFunctions.dotp
+    val res = Similarity.nearDupPairs(emb, threshold = 0.45, nBlocks = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "broadcast NLJ in plan")
+    val got = res.select("id1", "id2").as[(Long, Long)].collect().toSet
+    val e = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(dotp($"v", $"v")))
+    val brute = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .filter(dotp($"a.v", $"b.v") / ($"a.n" * $"b.n") >= 0.45)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === brute)
+  }
+
   test("brute knn returns k neighbors per query, self excluded") {
     val res = Similarity.bruteKnn(emb, emb.filter($"vec_id" < 3), k = 4)
     val rows = res.as[(Long, Long, Double)].collect()
