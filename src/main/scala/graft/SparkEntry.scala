@@ -440,6 +440,14 @@ object SparkEntry {
       // §2.3 lookup: series paging by limit/offset
       "q_lookup" -> { (s, dir) =>
         Meta.lookupSeries(DpView.dp(s, dir), "error", limit = 7, offset = 3)
+      },
+
+      // §2.3 lookup with tag filters (`m=<metric>{tag=value,...}` —
+      // reference query.cpp:1511-1540), full filter grammar in values
+      "q_lookup_tags" -> { (s, dir) =>
+        val (metric, tags) = Meta.parseLookupM(
+          "view{dc=dc1,host=literal_or(host1|host2)}")
+        Meta.lookupSeries(DpView.dp(s, dir), metric, tags, limit = 5, offset = 1)
       })
   }
 
@@ -825,6 +833,12 @@ object SparkEntry {
 
       "q_lookup" -> (dpCte + "\n" +
         s"""SELECT DISTINCT skey FROM dp WHERE metric = 'error'
-           |ORDER BY skey LIMIT 7 OFFSET 3""".stripMargin))
+           |ORDER BY skey LIMIT 7 OFFSET 3""".stripMargin),
+
+      "q_lookup_tags" -> (dpCte + "\n" +
+        s"""SELECT DISTINCT skey FROM dp
+           |WHERE metric = 'view' AND dc = 'dc1'
+           |  AND host IN ('host1','host2')
+           |ORDER BY skey LIMIT 5 OFFSET 1""".stripMargin))
   }
 }

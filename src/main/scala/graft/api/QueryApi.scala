@@ -1,9 +1,9 @@
 package graft.api
 
 import graft.ingest.JsonMini
-import graft.model.{RateOptions, RollupUsage, SubQuery, TsQuery}
-import graft.query.{Planner, TimeParse}
-import org.apache.spark.sql.DataFrame
+import graft.model.{Dp, RateOptions, RollupUsage, SubQuery, TsQuery}
+import graft.query.{Meta, Planner, TimeParse}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** OpenTSDB-compatible JSON query API: `POST /api/query` body → QuerySpec →
@@ -95,22 +95,53 @@ object QueryApi {
     (kept, differ.diff(groupingKeys).toSeq.sorted)
   }
 
-  /** Execute every sub-query and serialize the concatenated result sets. */
-  def runQuery(dp: DataFrame, q: TsQuery,
-      opt: Planner.Options = Planner.Options()): String = {
-    val sets = q.subQueries.flatMap(sub => runSub(dp, q, sub, opt))
-    sets.map(toJson(_, q.msResolution)).mkString("[", ",", "]")
+  /** Default response cap in data points. The reference refuses results
+    * that overflow its response buffer with HTTP 413 (query.cpp:
+    * 1626-1646, `g_max_response_size`); datapoint count is the Spark
+    * proxy — ~4M dps ≈ tens of MB of JSON.
+    */
+  val DefaultMaxDps: Int = 4 << 20
+
+  /** Thrown when a result exceeds the response cap; [[runQuery]] turns
+    * it into the 413 error body.
+    */
+  final case class ResponseTooLarge(cap: Int)
+      extends RuntimeException(s"response exceeds $cap data points")
+
+  /** Bounded collect — the ONLY place bulk data reaches the driver. The
+    * limit is part of the plan, so an over-cap query never materializes
+    * more than cap+1 rows driver-side (no unbounded collect, ever).
+    */
+  private def cappedCollect(df: DataFrame, maxDps: Int): Array[Row] = {
+    val rows = df.limit(maxDps + 1).collect()
+    if (rows.length > maxDps) throw ResponseTooLarge(maxDps)
+    rows
   }
 
+  /** Execute every sub-query and serialize the concatenated result sets.
+    * Results larger than `maxDps` data points are refused with the
+    * reference's 413 shape instead of collected.
+    */
+  def runQuery(dp: DataFrame, q: TsQuery,
+      opt: Planner.Options = Planner.Options(),
+      maxDps: Int = DefaultMaxDps): String =
+    try {
+      val sets = q.subQueries.flatMap(sub => runSub(dp, q, sub, opt, maxDps))
+      sets.map(toJson(_, q.msResolution)).mkString("[", ",", "]")
+    } catch {
+      case ResponseTooLarge(cap) =>
+        s"""{"error":{"code":413,"message":"response too large: more than $cap data points"}}"""
+    }
+
   private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,
-      opt: Planner.Options): Seq[ResultSet] = {
+      opt: Planner.Options, maxDps: Int = DefaultMaxDps): Seq[ResultSet] = {
     val df = Planner.planRouted(dp, q, sub, opt)
     val perSeries = df.columns.contains("skey")
 
     if (perSeries) {
       // aggregator none / topN / bottomN: one result set per series
-      val rows = df.select(col("skey"), col("tags"), col("ts"), col("value"))
-        .collect()
+      val rows = cappedCollect(
+        df.select(col("skey"), col("tags"), col("ts"), col("value")), maxDps)
       rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
         val tags = rs.head.getAs[Map[String, String]]("tags")
         ResultSet(sub.metric, tags, Nil,
@@ -119,7 +150,7 @@ object QueryApi {
     } else {
       // aggregated: group rows by grouping-tag values
       val tagCols = sub.groupByTags.map(k => s"tag_$k")
-      val rows = df.collect()
+      val rows = cappedCollect(df, maxDps)
       val seriesTags = matchedSeriesTags(dp, q, sub, opt)
       rows.groupBy(r => tagCols.map(c => Option(r.getAs[String](c)).getOrElse("")))
         .toSeq.sortBy(_._1.mkString(","))
@@ -162,6 +193,39 @@ object QueryApi {
           .select(Dp.tagsFromKey(col("skey")).as("tags")).collect()
           .map(_.getAs[Map[String, String]](0)).toSeq
     }
+  }
+
+  /** `GET /api/search/lookup` codec — the full LOOKUP response shape
+    * (reference query.cpp:1477-1602): `m=<metric>{tag=value,...}` with
+    * the full filter grammar in values; `totalResults` counts all
+    * matches regardless of paging; the canonical skey stands in for the
+    * binary tsuid. Pass `index` (a maintained (skey, metric, tags)
+    * series table) to answer from the dim table without touching fact
+    * data — the 100 TB path.
+    */
+  def lookup(dp: DataFrame, m: String, limit: Int = 25, startIndex: Int = 0,
+      index: Option[DataFrame] = None): String = {
+    val (metric, tags) = Meta.parseLookupM(m)
+    val total = index match {
+      case Some(ix) =>
+        ix.filter(col("metric") === metric)
+          .filter(graft.query.TagFilters.compileAll(col("tags"), tags))
+          .count()
+      case None => Meta.lookupCount(dp, metric, tags)
+    }
+    val page = (index match {
+      case Some(ix) => Meta.lookupFromIndex(ix, metric, tags, limit, startIndex)
+      case None => Meta.lookupSeries(dp, metric, tags, limit, startIndex)
+    }).withColumn("rtags", Dp.tagsFromKey(col("skey"))).collect()
+    val results = page.map { r =>
+      val skey = r.getString(0)
+      val tmap = r.getAs[Map[String, String]]("rtags")
+      val tjson = tmap.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      s"""{"tsuid":"$skey","metric":"$metric","tags":{$tjson}}"""
+    }.mkString(",")
+    s"""{"type":"LOOKUP","metric":"$metric","limit":$limit,""" +
+      s""""startIndex":$startIndex,"totalResults":$total,"results":[$results]}"""
   }
 
   /** Reference JSON shape (`QueryResults::to_json`, query.cpp:1767-1796):

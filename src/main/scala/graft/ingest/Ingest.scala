@@ -8,16 +8,28 @@ import org.apache.spark.sql.functions._
   * batch and streaming Datasets (the same transformations compile under
   * Structured Streaming — SURVEY.md §3.3's Spark shape).
   *
-  * `seq` is assigned with `monotonically_increasing_id()` — unique and
-  * increasing within each ingest batch, which is exactly the arrival-order
-  * contract last-wins dedup needs (SURVEY.md §7.4 item 2).
+  * `seq` encodes arrival order for last-wins dedup (SURVEY.md §7.4 item
+  * 2). Batch: `monotonically_increasing_id()`. Streaming (where that
+  * expression is unsupported): `batch-second << 32 | partition << 22 |
+  * within-partition index` — later batches outrank earlier ones, and
+  * duplicates INSIDE one micro-batch resolve deterministically by
+  * arrival position instead of arbitrarily.
   */
 object Ingest {
+
+  /** Re-number a parsed partition with its within-partition arrival
+    * index carried in `seq` (input parsers emit seq=0).
+    */
+  private def indexed(it: Iterator[Dp]): Iterator[Dp] = {
+    var i = -1L
+    it.map { d => i += 1; d.copy(seq = i) }
+  }
 
   /** OpenTSDB plain-put lines (TCP port 6181 / `POST` text). */
   def fromPlain(lines: Dataset[String]): DataFrame = {
     import lines.sparkSession.implicits._
-    withSeq(lines.flatMap(l => LineParsers.parsePlain(l)).toDF())
+    withSeq(lines.mapPartitions(it =>
+      indexed(it.flatMap(l => LineParsers.parsePlain(l)))))
   }
 
   /** InfluxDB line protocol (TCP port 6180 / `POST /api/write`); one row
@@ -25,7 +37,8 @@ object Ingest {
     */
   def fromInflux(lines: Dataset[String], nowMs: Long): DataFrame = {
     import lines.sparkSession.implicits._
-    withSeq(lines.flatMap(l => LineParsers.parseInflux(l, nowMs)).toDF())
+    withSeq(lines.mapPartitions(it =>
+      indexed(it.flatMap(l => LineParsers.parseInflux(l, nowMs)))))
   }
 
   /** OpenTSDB JSON put bodies (`POST /api/put`): each input string is one
@@ -33,16 +46,23 @@ object Ingest {
     */
   def fromJson(bodies: Dataset[String]): DataFrame = {
     import bodies.sparkSession.implicits._
-    withSeq(bodies.flatMap(b => LineParsers.parseJson(b)).toDF())
+    withSeq(bodies.mapPartitions(it =>
+      indexed(it.flatMap(b => LineParsers.parseJson(b)))))
   }
 
-  private def withSeq(df: DataFrame): DataFrame =
+  private def withSeq(parsed: Dataset[Dp]): DataFrame = {
+    val df = parsed.toDF()
     if (df.isStreaming)
-      // monotonically_increasing_id is unsupported under streaming; the
-      // batch timestamp gives "latest batch wins" — the arrival-order
-      // contract at micro-batch granularity
-      df.withColumn("seq", unix_millis(current_timestamp()))
+      // current_timestamp() is the micro-batch timestamp (constant within
+      // a batch). Addition (not OR) so a >4M-row partition degrades into
+      // the partition-id bits while staying monotonic within its
+      // partition — arrival order is never violated where it's defined.
+      df.withColumn("seq",
+        shiftleft(unix_seconds(current_timestamp()), 32)
+          + shiftleft(spark_partition_id().cast("long"), 22)
+          + col("seq"))
     else df.withColumn("seq", monotonically_increasing_id())
+  }
 
   /** Write a dp batch to the canonical at-rest layout: Parquet partitioned
     * by UTC date — the Spark analogue of the reference's 1-day Tsdb

@@ -76,14 +76,70 @@ object Meta {
   // index. first(MapType) costs a SortAggregate, but only in this
   // derivation (maintained incrementally at scale), never in a query.
 
-  /** Series lookup with limit/offset paging (default limit 25 —
-    * query.cpp:1486-1494, 1571-1576). Ordered by series key for stable
-    * paging (the reference sorts result sets by tag list).
+  /** Parse the lookup `m` param: `metric{tag=value,...}`, tag block
+    * optional (reference lookup parse, query.cpp:1511-1540). Values may
+    * use the full [[TagFilters]] grammar.
     */
-  def lookupSeries(dp: DataFrame, metric: String, limit: Int = 25, offset: Int = 0): DataFrame =
-    Dp.withSeriesKey(dp.filter(col("metric") === metric))
+  def parseLookupM(m: String): (String, Map[String, String]) = {
+    val brace = m.indexOf('{')
+    if (brace < 0) (m.trim, Map.empty)
+    else {
+      val metric = m.substring(0, brace).trim
+      val close = m.lastIndexOf('}')
+      val inner = m.substring(brace + 1, if (close > brace) close else m.length)
+      val tags = inner.split(",").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }.toMap
+      (metric, tags)
+    }
+  }
+
+  /** Distinct matching series keys (unpaged) — shared by the paged
+    * lookup and its totalResults count. Prefer passing a maintained
+    * series index (skey, metric, tags) as `dp`-like source via
+    * [[lookupFromIndex]]: the question is then answered on the tiny dim
+    * table without touching fact data.
+    */
+  private def matchedSeries(dp: DataFrame, metric: String,
+      tags: Map[String, String]): DataFrame =
+    Dp.withSeriesKey(
+        dp.filter(col("metric") === metric)
+          .filter(TagFilters.compileAll(col("tags"), tags)))
       .select(col("skey"))
       .distinct()
+
+  /** Series lookup with tag-filter predicates and limit/offset paging
+    * (default limit 25 — query.cpp:1486-1494, 1571-1576). Ordered by
+    * series key for stable paging (the reference sorts result sets by
+    * tag list).
+    */
+  def lookupSeries(dp: DataFrame, metric: String,
+      tags: Map[String, String] = Map.empty,
+      limit: Int = 25, offset: Int = 0): DataFrame =
+    matchedSeries(dp, metric, tags)
+      .orderBy(col("skey"))
+      .offset(offset)
+      .limit(limit)
+
+  /** Total matching series regardless of paging (`totalResults`,
+    * query.cpp:1594).
+    */
+  def lookupCount(dp: DataFrame, metric: String,
+      tags: Map[String, String] = Map.empty): Long =
+    matchedSeries(dp, metric, tags).count()
+
+  /** Lookup answered from a maintained (skey, metric, tags) series index
+    * — identical results to [[lookupSeries]] over raw data, but the scan
+    * is the dim table (cardinality = #series, not #points).
+    */
+  def lookupFromIndex(index: DataFrame, metric: String,
+      tags: Map[String, String] = Map.empty,
+      limit: Int = 25, offset: Int = 0): DataFrame =
+    index
+      .filter(col("metric") === metric)
+      .filter(TagFilters.compileAll(col("tags"), tags))
+      .select(col("skey"))
       .orderBy(col("skey"))
       .offset(offset)
       .limit(limit)

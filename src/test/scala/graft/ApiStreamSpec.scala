@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{QueryApi, SelfMetrics}
+import graft.api.{Info, QueryApi, SelfMetrics}
 import graft.model.Dp
 import org.apache.spark.sql.functions.col
 import graft.streaming.StreamIngest
@@ -109,6 +109,55 @@ class ApiSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(rec)
   }
 
+  test("lookup: full LOOKUP shape with tag filters, totalResults unpaged") {
+    val json = QueryApi.lookup(dpDf, "m{host=h1}")
+    assert(json ===
+      """{"type":"LOOKUP","metric":"m","limit":25,"startIndex":0,""" +
+        """"totalResults":1,"results":[{"tsuid":"m,dc=east,host=h1",""" +
+        """"metric":"m","tags":{"dc":"east","host":"h1"}}]}""")
+    // no tag block: both series; paging caps results but not totalResults
+    val paged = QueryApi.lookup(dpDf, "m", limit = 1, startIndex = 1)
+    assert(paged ===
+      """{"type":"LOOKUP","metric":"m","limit":1,"startIndex":1,""" +
+        """"totalResults":2,"results":[{"tsuid":"m,dc=east,host=h2",""" +
+        """"metric":"m","tags":{"dc":"east","host":"h2"}}]}""")
+    // answered from a maintained series index: identical JSON
+    val ix = graft.query.Meta.seriesTable(dpDf)
+    assert(QueryApi.lookup(dpDf, "m{host=h1}", index = Some(ix)) === json)
+  }
+
+  test("response cap: over-limit query refused with 413, never collected") {
+    val body =
+      """{"start":0,"end":7200,"queries":[
+        |  {"metric":"m","aggregator":"none","tags":{}}]}""".stripMargin
+    val q = QueryApi.parseRequest(body, nowMs = 2 * H)
+    // 4 dps in range; cap of 2 must refuse
+    val refused = QueryApi.runQuery(dpDf, q, maxDps = 2)
+    assert(refused ===
+      """{"error":{"code":413,"message":"response too large: more than 2 data points"}}""")
+    // at the cap exactly: normal response
+    assert(QueryApi.runQuery(dpDf, q, maxDps = 4).startsWith("""[{"metric":"m""""))
+  }
+
+  test("info surfaces: version/config/filters/stats shapes") {
+    import graft.ingest.JsonMini
+    val v = JsonMini.parseObject(Info.versionJson).get
+    assert(v("version") === Info.Version && v("engine") === "graft-spark")
+    val c = JsonMini.parseObject(Info.configJson(spark)).get
+    assert(c("tsdb.timestamp.resolution") === "millisecond")
+    assert(c.contains("spark.sql.shuffle.partitions"))
+    val f = JsonMini.parseObject(Info.configFiltersJson).get
+    for (name <- Seq("literal_or", "iliteral_or", "not_literal_or",
+        "not_iliteral_or", "wildcard", "iwildcard", "regexp")) {
+      val entry = f(name).asInstanceOf[Map[String, Any]]
+      assert(entry.contains("examples") && entry.contains("description"), name)
+    }
+    val lines = Info.statsLines(Seq(
+      SelfMetrics.Sample("graft.query.latency.ms", "collect", "ok", 1000L, 2.5)))
+    assert(lines === "graft.query.latency.ms 1000 2.5 func=collect status=ok")
+    assert(Info.aggregatorsJson.startsWith("""["avg","bottom1""""))
+  }
+
   test("NaN/Inf render as strings; msResolution keeps ms") {
     val rs = QueryApi.ResultSet("m", Map(), Nil,
       Seq((1000L, Double.NaN), (2000L, Double.PositiveInfinity), (3000L, 1.25)))
@@ -215,6 +264,33 @@ class StreamingSpec extends SparkSpec {
           tags = Map("status" -> "ok")))
       .select("value").as[Double].collect().toSeq
     assert(res === Seq(10.0))
+  }
+
+  test("streaming seq: in-batch duplicates resolve deterministically, last wins") {
+    import graft.model.{SubQuery, TsQuery}
+    import graft.query.Planner
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    val mem = MemoryStream[String]
+    // one partition ⇒ arrival order is the line order
+    val dp = StreamIngest.dpStream(mem.toDS().repartition(1), "plain")
+    val q = StreamIngest.writeRaw(dp, s"$dir/data", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData( // three writes to the SAME (series, ts) in ONE batch
+      "put m 1704412800 1.0 host=a",
+      "put m 1704412800 2.0 host=a",
+      "put m 1704412800 3.0 host=a")
+    q.awaitTermination(30000)
+    val stored = spark.read.parquet(s"$dir/data")
+      .select("metric", "tags", "ts", "value", "seq")
+    // seq strictly increasing in arrival order (values arrived 1,2,3)
+    val seqs = stored.orderBy("value").select("seq").as[Long].collect().toSeq
+    assert(seqs === seqs.sorted && seqs.distinct.size === 3)
+    // last-wins dedup picks the batch's last write, not an arbitrary one
+    val res = Planner
+      .planSub(stored, TsQuery(1704412800000L, 1704412801000L), SubQuery("m", "none"))
+      .select("value").as[Double].collect().toSeq
+    assert(res === Seq(3.0))
   }
 
   test("streaming raw sink: date-partitioned parquet append") {
