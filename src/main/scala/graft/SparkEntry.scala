@@ -340,6 +340,32 @@ object SparkEntry {
         out(Rollup.downsampleWithFallback(d.unionByName(late), stored, SIXH, "avg"))
       },
 
+      // §2.10 maintained metadata end-to-end: ingest batches update
+      // series_index + slice_state (write-time OOO marks, reference
+      // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
+      // runs entirely from maintained tables — no query-time OOO
+      // derivation — and must equal the all-raw dedup truth. The late
+      // second batch duplicates timestamps, so its slices' stored rollups
+      // are stale: only the maintained marks make the answer right.
+      "q_routed_maintained" -> { (s, dir) =>
+        val d = DpView.dp(s, dir)
+          .filter(col("metric") === "error" &&
+            col("ts").between(T0, scanEnd(T1, SIXH)))
+        val late = d.filter(col("seq") % 5 === 0)
+          .withColumn("value", col("value") + 0.5)
+          .withColumn("seq", col("seq") + 10000000L)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_store_gate").toString
+        val st = new graft.store.Store(s, root)
+        st.ingest(d)
+        st.ingest(late)
+        out(Planner.planRouted(
+          st.data,
+          TsQuery(T0, T1),
+          SubQuery(metric = "error", aggregator = "none", downsample = Some("6h-avg")),
+          st.plannerOptions()))
+      },
+
       // §2.1 InfluxDB line protocol: field explode, _field tag, escapes,
       // ns/s/ms timestamps, string fields skipped, missing ts → now
       "q_ingest_influx" -> { (s, dir) =>
@@ -744,6 +770,25 @@ object SparkEntry {
            |ORDER BY skey, ts, value""".stripMargin),
 
       "q_rollup_fallback" -> (dpCte + ",\n" +
+        s"""dup AS (
+           |  SELECT skey, ts, value, seq FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |  UNION ALL
+           |  SELECT skey, ts, value + 0.5, seq + 10000000 FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |    AND seq % 5 = 0),
+           |dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dup GROUP BY skey, ts)
+           |SELECT skey, (ts - ts % $SIXH) // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
+           |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      // identical truth to q_rollup_fallback: last-wins dedup over the
+      // base + late duplicates, then 6h averages
+      "q_routed_maintained" -> (dpCte + ",\n" +
         s"""dup AS (
            |  SELECT skey, ts, value, seq FROM dp
            |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}

@@ -133,6 +133,13 @@ object QueryApi {
         s"""{"error":{"code":413,"message":"response too large: more than $cap data points"}}"""
     }
 
+  /** Run a query against a maintained [[graft.store.Store]] with its
+    * metadata defaults — series-index scans, maintained OOO marks, and
+    * rollup routing are always on, like the reference's QuerySuperTask.
+    */
+  def runQuery(store: graft.store.Store, q: TsQuery): String =
+    runQuery(store.data, q, store.plannerOptions(), DefaultMaxDps)
+
   private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,
       opt: Planner.Options, maxDps: Int = DefaultMaxDps): Seq[ResultSet] = {
     val df = Planner.planRouted(dp, q, sub, opt)

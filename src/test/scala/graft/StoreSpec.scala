@@ -1,0 +1,99 @@
+package graft
+
+import graft.model.{Dp, SubQuery, TsQuery}
+import graft.query.Planner
+import graft.rollup.Rollup
+import graft.store.Store
+import org.apache.spark.sql.functions._
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+  private val D = 86400000L
+
+  private def mkDp(rows: Seq[(String, String, Long, Double, Long)]) =
+    spark.createDataset(rows.map { case (m, h, ts, v, q) =>
+      Dp(m, Map("host" -> h), ts, v, q)
+    }).toDF()
+
+  test("incremental metadata equals the full derivation") {
+    // 2 series × 3 days with an in-chunk OOO pair, a cross-chunk
+    // duplicate timestamp, and a NaN — each marking its slice
+    val rows = Seq(
+      ("m", "a", 1000L, 1.0, 1L),
+      ("m", "a", H + 1000L, 2.0, 2L),
+      ("m", "b", 2000L, 5.0, 3L),
+      ("m", "a", 500L, 9.0, 4L), // in-chunk OOO (ts < slice hwm)
+      ("m", "b", D + 1000L, 6.0, 5L),
+      ("m", "a", 2 * D + 1000L, 7.0, 6L),
+      ("m", "b", D + 500L, Double.NaN, 7L), // NaN marks its slice
+      ("m", "a", 2 * D + 2000L, 8.0, 8L),
+      ("m", "b", 2 * D + 100L, 4.0, 9L),
+      ("m", "a", H + 1000L, 3.0, 10L)) // cross-chunk duplicate ts (day 0)
+    val all = mkDp(rows)
+    val root = java.nio.file.Files.createTempDirectory("store_spec").toString
+    val st = new Store(spark, root)
+    // three seq-ordered ingest batches
+    Seq(
+      rows.filter(_._5 <= 4),
+      rows.filter(r => r._5 > 4 && r._5 <= 7),
+      rows.filter(_._5 > 7)).foreach(ch => st.ingest(mkDp(ch)))
+
+    val marks = st.oooMarks.as[(String, Long)].collect().toSet
+    val truth = Rollup.oooSlices(all).as[(String, Long)].collect().toSet
+    assert(marks === truth)
+    assert(truth.contains(("m,host=a", 0L))) // OOO + duplicate
+    assert(truth.contains(("m,host=b", D))) // NaN
+    assert(!truth.exists(_._2 == 2 * D)) // day 2 clean
+
+    // maintained rollup == batch rollup over all rows (NaN-poisoned
+    // slices compared via the marks assertion above; NaN != NaN)
+    val cols = Seq("skey", "wts", "cnt", "min", "max", "sum")
+    val r1h = st.rollup1h.filter(!isnan(col("sum")))
+      .select(cols.map(col): _*)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    val r1hTruth = Rollup.rollup1h(all).filter(!isnan(col("sum")))
+      .select(cols.map(col): _*)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(r1h === r1hTruth)
+
+    val ix = st.seriesIndex.select("skey", "metric")
+      .as[(String, String)].collect().toSet
+    assert(ix === Set(("m,host=a", "m"), ("m,host=b", "m")))
+
+    assert(st.data.count() === rows.size)
+  }
+
+  test("routed query from maintained metadata: no window over raw, equals truth") {
+    val base = (0 until 48).map(i => ("m", "a", i * H + 500L, i.toDouble, 100L + i))
+    val late = Seq(("m", "a", 10 * H + 500L, 99.0, 1000L)) // dup ts, later batch
+    val root = java.nio.file.Files.createTempDirectory("store_routed").toString
+    val st = new Store(spark, root)
+    st.ingest(mkDp(base))
+    st.ingest(mkDp(late))
+
+    val q = TsQuery(0L, 2 * D)
+    val sub = SubQuery("m", "none", Some("6h-avg"))
+    val routed = Planner.planRouted(st.data, q, sub, st.plannerOptions())
+    // with maintained marks the routed plan must NOT re-derive OOO state
+    // (a window-sort over the raw day span)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"routed plan re-derives OOO marks:\n$plan")
+
+    val got = routed.select("skey", "ts", "value")
+      .as[(String, Long, Double)].collect().toSet
+    val truth = Planner.planSub(st.data, q, sub)
+      .select("skey", "ts", "value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === truth)
+
+    // the stale stored rollup alone would answer the dirty slice wrong —
+    // the maintained mark + raw fallback is what makes `got` correct
+    val stale = Rollup.downsampleFromRollup(st.rollup1h, 6 * H, "avg")
+      .filter(col("ts").between(0L, 2 * D))
+      .select("skey", "ts", "value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(stale !== truth)
+  }
+}
