@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * canonicalization routes the queries' own reads through the
   * InMemoryRelation), and a warmup job runs first so the first measured
   * query doesn't pay session/codegen bring-up.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
+  * reports the per-query MEDIAN — a single sample carries one-off
+  * GC/JIT noise worth ~50% of the steady-state total, and the driver
+  * invokes this main exactly once per round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,10 +51,14 @@ object Bench {
     // driver invokes with no args = full run
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
