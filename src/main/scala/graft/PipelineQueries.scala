@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,31 @@ object PipelineQueries {
       Dedup.minhashLshPairs(docs(s, dir), n = 3, threshold = 0.8)
         .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")
+    },
+
+    // pairwise matches → dedup GROUPS: connected components over the
+    // (verified) minhash pairs; cid = min reachable id = the doc to keep
+    "pl_dedup_clusters" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, n = 3, threshold = 0.8)
+      val labeled = Dedup.clusters(pairs, d.select(col("doc_id").as("id")))
+      pairs.unpersist()
+      labeled.select(col("id"), col("cid")).orderBy("id")
+    },
+
+    // deterministic salted-hash train/val/test assignment — reproducible
+    // across engines/runs and stable under corpus growth
+    "pl_split" -> { (s, dir) =>
+      Sampling.assignSplits(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    "pl_sample" -> { (s, dir) =>
+      Sampling.deterministicSample(docs(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     },
 
     "pl_dedup_simhash" -> { (s, dir) =>
@@ -265,6 +290,46 @@ object PipelineQueries {
          |WHERE p.jac >= 0.8
          |ORDER BY p.id1, p.id2""".stripMargin
 
+    // clusters: the minhash pair chain, then min-reachable-id per doc via
+    // a recursive reachability CTE (the SQL twin of hash-min propagation)
+    val clusters =
+      s"""WITH RECURSIVE $shingleCte,
+         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM hs GROUP BY id),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandCond)),
+         |${jaccardCtes()},
+         |fpairs AS (
+         |  SELECT p.id1, p.id2
+         |  FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
+         |  WHERE p.jac >= 0.8),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM fpairs
+         |  UNION ALL
+         |  SELECT id2, id1 FROM fpairs),
+         |nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id)
+         |SELECT id, min(r) AS cid FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+    val bucketSql = (salt: String) =>
+      s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_$salt'), 1, 15)) AS BIGINT) % 10000"
+    val split =
+      s"""SELECT doc_id,
+         |  CASE WHEN ${bucketSql("split")} < 8000 THEN 'train'
+         |       WHEN ${bucketSql("split")} < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    val sample =
+      s"""SELECT doc_id FROM documents
+         |WHERE ${bucketSql("sample")} < 2500 ORDER BY doc_id""".stripMargin
+
     val nBits = 32
     val votes = (0 until nBits)
       .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
@@ -410,6 +475,9 @@ object PipelineQueries {
       "pl_dedup_ngram" -> ngram,
       "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_minhash" -> minhash,
+      "pl_dedup_clusters" -> clusters,
+      "pl_split" -> split,
+      "pl_sample" -> sample,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
       "pl_knn_ivf" -> ivf,

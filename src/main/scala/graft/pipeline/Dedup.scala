@@ -198,6 +198,55 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
+  /** Connected components over near-dup pairs — turns pairwise matches
+    * into dedup GROUPS: every doc gets `cid` = the smallest doc id
+    * reachable through the pair graph (its cluster representative, i.e.
+    * the doc to KEEP; drop rows where id != cid).
+    *
+    * Hash-min label propagation: each round every node takes the min of
+    * its own label and its neighbors' labels — a join + min-aggregation
+    * per round, converging in graph-diameter rounds (near-dup clusters
+    * are shallow: duplicates of one source form a star). This is the
+    * standard MapReduce connected-components shape — each round is one
+    * shuffle on node id, no driver-side graph state; labels persist per
+    * round and release after the next materializes. `maxIter` bounds
+    * pathological chains; convergence is detected via the strictly
+    * decreasing label sum.
+    */
+  def clusters(pairs: DataFrame, nodes: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = pairs.select(col("id1").cast("long").as("src"),
+      col("id2").cast("long").as("dst"))
+    val edges = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    var labels = nodes.select(col("id").cast("long").as("id"))
+      .withColumn("cid", col("id"))
+      .persist(lvl)
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("cid")).head.getLong(0)
+    var iter = 0
+    while (curSum < prevSum && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cid").as("dcid")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dcid")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
+        .persist(lvl)
+      next.count()
+      labels.unpersist()
+      labels = next
+      prevSum = curSum
+      curSum = labels.agg(sum("cid")).head.getLong(0)
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash of the token multiset: bit b of the result is the sign of
     * `Σ_tokens (2·bit_b(md5hash60(tok)) − 1)`. One explode + one groupBy
     * with nBits sum aggregates (map-side combinable).

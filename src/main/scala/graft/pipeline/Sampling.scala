@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import graft.functions.GraftFunctions.md5Hash60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines. Everything derives from a salted md5 bucket of the row id
+  * — per-row, embarrassingly parallel, reproducible across engines and
+  * runs (unlike `DataFrame.sample`, whose outcome depends on partitioning
+  * and seed plumbing), and stable under data growth: a row's split never
+  * changes when other rows are added.
+  */
+object Sampling {
+
+  /** Salted bucket in [0, 10000): `md5_60(id || "_" || salt) % 10000`. */
+  def bucket(id: Column, salt: String): Column =
+    pmod(md5Hash60(concat(id.cast("string"), lit("_" + salt))), lit(10000L))
+
+  /** Assign every row a named split by cumulative weight over the salted
+    * bucket — e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
+    * Weights need not sum to 1: the final split absorbs the remainder.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split")
+    val b = bucket(col(idCol), salt)
+    val cuts = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail
+    val chain = weights.zip(cuts).dropRight(1)
+      .foldRight(lit(weights.last._1): Column) {
+        case (((name, _), cut), rest) => when(b < cut, name).otherwise(rest)
+      }
+    df.withColumn("split", chain)
+  }
+
+  /** Keep a deterministic `fraction` of rows (bucket < fraction·10⁴). */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000))
+}

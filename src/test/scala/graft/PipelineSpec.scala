@@ -43,6 +43,40 @@ class PipelineSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("clusters: every node labeled with its minimum reachable id") {
+    import graft.pipeline.Dedup
+    // chain 1-2-3-4 (diameter 3), pair 5-6, star 8-9-10, isolates 7/11/12
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
+      .toDF("id1", "id2")
+    val nodes = (1L to 12L).toDF("id")
+    val got = Dedup.clusters(pairs, nodes).as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 11L, 12L -> 12L))
+  }
+
+  test("splits: deterministic, exhaustive, roughly proportional") {
+    import graft.pipeline.Sampling
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.assignSplits(docs, "doc_id", weights)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(s1.keySet === Set("train", "val", "test"))
+    val n = s1.values.sum
+    assert(n === docs.count())
+    assert(s1("train").toDouble / n > 0.7 && s1("train").toDouble / n < 0.9)
+    // rerun identical (hash-derived, no RNG state)
+    val s2 = Sampling.assignSplits(docs, "doc_id", weights)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(s2 === s1)
+    // sample is a fixed subset: sampling 0.25 twice gives the same rows
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty && a.size < docs.count())
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dups") {
     val sim = Dedup.simhashPairs(docs, nBits = 32, maxHamming = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
