@@ -62,4 +62,49 @@ object StreamIngest {
         col("skey"),
         unix_millis(col("window.start")).as("wts"),
         col("cnt"), col("min"), col("max"), col("sum"))
+
+  /** Stream straight into a maintained [[graft.store.Store]]: every
+    * micro-batch runs the full incremental ingest — raw append, series
+    * index, write-time OOO marks, merged hourly rollup — so queries see
+    * maintained metadata with micro-batch freshness. `foreachBatch` is
+    * the Structured Streaming shape for multi-table transactional-ish
+    * sinks; the checkpoint makes delivery at-least-once and the
+    * metadata updates are idempotent per batch content.
+    */
+  def writeStore(dp: DataFrame, store: graft.store.Store, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] =
+    dp.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.ingest(batch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+
+  /** Per-series silence detection — the custom-state streaming operator
+    * ([[org.apache.spark.sql.KeyValueGroupedDataset.flatMapGroupsWithState]]):
+    * emits one alert row (skey, lastTs, gapMs) when a series resumes
+    * after more than `silenceMs` of EVENT-time silence. State per series
+    * is just the max event ts seen — O(#series), not O(#points), the
+    * same cardinality the series index already carries. The reference
+    * has no direct analogue (its alerting is external); this is the
+    * Spark-native shape a monitoring deployment runs beside ingest.
+    */
+  def silenceAlerts(dp: DataFrame, silenceMs: Long): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = dp.sparkSession
+    import spark.implicits._
+    Dp.withSeriesKey(dp)
+      .select(col("skey"), col("ts"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (skey: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val batchMax = rows.map(_._2).max
+          val prev = state.getOption.getOrElse(Long.MinValue)
+          val gap = if (prev != Long.MinValue) batchMax - prev else 0L
+          state.update(math.max(prev, batchMax))
+          if (gap > silenceMs) Iterator((skey, prev, gap)) else Iterator.empty
+      }
+  }
 }

@@ -293,6 +293,56 @@ class StreamingSpec extends SparkSpec {
     assert(res === Seq(3.0))
   }
 
+  test("streaming into the maintained store: metadata fresh per micro-batch") {
+    import graft.model.{SubQuery, TsQuery}
+    import graft.query.Planner
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    val st = new graft.store.Store(spark, s"$dir/store")
+    val mem = MemoryStream[String]
+    val dp = StreamIngest.dpStream(mem.toDS().repartition(1), "plain")
+    val q = StreamIngest.writeStore(dp, st, s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData(
+      "put m 3600 1.5 host=a",
+      "put m 7200 2.5 host=a",
+      "put m 3600 9.0 host=b",
+      "put m 3600 2.0 host=a") // in-batch duplicate ts → slice marked OOO
+    q.awaitTermination(60000)
+    assert(st.data.count() === 4)
+    assert(st.seriesIndex.select("skey").as[String].collect().toSet ===
+      Set("m,host=a", "m,host=b"))
+    assert(st.oooMarks.as[(String, Long)].collect().toSet === Set(("m,host=a", 0L)))
+    // routed query from the maintained metadata: duplicate resolved last-wins
+    val res = Planner.planRouted(
+      st.data, TsQuery(0L, 2 * 3600000L),
+      SubQuery("m", "none", Some("1h-avg")), st.plannerOptions())
+      .select("skey", "ts", "value").as[(String, Long, Double)].collect().toSet
+    assert(res === Set(
+      ("m,host=a", 3600000L, 2.0), ("m,host=a", 7200000L, 2.5),
+      ("m,host=b", 3600000L, 9.0)))
+  }
+
+  test("silence alerts: event-time gap per series via custom state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dp = StreamIngest.dpStream(mem.toDS().repartition(1), "plain")
+    val alerts = StreamIngest.silenceAlerts(dp, silenceMs = 10000L)
+    val q = alerts.toDF("skey", "last_ts", "gap_ms").writeStream
+      .format("memory").queryName("silence")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData("put m 100 1.0 host=a", "put m 100 1.0 host=b")
+      q.processAllAvailable()
+      // a goes silent for 50000s of event time; b stays within 10s
+      mem.addData("put m 105 2.0 host=b", "put m 50100 3.0 host=a")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT skey, last_ts, gap_ms FROM silence")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows === Set(("m,host=a", 100000L, 50000000L)))
+    } finally q.stop()
+  }
+
   test("streaming raw sink: date-partitioned parquet append") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_raw").toString
