@@ -42,6 +42,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // vocabulary building: top-K token frequencies, deterministic ties
+    "pl_vocab" -> { (s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), topK = 100)
+    },
+
+    // sequence packing: running-token-total bins within salted buckets —
+    // the doc→training-sequence grouping step, window-parallel per bucket
+    "pl_pack" -> { (s, dir) =>
+      Sampling.packBins(docs(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 512, nBuckets = 8)
+        .select(col("doc_id"), col("bucket"), col("bin"))
+        .orderBy("doc_id")
+    },
+
     "pl_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -318,6 +332,28 @@ object PipelineQueries {
          |  SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id)
          |SELECT id, min(r) AS cid FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+    val vocab =
+      """SELECT token, freq FROM (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token)
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin
+
+    val pack =
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_pack'), 1, 15)) AS BIGINT) % 8 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket,
+        |         coalesce(SUM(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, bucket,
+        |       CAST(bucket AS VARCHAR) || '_' || CAST(cum // 512 AS VARCHAR) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin
+
     val bucketSql = (salt: String) =>
       s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_$salt'), 1, 15)) AS BIGINT) % 10000"
     val split =
@@ -478,6 +514,8 @@ object PipelineQueries {
       "pl_dedup_clusters" -> clusters,
       "pl_split" -> split,
       "pl_sample" -> sample,
+      "pl_vocab" -> vocab,
+      "pl_pack" -> pack,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
       "pl_knn_ivf" -> ivf,

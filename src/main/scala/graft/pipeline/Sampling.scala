@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.functions.GraftFunctions.md5Hash60
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset splitting for training-data
@@ -39,4 +40,27 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
       salt: String = "sample"): DataFrame =
     df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000))
+
+  /** Sequence packing: assign each doc a pack-bin so every bin holds
+    * ~`budgetTokens` tokens — the grouping step before concatenating
+    * documents into fixed-length training sequences. Docs are spread
+    * over `nBuckets` salted buckets and packed by running token total
+    * within each bucket (window partitioned by bucket ⇒ parallel across
+    * the cluster; nothing global). Deterministic: same corpus ⇒ same
+    * bins. Output adds `bucket` and `bin` ("<bucket>_<k>").
+    */
+  def packBins(df: DataFrame, idCol: String, tokens: Column,
+      budgetTokens: Long, nBuckets: Int = 256,
+      salt: String = "pack"): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket",
+        pmod(md5Hash60(concat(col(idCol).cast("string"), lit("_" + salt))),
+          lit(nBuckets.toLong)))
+      .withColumn("cum_",
+        coalesce(sum(tokens.cast("long")).over(w), lit(0L)))
+      .withColumn("bin",
+        concat_ws("_", col("bucket"), expr(s"cum_ div $budgetTokens")))
+      .drop("cum_")
+  }
 }

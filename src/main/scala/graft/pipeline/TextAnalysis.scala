@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -24,6 +24,18 @@ object TextAnalysis {
     filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Top-K corpus vocabulary by token frequency (freq desc, token asc
+    * tie-break) — the vocabulary-building pass of a tokenizer pipeline.
+    * Hash aggregation with map-side combine + TakeOrdered top-K: the
+    * shuffle carries one row per distinct token, never the token stream.
+    */
+  def vocabulary(docs: DataFrame, topK: Int,
+      textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
 
   def charCount(text: Column): Column = length(text)
 

@@ -77,6 +77,21 @@ class PipelineSpec extends SparkSpec {
     assert(a === b && a.nonEmpty && a.size < docs.count())
   }
 
+  test("packing: every doc binned; bins hold ~budget tokens") {
+    import graft.pipeline.Sampling
+    val packed = Sampling.packBins(docs, "doc_id",
+      TextAnalysis.tokenCount($"text"), budgetTokens = 512, nBuckets = 8)
+    assert(packed.count() === docs.count())
+    val bins = packed
+      .groupBy("bin")
+      .agg(sum(TextAnalysis.tokenCount($"text").cast("long")).as("tok"))
+      .as[(String, Long)].collect()
+    assert(bins.length > 1)
+    // a bin can overshoot the budget only by its last doc
+    val maxDoc = docs.select(max(TextAnalysis.tokenCount($"text"))).as[Int].head()
+    assert(bins.forall(_._2 < 512 + maxDoc), bins.maxBy(_._2).toString)
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dups") {
     val sim = Dedup.simhashPairs(docs, nBits = 32, maxHamming = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
