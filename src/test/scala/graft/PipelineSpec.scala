@@ -56,6 +56,30 @@ class PipelineSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 11L, 12L -> 12L))
   }
 
+  test("clusters are invariant to pair order and orientation") {
+    import graft.pipeline.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
+    val nodes = (1L to 10L).toDF("id")
+    val base = Dedup.clusters(pairs.toDF("id1", "id2"), nodes)
+      .as[(Long, Long)].collect().toMap
+    val shuffled = Dedup.clusters(
+      scala.util.Random.shuffle(pairs).map { case (a, b) => (b, a) }.toDF("id1", "id2"),
+      nodes).as[(Long, Long)].collect().toMap
+    assert(base === shuffled)
+  }
+
+  test("splits are stable under corpus growth") {
+    import graft.pipeline.Sampling
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val subset = docs.filter($"doc_id" < 100)
+    val onSubset = Sampling.assignSplits(subset, "doc_id", weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val onFull = Sampling.assignSplits(docs, "doc_id", weights)
+      .filter($"doc_id" < 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(onSubset === onFull) // adding docs never moves an existing row
+  }
+
   test("splits: deterministic, exhaustive, roughly proportional") {
     import graft.pipeline.Sampling
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
