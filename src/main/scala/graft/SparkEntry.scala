@@ -159,6 +159,39 @@ object SparkEntry {
             tags = Map("host" -> "regexp(host[13])"))))
       },
 
+      // §2.4 iliteral_or (case-insensitive literal set)
+      "q_filter_iliteral" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "signup",
+            aggregator = "none",
+            tags = Map("host" -> "iliteral_or(HOST2|Host4)"))))
+      },
+
+      // §2.4 wildcard glob (prefix fast path)
+      "q_filter_wildcard" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "click",
+            aggregator = "none",
+            tags = Map("dc" -> "wildcard(dc*)", "host" -> "host0"))))
+      },
+
+      // §2.4 legacy 1.x embedded-| alternation (no filter function)
+      "q_filter_legacy" -> { (s, dir) =>
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(
+            metric = "view",
+            aggregator = "none",
+            tags = Map("host" -> "host0|host4"))))
+      },
+
       // §2.4 not_iliteral_or + bare-* (key exists)
       "q_filter_not_iliteral" -> { (s, dir) =>
         out(Planner.planSub(
@@ -600,6 +633,30 @@ object SparkEntry {
         s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dp
            |WHERE metric = 'signup' AND regexp_matches(host, '^host[13]$$')
+           |  AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_filter_iliteral" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'signup' AND lower(host) IN ('host2','host4')
+           |  AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_filter_wildcard" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'click' AND dc LIKE 'dc%' AND host = 'host0'
+           |  AND ts BETWEEN $T0 AND $T1
+           |GROUP BY skey, ts
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_filter_legacy" -> (dpCte + "\n" +
+        s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dp
+           |WHERE metric = 'view' AND host IN ('host0','host4')
            |  AND ts BETWEEN $T0 AND $T1
            |GROUP BY skey, ts
            |ORDER BY skey, ts, value""".stripMargin),

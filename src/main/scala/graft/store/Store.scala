@@ -143,9 +143,12 @@ final class Store(spark: SparkSession, root: String) {
         min(col("ts")).as("bmin"),
         max(col("ts")).as("bmax"),
         max(col("bad")).as("booo"))
+      // consumed twice (day list + merge join); one row per touched
+      // slice, so the cache is tiny but saves a second window pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = slices.select("day").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    if (days.isEmpty) return Nil
+    if (days.isEmpty) { slices.unpersist(); return Nil }
     val prev = readOr(statePath, stateSchema).filter(col("day").isin(days: _*))
     val merged = prev.as("p")
       .join(slices.as("b"), Seq("skey", "day"), "full_outer")
@@ -157,6 +160,7 @@ final class Store(spark: SparkSession, root: String) {
           coalesce(col("b.bmin") <= col("p.hwm"), lit(false))).as("ooo"),
         col("day"))
     swapDays(statePath, merged, days)
+    slices.unpersist()
     days
   }
 
