@@ -373,6 +373,22 @@ object SparkEntry {
         out(Rollup.downsampleWithFallback(d.unionByName(late), stored, SIXH, "avg"))
       },
 
+      // §2.10 bucketed co-located layout end-to-end: the error metric
+      // written skey-bucketed (Maintenance.writeBucketed), queried
+      // through the planner — dedup + 1h downsample run with ZERO
+      // exchanges off the bucket partitioning (plan asserted in
+      // MaintenanceSpec) and must equal the raw-scan truth
+      "q_bucketed" -> { (s, dir) =>
+        val d = DpView.dp(s, dir)
+          .filter(col("metric") === "error" &&
+            col("ts").between(T0, scanEnd(T1, HOUR)))
+        graft.store.Maintenance.writeBucketed(d, "graft_bucketed_gate", buckets = 8)
+        out(Planner.planSub(
+          s.table("graft_bucketed_gate"),
+          TsQuery(T0, T1),
+          SubQuery(metric = "error", aggregator = "none", downsample = Some("1h-avg"))))
+      },
+
       // §2.10 maintained metadata end-to-end: ingest batches update
       // series_index + slice_state (write-time OOO marks, reference
       // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
@@ -841,6 +857,14 @@ object SparkEntry {
            |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dedup
            |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      "q_bucketed" -> (dpCte + ",\n" +
+        dedupCte("error", "", T0, scanEnd(T1, HOUR)) + "\n" +
+        s"""SELECT skey, (ts - ts % $HOUR) // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
+           |GROUP BY skey, ts - ts % $HOUR
            |ORDER BY skey, ts, value""".stripMargin),
 
       // identical truth to q_rollup_fallback: last-wins dedup over the
