@@ -42,6 +42,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PII/URL scrubbing — markers appended so the redaction chain
+    // (email → URL → IPv4, order-sensitive) actually fires on every row
+    "pl_redact" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redact(concat(col("text"),
+          lit(" contact bob@example.com or https://ex.org/x?q=1 from 10.0.0.1")))
+          .as("clean"))
+        .orderBy("doc_id")
+    },
+
     // vocabulary building: top-K token frequencies, deterministic ties
     "pl_vocab" -> { (s, dir) =>
       TextAnalysis.vocabulary(docs(s, dir), topK = 100)
@@ -332,6 +342,15 @@ object PipelineQueries {
          |  SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id)
          |SELECT id, min(r) AS cid FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+    val redact =
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text || ' contact bob@example.com or https://ex.org/x?q=1 from 10.0.0.1',
+         |    '${TextAnalysis.RedactEmail}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.RedactUrl}', '<URL>', 'g'),
+         |    '${TextAnalysis.RedactIp}', '<IP>', 'g') AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+
     val vocab =
       """SELECT token, freq FROM (
         |  SELECT token, count(*) AS freq FROM (
@@ -516,6 +535,7 @@ object PipelineQueries {
       "pl_sample" -> sample,
       "pl_vocab" -> vocab,
       "pl_pack" -> pack,
+      "pl_redact" -> redact,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
       "pl_knn_ivf" -> ivf,

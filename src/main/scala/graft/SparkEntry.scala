@@ -382,6 +382,15 @@ object SparkEntry {
         val d = DpView.dp(s, dir)
           .filter(col("metric") === "error" &&
             col("ts").between(T0, scanEnd(T1, HOUR)))
+        // clear catalog AND warehouse dir: a previous session's table
+        // files survive while the in-memory catalog doesn't, and
+        // saveAsTable refuses to create over an existing path
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_gate")
+        val whPath = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+          "graft_bucketed_gate")
+        val whFs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (whFs.exists(whPath)) whFs.delete(whPath, true)
         graft.store.Maintenance.writeBucketed(d, "graft_bucketed_gate", buckets = 8)
         out(Planner.planSub(
           s.table("graft_bucketed_gate"),

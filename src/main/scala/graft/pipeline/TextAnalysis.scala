@@ -39,6 +39,26 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text)
 
+  /** Scrubbing patterns for [[redact]] — kept lookaround-free so Java
+    * regex (Spark) and RE2 (DuckDB `regexp_replace(..., 'g')`) agree
+    * character-for-character.
+    */
+  val RedactEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val RedactUrl = "https?://[^ ]+"
+  val RedactIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII/URL scrubbing: replace emails, URLs, and IPv4 literals with
+    * fixed placeholder tokens — the standard pre-training redaction
+    * pass. Pure per-row `regexp_replace` chain: codegen'd, no shuffle,
+    * embarrassingly parallel at any scale.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, RedactEmail, "<EMAIL>"),
+        RedactUrl, "<URL>"),
+      RedactIp, "<IP>")
+
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\.,!\\?;:'\"]", ""))) /

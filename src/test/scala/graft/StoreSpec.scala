@@ -65,6 +65,34 @@ class StoreSpec extends SparkSpec {
     assert(st.data.count() === rows.size)
   }
 
+  test("randomized: incremental state equals full derivation (fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val host = s"h${rnd.nextInt(4)}"
+      val ts = rnd.nextInt(3) * D + rnd.nextInt(86400) * 1000L
+      val v = if (rnd.nextInt(40) == 0) Double.NaN else rnd.nextDouble() * 100
+      ("m", host, ts, v, i.toLong)
+    }
+    val all = mkDp(rows)
+    val root = java.nio.file.Files.createTempDirectory("store_rand").toString
+    val st = new Store(spark, root)
+    rows.grouped(75).foreach(ch => st.ingest(mkDp(ch.toSeq)))
+
+    val marks = st.oooMarks.as[(String, Long)].collect().toSet
+    val truth = Rollup.oooSlices(all).as[(String, Long)].collect().toSet
+    assert(marks === truth)
+    assert(truth.nonEmpty) // random OOO data actually exercised marking
+
+    val cols = Seq("skey", "wts", "cnt", "min", "max", "sum")
+    val r1h = st.rollup1h.filter(!isnan(col("sum")))
+      .select(cols.map(col): _*)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    val r1hTruth = Rollup.rollup1h(all).filter(!isnan(col("sum")))
+      .select(cols.map(col): _*)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(r1h === r1hTruth)
+  }
+
   test("routed query from maintained metadata: no window over raw, equals truth") {
     val base = (0 until 48).map(i => ("m", "a", i * H + 500L, i.toDouble, 100L + i))
     val late = Seq(("m", "a", 10 * H + 500L, 99.0, 1000L)) // dup ts, later batch
