@@ -247,6 +247,21 @@ object Dedup {
     labels
   }
 
+  /** Collapse a corpus to cluster representatives: keep only docs whose
+    * id is their cluster's minimum ([[clusters]] over `pairs`). The
+    * end-to-end "dedup the corpus" operation — broadcast-joinable when
+    * the duplicate set is small relative to the corpus (the usual case);
+    * falls back to a shuffle join otherwise, both on the id key.
+    */
+  def collapse(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val drop = clusters(pairs, ids)
+      .filter(col("id") =!= col("cid"))
+      .select(col("id"))
+    docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
+  }
+
   /** SimHash of the token multiset: bit b of the result is the sign of
     * `Σ_tokens (2·bit_b(md5hash60(tok)) − 1)`. One explode + one groupBy
     * with nBits sum aggregates (map-side combinable).

@@ -68,6 +68,16 @@ class PipelineSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  test("collapse keeps exactly one representative per cluster") {
+    import graft.pipeline.Dedup
+    val d = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "ccc"), (4L, "ddd"), (5L, "eee"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (2L, 4L)).toDF("id1", "id2")
+    val kept = Dedup.collapse(d, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L)) // cluster {1,3,5} → 1; {2,4} → 2
+  }
+
   test("splits are stable under corpus growth") {
     import graft.pipeline.Sampling
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
