@@ -126,11 +126,20 @@ object QueryApi {
       opt: Planner.Options = Planner.Options(),
       maxDps: Int = DefaultMaxDps): String =
     try {
-      val sets = q.subQueries.flatMap(sub => runSub(dp, q, sub, opt, maxDps))
+      // the cap is a RESPONSE budget, shared across sub-queries — each
+      // sub collects against what the previous ones left (the reference
+      // caps the whole response buffer, not per sub-query)
+      var remaining = maxDps
+      val sets = q.subQueries.flatMap { sub =>
+        val subSets = runSub(dp, q, sub, opt, remaining)
+        remaining -= subSets.iterator.map(_.dps.size).sum
+        if (remaining < 0) throw ResponseTooLarge(maxDps)
+        subSets
+      }
       sets.map(toJson(_, q.msResolution)).mkString("[", ",", "]")
     } catch {
-      case ResponseTooLarge(cap) =>
-        s"""{"error":{"code":413,"message":"response too large: more than $cap data points"}}"""
+      case ResponseTooLarge(_) =>
+        s"""{"error":{"code":413,"message":"response too large: more than $maxDps data points"}}"""
     }
 
   /** Run a query against a maintained [[graft.store.Store]] with its

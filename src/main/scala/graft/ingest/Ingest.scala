@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * `seq` encodes arrival order for last-wins dedup (SURVEY.md §7.4 item
   * 2). Batch: `monotonically_increasing_id()`. Streaming (where that
-  * expression is unsupported): `batch-second << 32 | partition << 22 |
-  * within-partition index` — later batches outrank earlier ones, and
-  * duplicates INSIDE one micro-batch resolve deterministically by
-  * arrival position instead of arbitrarily.
+  * expression is unsupported): `batch-ms-since-2020 << 22 | partition
+  * << 12 | within-partition index` — later batches outrank earlier
+  * ones at millisecond granularity (micro-batches can start within the
+  * same second), and duplicates INSIDE one micro-batch resolve
+  * deterministically by arrival position instead of arbitrarily.
   */
 object Ingest {
 
@@ -50,16 +51,22 @@ object Ingest {
       indexed(it.flatMap(b => LineParsers.parseJson(b)))))
   }
 
+  /** 2020-01-01 epoch offset: keeps `batchMs << 22` inside a signed
+    * Long until ~2089 (a raw epoch-ms shift would wrap in 2039).
+    */
+  private val SeqEpochMs = 1577836800000L
+
   private def withSeq(parsed: Dataset[Dp]): DataFrame = {
     val df = parsed.toDF()
     if (df.isStreaming)
-      // current_timestamp() is the micro-batch timestamp (constant within
-      // a batch). Addition (not OR) so a >4M-row partition degrades into
-      // the partition-id bits while staying monotonic within its
-      // partition — arrival order is never violated where it's defined.
+      // current_timestamp() is the micro-batch timestamp (constant
+      // within a batch, ms precision — distinct per batch in practice).
+      // Addition (not OR) so an overfull partition degrades into the
+      // neighboring bits while staying monotonic within its partition —
+      // arrival order is never violated where it's defined.
       df.withColumn("seq",
-        shiftleft(unix_seconds(current_timestamp()), 32)
-          + shiftleft(spark_partition_id().cast("long"), 22)
+        shiftleft(unix_millis(current_timestamp()) - SeqEpochMs, 22)
+          + shiftleft(spark_partition_id().cast("long"), 12)
           + col("seq"))
     else df.withColumn("seq", monotonically_increasing_id())
   }

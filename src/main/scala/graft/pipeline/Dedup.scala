@@ -224,10 +224,17 @@ object Dedup {
     var labels = nodes.select(col("id").cast("long").as("id"))
       .withColumn("cid", col("id"))
       .persist(lvl)
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("cid")).head.getLong(0)
+    // exact 38-digit sum: labels only decrease, so the sum strictly
+    // decreases until the fixpoint — a Long sum would overflow for
+    // md5-derived 60-bit ids and could fake convergence
+    def labelSum(): java.math.BigDecimal = {
+      val d = labels.agg(sum(col("cid").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // null = empty frame
+    }
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum()
     var iter = 0
-    while (curSum < prevSum && iter < maxIter) {
+    while ((prevSum == null || curSum.compareTo(prevSum) < 0) && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cid").as("dcid")), "dst")
         .groupBy(col("src").as("id"))
@@ -240,11 +247,11 @@ object Dedup {
       labels.unpersist()
       labels = next
       prevSum = curSum
-      curSum = labels.agg(sum("cid")).head.getLong(0)
+      curSum = labelSum()
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels // persisted; callers may unpersist once consumed
   }
 
   /** Collapse a corpus to cluster representatives: keep only docs whose
@@ -256,10 +263,12 @@ object Dedup {
   def collapse(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val ids = docs.select(col(idCol).cast("long").as("id"))
-    val drop = clusters(pairs, ids)
+    val labels = clusters(pairs, ids)
+    val drop = labels
       .filter(col("id") =!= col("cid"))
       .select(col("id"))
-    docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
+    val kept = docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
+    materializeAndRelease(kept, labels)
   }
 
   /** SimHash of the token multiset: bit b of the result is the sign of

@@ -78,7 +78,8 @@ object Meta {
 
   /** Parse the lookup `m` param: `metric{tag=value,...}`, tag block
     * optional (reference lookup parse, query.cpp:1511-1540). Values may
-    * use the full [[TagFilters]] grammar.
+    * use the full [[TagFilters]] grammar — pair-separating commas are
+    * only those at paren/brace depth 0, so `regexp(h{1,3})` survives.
     */
   def parseLookupM(m: String): (String, Map[String, String]) = {
     val brace = m.indexOf('{')
@@ -87,7 +88,20 @@ object Meta {
       val metric = m.substring(0, brace).trim
       val close = m.lastIndexOf('}')
       val inner = m.substring(brace + 1, if (close > brace) close else m.length)
-      val tags = inner.split(",").filter(_.contains("=")).map { kv =>
+      val parts = Seq.newBuilder[String]
+      var depth = 0
+      var start = 0
+      inner.zipWithIndex.foreach { case (c, i) =>
+        c match {
+          case '(' | '{' => depth += 1
+          case ')' | '}' => depth -= 1
+          case ',' if depth == 0 =>
+            parts += inner.substring(start, i); start = i + 1
+          case _ => ()
+        }
+      }
+      parts += inner.substring(start)
+      val tags = parts.result().filter(_.contains("=")).map { kv =>
         val i = kv.indexOf('=')
         kv.substring(0, i).trim -> kv.substring(i + 1).trim
       }.toMap

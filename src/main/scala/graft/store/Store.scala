@@ -109,11 +109,19 @@ final class Store(spark: SparkSession, root: String) {
     } finally keyed.unpersist()
   }
 
-  /** Append series not yet in the index (no rewrite of existing rows). */
+  /** Append series not yet in the index (no rewrite of existing rows).
+    * The distinct runs on the skey STRING and metric/tags re-derive from
+    * it afterwards — `first(tags)` would force a SortAggregate on every
+    * ingest batch (maps have no hash buffer). Meta.seriesTable's
+    * constraint-propagation caveat doesn't apply here: the index is
+    * materialized to parquet, so readers see real columns.
+    */
   private def updateSeriesIndex(keyed: DataFrame): Unit = {
     val batchSeries = keyed
-      .groupBy(col("skey"))
-      .agg(first(col("metric")).as("metric"), first(col("tags")).as("tags"))
+      .select(col("skey")).distinct()
+      .select(col("skey"),
+        Dp.metricFromKey(col("skey")).as("metric"),
+        Dp.tagsFromKey(col("skey")).as("tags"))
     val newOnly =
       if (!exists(indexPath)) batchSeries
       else batchSeries.join(

@@ -100,11 +100,19 @@ object StreamIngest {
       .flatMapGroupsWithState[Long, (String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (skey: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val batchMax = rows.map(_._2).max
-          val prev = state.getOption.getOrElse(Long.MinValue)
-          val gap = if (prev != Long.MinValue) batchMax - prev else 0L
-          state.update(math.max(prev, batchMax))
-          if (gap > silenceMs) Iterator((skey, prev, gap)) else Iterator.empty
+          // walk the batch's timestamps in event order so gaps that fall
+          // entirely INSIDE one micro-batch (bursty sources, catch-up
+          // reads) alert too, not only state→batch gaps
+          val tss = rows.map(_._2).toArray.sorted
+          val alerts = Seq.newBuilder[(String, Long, Long)]
+          var prev = state.getOption.getOrElse(Long.MinValue)
+          tss.foreach { t =>
+            if (prev != Long.MinValue && t - prev > silenceMs)
+              alerts += ((skey, prev, t - prev))
+            prev = math.max(prev, t)
+          }
+          state.update(prev)
+          alerts.result().iterator
       }
   }
 }

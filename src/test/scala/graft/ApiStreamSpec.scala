@@ -124,6 +124,9 @@ class ApiSpec extends SparkSpec {
     // answered from a maintained series index: identical JSON
     val ix = graft.query.Meta.seriesTable(dpDf)
     assert(QueryApi.lookup(dpDf, "m{host=h1}", index = Some(ix)) === json)
+    // filter-grammar values with commas survive the tag-block split
+    assert(graft.query.Meta.parseLookupM("m{host=regexp(h[0-9]{1,3}),dc=east}") ===
+      (("m", Map("host" -> "regexp(h[0-9]{1,3})", "dc" -> "east"))))
   }
 
   test("response cap: over-limit query refused with 413, never collected") {
@@ -137,6 +140,15 @@ class ApiSpec extends SparkSpec {
       """{"error":{"code":413,"message":"response too large: more than 2 data points"}}""")
     // at the cap exactly: normal response
     assert(QueryApi.runQuery(dpDf, q, maxDps = 4).startsWith("""[{"metric":"m""""))
+    // the cap budgets the WHOLE response: two subs of 4 dps each must
+    // refuse at maxDps=6 even though each sub alone fits
+    val multi = QueryApi.parseRequest(
+      """{"start":0,"end":7200,"queries":[
+        |  {"metric":"m","aggregator":"none","tags":{}},
+        |  {"metric":"m","aggregator":"none","tags":{}}]}""".stripMargin,
+      nowMs = 2 * H)
+    assert(QueryApi.runQuery(dpDf, multi, maxDps = 6).contains("\"code\":413"))
+    assert(QueryApi.runQuery(dpDf, multi, maxDps = 8).startsWith("""[{"metric":"m""""))
   }
 
   test("info surfaces: version/config/filters/stats shapes") {
@@ -332,14 +344,18 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("silence")
       .outputMode(OutputMode.Append).start()
     try {
-      mem.addData("put m 100 1.0 host=a", "put m 100 1.0 host=b")
+      // host c's gap falls entirely INSIDE this first batch
+      mem.addData("put m 100 1.0 host=a", "put m 100 1.0 host=b",
+        "put m 100 1.0 host=c", "put m 50100 2.0 host=c")
       q.processAllAvailable()
       // a goes silent for 50000s of event time; b stays within 10s
       mem.addData("put m 105 2.0 host=b", "put m 50100 3.0 host=a")
       q.processAllAvailable()
       val rows = spark.sql("SELECT skey, last_ts, gap_ms FROM silence")
         .as[(String, Long, Long)].collect().toSet
-      assert(rows === Set(("m,host=a", 100000L, 50000000L)))
+      assert(rows === Set(
+        ("m,host=a", 100000L, 50000000L),
+        ("m,host=c", 100000L, 50000000L)))
     } finally q.stop()
   }
 
