@@ -1,8 +1,7 @@
 package graft.store
 
-import graft.ingest.Ingest
 import graft.model.Dp
-import graft.query.{Meta, Planner}
+import graft.query.Planner
 import graft.rollup.Rollup
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -102,7 +101,14 @@ final class Store(spark: SparkSession, root: String) {
     val keyed = Dp.withSeriesKey(batch.select(Dp.columns.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Ingest.writePartitioned(keyed.select(Dp.columns.map(col): _*), dataPath)
+      // shuffle-free append (unlike Ingest.writePartitioned's
+      // repartition-by-date): ingest batches are micro-batch sized, so
+      // densifying per write would pay a shuffle per batch for nothing —
+      // Maintenance.compactPartition rewrites partitions densely later,
+      // exactly the reference's compaction split of responsibilities
+      keyed.select(Dp.columns.map(col): _*)
+        .withColumn("date", to_date(timestamp_millis(col("ts"))))
+        .write.mode(SaveMode.Append).partitionBy("date").parquet(dataPath)
       updateSeriesIndex(keyed)
       val days = updateSliceState(keyed)
       updateRollup(keyed, days)
