@@ -59,7 +59,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      // true median: for even n average the two middle samples — taking
+      // times(n/2) alone would report the WORSE of the middle pair
+      val mid = times.size / 2
+      val median =
+        if (times.size % 2 == 1) times(mid)
+        else (times(mid - 1) + times(mid)) / 2.0
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -64,6 +64,32 @@ object SparkEntry {
     o.orderBy("skey", "ts", "value")
   }
 
+  /** Build the two-batch maintained store (base + late duplicates) used
+    * by the routed gates — the same data shape as `q_rollup_fallback`'s
+    * CTE truth.
+    */
+  private def buildMaintainedStore(s: SparkSession, dir: String): graft.store.Store = {
+    val d = DpView.dp(s, dir)
+      .filter(col("metric") === "error" &&
+        col("ts").between(T0, scanEnd(T1, SIXH)))
+    val late = d.filter(col("seq") % 5 === 0)
+      .withColumn("value", col("value") + 0.5)
+      .withColumn("seq", col("seq") + 10000000L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_store_gate").toString
+    val st = new graft.store.Store(s, root)
+    st.ingest(d)
+    st.ingest(late)
+    st
+  }
+
+  // memoized per source dir: q_routed_maintained times the routed query,
+  // not the fixture's two full ingests (those are q_store_ingest's job)
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.Store]
+  private def storeFixture(s: SparkSession, dir: String): graft.store.Store =
+    storeCache.computeIfAbsent(dir, _ => buildMaintainedStore(s, dir))
+
   // ---------------------------------------------------------------- Spark
 
   def entry(spark: SparkSession): DataFrame = {
@@ -405,23 +431,28 @@ object SparkEntry {
       // derivation — and must equal the all-raw dedup truth. The late
       // second batch duplicates timestamps, so its slices' stored rollups
       // are stale: only the maintained marks make the answer right.
+      // The store fixture is memoized per source dir, so this gate times
+      // the ROUTED QUERY; q_store_ingest times the ingest path.
       "q_routed_maintained" -> { (s, dir) =>
-        val d = DpView.dp(s, dir)
-          .filter(col("metric") === "error" &&
-            col("ts").between(T0, scanEnd(T1, SIXH)))
-        val late = d.filter(col("seq") % 5 === 0)
-          .withColumn("value", col("value") + 0.5)
-          .withColumn("seq", col("seq") + 10000000L)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_store_gate").toString
-        val st = new graft.store.Store(s, root)
-        st.ingest(d)
-        st.ingest(late)
+        val st = storeFixture(s, dir)
         out(Planner.planRouted(
           st.data,
           TsQuery(T0, T1),
           SubQuery(metric = "error", aggregator = "none", downsample = Some("6h-avg")),
           st.plannerOptions()))
+      },
+
+      // §2.1/§2.10 store ingest throughput: a FRESH store per call — two
+      // full ingest batches (append + series index + slice state + rollup
+      // merge, ~16 day-partition tmp-swap writes). The returned frame is
+      // the store's raw data read back with last-wins dedup — proving the
+      // appended data round-trips, while the bench entry prices ingest.
+      "q_store_ingest" -> { (s, dir) =>
+        val st = buildMaintainedStore(s, dir)
+        out(Planner.planSub(
+          st.data,
+          TsQuery(T0, T1),
+          SubQuery(metric = "error", aggregator = "none")))
       },
 
       // §2.1 InfluxDB line protocol: field explode, _field tag, escapes,
@@ -893,6 +924,24 @@ object SparkEntry {
            |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dedup
            |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      // raw last-wins truth of the same two-batch store, no downsample
+      "q_store_ingest" -> (dpCte + ",\n" +
+        s"""dup AS (
+           |  SELECT skey, ts, value, seq FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |  UNION ALL
+           |  SELECT skey, ts, value + 0.5, seq + 10000000 FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |    AND seq % 5 = 0),
+           |dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dup GROUP BY skey, ts)
+           |SELECT skey, ts // 1000 AS ts,
+           |       floor(value * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
+           |WHERE ts BETWEEN $T0 AND $T1
            |ORDER BY skey, ts, value""".stripMargin),
 
       "q_ingest_influx" ->

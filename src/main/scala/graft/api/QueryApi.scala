@@ -151,7 +151,12 @@ object QueryApi {
 
   private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,
       opt: Planner.Options, maxDps: Int = DefaultMaxDps): Seq[ResultSet] = {
-    val df = Planner.planRouted(dp, q, sub, opt)
+    // without a series index, ask the planner to carry each output row's
+    // member series keys — aggregateTags then derives from the collected
+    // rows themselves, not a second fact scan
+    val planOpt =
+      if (opt.seriesIndex.isEmpty) opt.copy(collectSeriesKeys = true) else opt
+    val df = Planner.planRouted(dp, q, sub, planOpt)
     val perSeries = df.columns.contains("skey")
 
     if (perSeries) {
@@ -167,7 +172,20 @@ object QueryApi {
       // aggregated: group rows by grouping-tag values
       val tagCols = sub.groupByTags.map(k => s"tag_$k")
       val rows = cappedCollect(df, maxDps)
-      val seriesTags = matchedSeriesTags(dp, q, sub, opt)
+      val seriesTags: Seq[Map[String, String]] = opt.seriesIndex match {
+        case Some(index) =>
+          // dim-table path: series cardinality scan, fact data untouched
+          index
+            .filter(col("metric") === sub.metric)
+            .filter(graft.query.TagFilters.compileAll(
+              col("tags"), sub.tags, sub.explicitTags))
+            .select(col("tags")).collect()
+            .map(_.getAs[Map[String, String]](0)).toSeq
+        case None =>
+          rows.iterator
+            .flatMap(_.getAs[scala.collection.Seq[String]]("skeys_"))
+            .toSeq.distinct.map(tagsOfKey)
+      }
       rows.groupBy(r => tagCols.map(c => Option(r.getAs[String](c)).getOrElse("")))
         .toSeq.sortBy(_._1.mkString(","))
         .map { case (tagVals, rs) =>
@@ -182,34 +200,12 @@ object QueryApi {
     }
   }
 
-  /** Distinct tag maps of the series matched by the sub-query (used for
-    * aggregateTags). Bounded by series cardinality, not data size. With a
-    * series index the whole question is answered on the dim table — the
-    * fact data is never touched.
-    */
-  private def matchedSeriesTags(dp: DataFrame, q: TsQuery, sub: SubQuery,
-      opt: Planner.Options): Seq[Map[String, String]] = {
-    import graft.model.Dp
-    import graft.query.TagFilters
-    opt.seriesIndex match {
-      case Some(index) =>
-        index
-          .filter(col("metric") === sub.metric)
-          .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags))
-          .select(col("tags")).collect()
-          .map(_.getAs[Map[String, String]](0)).toSeq
-      case None =>
-        // MAP columns can't be distinct()'d — dedupe on the series key (a
-        // plain hash distinct) and re-derive the map from it
-        Dp.withSeriesKey(
-          dp.filter(col("ts").between(q.startMs, q.endMs))
-            .filter(col("metric") === sub.metric)
-            .filter(TagFilters.compileAll(col("tags"), sub.tags, sub.explicitTags)))
-          .select(col("skey")).distinct()
-          .select(Dp.tagsFromKey(col("skey")).as("tags")).collect()
-          .map(_.getAs[Map[String, String]](0)).toSeq
-    }
-  }
+  /** Driver-side inverse of [[Dp.seriesKey]] (`metric,k=v,...`). */
+  private def tagsOfKey(skey: String): Map[String, String] =
+    skey.split(",").iterator.drop(1).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
 
   /** `GET /api/search/lookup` codec — the full LOOKUP response shape
     * (reference query.cpp:1477-1602): `m=<metric>{tag=value,...}` with

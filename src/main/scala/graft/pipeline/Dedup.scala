@@ -226,13 +226,15 @@ object Dedup {
       .persist(lvl)
     // exact 38-digit sum: labels only decrease, so the sum strictly
     // decreases until the fixpoint — a Long sum would overflow for
-    // md5-derived 60-bit ids and could fake convergence
-    def labelSum(): java.math.BigDecimal = {
-      val d = labels.agg(sum(col("cid").cast("decimal(38,0)"))).head.getDecimal(0)
+    // md5-derived 60-bit ids and could fake convergence. Computed in the
+    // SAME action that materializes the persisted frame, so each round
+    // costs exactly one job (one pass over the labels).
+    def materializeSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cid").cast("decimal(38,0)"))).head.getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d // null = empty frame
     }
     var prevSum: java.math.BigDecimal = null
-    var curSum = labelSum()
+    var curSum = materializeSum(labels)
     var iter = 0
     while ((prevSum == null || curSum.compareTo(prevSum) < 0) && iter < maxIter) {
       val nbrMin = edges
@@ -243,11 +245,10 @@ object Dedup {
         .select(col("id"),
           least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
         .persist(lvl)
-      next.count()
+      prevSum = curSum
+      curSum = materializeSum(next) // materializes `next` + sums, one job
       labels.unpersist()
       labels = next
-      prevSum = curSum
-      curSum = labelSum()
       iter += 1
     }
     edges.unpersist()

@@ -50,6 +50,12 @@ object Planner {
     *   - `rollup1h`/`rollup1d`/`oooMarks`: materialized rollup tables and
     *     the maintained invalidation frame. When `rollup1h` is set, the
     *     API layer executes eligible queries through [[planRouted]].
+    *   - `collectSeriesKeys`: aggregated results additionally carry a
+    *     `skeys_` column = the sorted distinct member series keys of each
+    *     output row. Lets the API layer answer "which series fed this
+    *     group" (aggregateTags) from the SAME plan instead of a second
+    *     fact scan; partial collect_set dedups map-side, so the extra
+    *     shuffle weight is bounded by series cardinality per group.
     */
   final case class Options(
       dedup: Boolean = true,
@@ -57,7 +63,8 @@ object Planner {
       approxPercentileAccuracy: Option[Int] = None,
       rollup1h: Option[DataFrame] = None,
       rollup1d: Option[DataFrame] = None,
-      oooMarks: Option[DataFrame] = None)
+      oooMarks: Option[DataFrame] = None,
+      collectSeriesKeys: Boolean = false)
 
   /** Plan one sub-query against a dp DataFrame. */
   def planSub(
@@ -186,9 +193,12 @@ object Planner {
         // the timestamp, so first/last mean "first/last series" — the
         // reference walks series in creation order (aggregate.cpp:218-233);
         // we define canonical skey order for determinism
-        df.groupBy(col("ts") +: groupCols: _*)
-          .agg(GraftFunctions.aggFor(agg, col("value"), col("skey"),
-            opt.approxPercentileAccuracy).as("value"))
+        val valueAgg = GraftFunctions.aggFor(agg, col("value"), col("skey"),
+          opt.approxPercentileAccuracy).as("value")
+        val grouped = df.groupBy(col("ts") +: groupCols: _*)
+        if (opt.collectSeriesKeys)
+          grouped.agg(valueAgg, sort_array(collect_set(col("skey"))).as("skeys_"))
+        else grouped.agg(valueAgg)
     }
 
     // ---- 7. rate conversion, applied after aggregation per result group

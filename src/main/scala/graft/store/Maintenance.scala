@@ -35,8 +35,10 @@ object Maintenance {
     * `numFiles` densely-packed, ts-sorted files (the reference's compact:
     * full scan → dense rewrite, tsdb.cpp ~3500-3650). Sorting by (metric,
     * ts) maximizes parquet row-group min/max pruning for later queries.
-    * Writes to a temp dir first, then swaps — readers never see a
-    * half-written partition.
+    * Writes to a temp dir first, then swaps by rename-aside → rename-in →
+    * delete-aside — the visibility window is two metadata-only renames,
+    * so a concurrent reader sees the old files or the new, never a
+    * half-deleted partition.
     */
   def compactPartition(spark: SparkSession, root: String, date: String,
       numFiles: Int = 1): Unit = {
@@ -47,8 +49,10 @@ object Maintenance {
       .sortWithinPartitions("metric", "ts")
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(dir), true)
+    val aside = new Path(s"$root/.retired_${System.nanoTime()}_date_$date")
+    fs.rename(new Path(dir), aside)
     fs.rename(new Path(tmp), new Path(dir))
+    fs.delete(aside, true)
   }
 
   /** Retention purge: drop partitions strictly older than `cutoffDate`

@@ -31,17 +31,30 @@ import org.apache.spark.sql.types._
   *     exactly the slices `slice_state` marks, which
   *     [[Rollup.downsampleWithFallback]] recomputes from raw.
   *
-  * Both `slice_state` and `rollup_1h` are day-partitioned on disk and a
-  * batch rewrites ONLY the day partitions it touches (tmp-write + swap,
-  * like [[Maintenance.compactPartition]]) — at 100 TB an ingest batch
-  * spanning a few days moves a few days of tiny metadata, not history.
+  * `slice_state` and `rollup_1h` are MANIFEST-COMMITTED: each table is a
+  * set of immutable per-(day, generation) directories plus a numbered
+  * manifest file naming every day's current directory. A batch commit
+  * writes the touched days' new dirs, then publishes one new manifest
+  * (hidden write + atomic file rename) — readers resolve the newest
+  * manifest and read exactly the dirs it names, so they observe the
+  * previous commit or the new one, never a missing or half-swapped day.
+  * This is a miniature of the Delta/Iceberg commit protocol, chosen over
+  * delete+rename partition swaps whose listing window can expose a
+  * half-swapped table. The previous generation's dirs survive one more
+  * commit (in-flight readers may hold its manifest) before GC. A batch
+  * still rewrites ONLY the day dirs it touches — at 100 TB an ingest
+  * batch spanning a few days moves a few days of tiny metadata, not
+  * history.
   *
   * Contract: batches arrive with `seq` monotonically increasing across
   * batches (what [[graft.ingest.Ingest]] produces — batch-stamped under
   * streaming), because query-time last-wins dedup on the DATA still
-  * resolves by seq.
+  * resolves by seq. Writes are single-threaded per store (the reference
+  * serializes ingest per shard the same way); reads are concurrency-safe
+  * against a writer.
   */
-final class Store(spark: SparkSession, root: String) {
+final class Store(spark: SparkSession, root: String,
+    compactEveryBatches: Int = 8) {
 
   private val dataPath = s"$root/data"
   private val indexPath = s"$root/series_index"
@@ -63,11 +76,27 @@ final class Store(spark: SparkSession, root: String) {
     StructField("skey", StringType), StructField("cnt", LongType),
     StructField("min", DoubleType), StructField("max", DoubleType),
     StructField("sum", DoubleType), StructField("wts", LongType)))
+  private val rollupDaySchema =
+    StructType(rollupSchema.fields :+ StructField("day", LongType))
 
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Plain-directory read (append-only tables). */
   private def readOr(path: String, schema: StructType): DataFrame =
     if (exists(path)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else emptyFrame(schema)
+
+  /** Manifest-resolved read: load exactly the day dirs the newest
+    * manifest names (day is a data column inside the files).
+    */
+  private def readManifested(path: String, schema: StructType): DataFrame = {
+    val (_, entries) = currentManifest(path)
+    if (entries.isEmpty) emptyFrame(schema)
+    else spark.read.schema(schema)
+      .parquet(entries.values.map(n => s"$path/$n").toSeq: _*)
+  }
 
   /** Raw data as the canonical dp frame. */
   def data: DataFrame =
@@ -79,10 +108,11 @@ final class Store(spark: SparkSession, root: String) {
     * [[Planner.Options.oooMarks]] wants.
     */
   def oooMarks: DataFrame =
-    readOr(statePath, stateSchema).filter(col("ooo")).select("skey", "day")
+    readManifested(statePath, stateSchema).filter(col("ooo")).select("skey", "day")
 
   def rollup1h: DataFrame =
-    readOr(rollupPath, rollupSchema).select("skey", "wts", "cnt", "min", "max", "sum")
+    readManifested(rollupPath, rollupDaySchema)
+      .select("skey", "wts", "cnt", "min", "max", "sum")
 
   /** Default planner options over this store: index scans, maintained OOO
     * marks, and rollup routing — the configuration every query should run
@@ -104,7 +134,7 @@ final class Store(spark: SparkSession, root: String) {
       // shuffle-free append (unlike Ingest.writePartitioned's
       // repartition-by-date): ingest batches are micro-batch sized, so
       // densifying per write would pay a shuffle per batch for nothing —
-      // Maintenance.compactPartition rewrites partitions densely later,
+      // auto-compaction rewrites partitions densely on a batch cadence,
       // exactly the reference's compaction split of responsibilities
       keyed.select(Dp.columns.map(col): _*)
         .withColumn("date", to_date(timestamp_millis(col("ts"))))
@@ -112,7 +142,29 @@ final class Store(spark: SparkSession, root: String) {
       updateSeriesIndex(keyed)
       val days = updateSliceState(keyed)
       updateRollup(keyed, days)
+      maybeCompact(days)
     } finally keyed.unpersist()
+  }
+
+  // per-date count of shuffle-free appends since that date's data
+  // partition was last rewritten densely — the auto-compaction cadence
+  // the reference runs as a background task (`Tsdb::compact`). Without
+  // it, micro-batch appends accrete one small file per batch per
+  // partition forever.
+  private val batchesSinceCompact =
+    scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+
+  private def maybeCompact(days: Seq[Long]): Unit = {
+    if (compactEveryBatches <= 0) return
+    days.foreach { d =>
+      val date = java.time.Instant.ofEpochMilli(d)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      val n = batchesSinceCompact(date) + 1
+      if (n >= compactEveryBatches) {
+        Maintenance.compactPartition(spark, dataPath, date)
+        batchesSinceCompact(date) = 0
+      } else batchesSinceCompact(date) = n
+    }
   }
 
   /** Append series not yet in the index (no rewrite of existing rows).
@@ -163,7 +215,8 @@ final class Store(spark: SparkSession, root: String) {
     val days = slices.select("day").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (days.isEmpty) { slices.unpersist(); return Nil }
-    val prev = readOr(statePath, stateSchema).filter(col("day").isin(days: _*))
+    val prev = readManifested(statePath, stateSchema)
+      .filter(col("day").isin(days: _*))
     val merged = prev.as("p")
       .join(slices.as("b"), Seq("skey", "day"), "full_outer")
       .select(
@@ -173,18 +226,17 @@ final class Store(spark: SparkSession, root: String) {
           coalesce(col("b.booo"), lit(false)) ||
           coalesce(col("b.bmin") <= col("p.hwm"), lit(false))).as("ooo"),
         col("day"))
-    swapDays(statePath, merged, days)
+    commitDays(statePath, merged, days)
     slices.unpersist()
     days
   }
 
-  /** Merge the batch's hourly rollup into the touched days' partitions. */
+  /** Merge the batch's hourly rollup into the touched days' generations. */
   private def updateRollup(keyed: DataFrame, days: Seq[Long]): Unit = {
     if (days.isEmpty) return
     val batchRollup = Rollup.rollup1hKeyed(keyed)
       .withColumn("day", col("wts") - pmod(col("wts"), lit(Rollup.DayMs)))
-    val prev = readOr(rollupPath,
-      StructType(rollupSchema.fields :+ StructField("day", LongType)))
+    val prev = readManifested(rollupPath, rollupDaySchema)
       .filter(col("day").isin(days: _*))
     val merged = prev.unionByName(batchRollup)
       .groupBy(col("skey"), col("wts"), col("day"))
@@ -194,25 +246,88 @@ final class Store(spark: SparkSession, root: String) {
         max(col("max")).as("max"),
         sum(col("sum")).as("sum"))
       .select("skey", "cnt", "min", "max", "sum", "wts", "day")
-    swapDays(rollupPath, merged, days)
+    commitDays(rollupPath, merged, days)
   }
 
-  /** Write `df` (carrying a `day` column) day-partitioned into a temp
-    * dir, then swap only the touched day partitions into the live table —
-    * readers never see a half-written partition, and untouched history is
-    * never rewritten.
+  // ---- manifest commit protocol -----------------------------------------
+
+  /** Write `df` (carrying a `day` column) as new per-day generation dirs
+    * and publish a new manifest covering touched + carried-over days. The
+    * `day_p` duplicate keeps `day` as a DATA column inside the files
+    * (partitionBy drops its own column), so manifest reads need no
+    * partition discovery.
     */
-  private def swapDays(live: String, df: DataFrame, days: Seq[Long]): Unit = {
-    val tmp = s"$live.tmp_${System.nanoTime()}"
-    df.repartition(col("day"))
-      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(tmp)
+  private def commitDays(live: String, df: DataFrame, days: Seq[Long]): Unit = {
     fs.mkdirs(new Path(live))
+    val gen = System.nanoTime()
+    val tmp = s"$live/.tmp_$gen"
+    df.withColumn("day_p", col("day"))
+      .repartition(col("day_p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("day_p").parquet(tmp)
+    val (prevSeq, prevEntries) = currentManifest(live)
+    val entries = scala.collection.mutable.Map[Long, String](prevEntries.toSeq: _*)
     days.foreach { d =>
-      val livePart = new Path(s"$live/day=$d")
-      val tmpPart = new Path(s"$tmp/day=$d")
-      if (fs.exists(livePart)) fs.delete(livePart, true)
-      if (fs.exists(tmpPart)) fs.rename(tmpPart, livePart)
+      val tmpPart = new Path(s"$tmp/day_p=$d")
+      if (fs.exists(tmpPart)) {
+        val dirName = s"d_${d}_$gen"
+        fs.rename(tmpPart, new Path(s"$live/$dirName"))
+        entries(d) = dirName
+      } else entries.remove(d) // merged frame dropped the day entirely
     }
+    publishManifest(live, prevSeq + 1, entries.toMap)
     fs.delete(new Path(tmp), true)
+    gcGenerations(live)
+  }
+
+  /** Newest committed (seq, day → dir). (0, empty) before any commit. */
+  private def currentManifest(live: String): (Long, Map[Long, String]) = {
+    val dir = new Path(live)
+    if (!fs.exists(dir)) return (0L, Map.empty)
+    val seqs = fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("manifest."))
+      .flatMap(_.stripPrefix("manifest.").toLongOption)
+    if (seqs.isEmpty) (0L, Map.empty)
+    else (seqs.max, readManifestFile(live, seqs.max))
+  }
+
+  private def readManifestFile(live: String, seq: Long): Map[Long, String] = {
+    val in = fs.open(new Path(s"$live/manifest.$seq"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        l.substring(0, i).toLong -> l.substring(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
+  /** Hidden write + atomic rename: the manifest appears fully written or
+    * not at all.
+    */
+  private def publishManifest(live: String, seq: Long,
+      entries: Map[Long, String]): Unit = {
+    val tmp = new Path(s"$live/.manifest_tmp_$seq")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (d, n) => s"$d\t$n" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new Path(s"$live/manifest.$seq"))
+  }
+
+  /** Keep the two newest manifests (a reader may hold the previous one
+    * mid-scan) and every dir either names; drop older manifests and
+    * unreferenced generation dirs.
+    */
+  private def gcGenerations(live: String): Unit = {
+    val entries = fs.listStatus(new Path(live)).toSeq
+    val seqs = entries.filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith("manifest."))
+      .flatMap(_.stripPrefix("manifest.").toLongOption).sorted
+    seqs.dropRight(2).foreach(s =>
+      fs.delete(new Path(s"$live/manifest.$s"), false))
+    val referenced = seqs.takeRight(2)
+      .flatMap(s => readManifestFile(live, s).values).toSet
+    entries.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("d_") && !referenced.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
   }
 }

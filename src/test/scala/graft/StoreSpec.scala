@@ -124,4 +124,60 @@ class StoreSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(stale !== truth)
   }
+
+  test("concurrent reads during ingest commits: metadata complete, data monotone") {
+    val root = java.nio.file.Files.createTempDirectory("store_conc").toString
+    val st = new Store(spark, root, compactEveryBatches = 0)
+    st.ingest(mkDp(Seq(("m", "a", 1000L, 1.0, 1L)))) // day 0 committed
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile var stop = false
+    @volatile var lastDataCount = 0L
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          // manifest commit: the rollup/state tables must never lose day 0
+          val r = st.rollup1h.count()
+          if (r < 1) failures.add(s"rollup1h read saw $r rows")
+          val sMarks = st.oooMarks.count() // may be 0 (clean data) — just no throw
+          require(sMarks >= 0)
+          // append-only data: counts never go backwards
+          val d = st.data.count()
+          if (d < lastDataCount) failures.add(s"data count went $lastDataCount -> $d")
+          lastDataCount = d
+        } catch {
+          case e: Throwable => failures.add(s"read threw: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      (2 to 10).foreach { i =>
+        st.ingest(mkDp(Seq(("m", "a", 1000L + i * 7, i.toDouble, i.toLong))))
+      }
+    } finally { stop = true; reader.join() }
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    assert(lastDataCount > 0)
+    // generations are GC'd: at most 2 manifests + their dirs remain
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/rollup_1h"))
+      .map(_.getPath.getName).count(_.startsWith("manifest."))
+    assert(manifests <= 2)
+  }
+
+  test("auto-compaction keeps data file count bounded with results unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("store_compact").toString
+    val st = new Store(spark, root, compactEveryBatches = 5)
+    val rows = (0 until 20).map(i => ("m", "a", 1000L + i, i.toDouble, i.toLong))
+    rows.grouped(1).foreach(ch => st.ingest(mkDp(ch.toSeq)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data/date=1970-01-01"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    // 20 single-row appends, compacted every 5 batches: the partition
+    // holds one dense file + at most 4 uncompacted appends
+    assert(files <= 5, s"expected <= 5 files after compaction cadence, got $files")
+    val got = st.data.select("ts", "value").as[(Long, Double)].collect().toSet
+    assert(got === rows.map(r => (r._3, r._4)).toSet)
+  }
 }
