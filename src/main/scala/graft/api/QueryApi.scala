@@ -119,25 +119,33 @@ object QueryApi {
   }
 
   /** Execute every sub-query and serialize the concatenated result sets.
-    * Results larger than `maxDps` data points are refused with the
-    * reference's 413 shape instead of collected.
+    * Throws [[ResponseTooLarge]] when the result exceeds `maxDps` data
+    * points — the HTTP layer maps it to status 413 (the reference sends
+    * an empty 413, query.cpp:1644); [[runQuery]] folds it into an error
+    * body for embedded callers.
     */
+  def executeQuery(dp: DataFrame, q: TsQuery,
+      opt: Planner.Options = Planner.Options(),
+      maxDps: Int = DefaultMaxDps): String = {
+    // the cap is a RESPONSE budget, shared across sub-queries — each
+    // sub collects against what the previous ones left (the reference
+    // caps the whole response buffer, not per sub-query)
+    var remaining = maxDps
+    val sets = q.subQueries.flatMap { sub =>
+      val subSets = runSub(dp, q, sub, opt, remaining)
+      remaining -= subSets.iterator.map(_.dps.size).sum
+      if (remaining < 0) throw ResponseTooLarge(maxDps)
+      subSets
+    }
+    sets.map(toJson(_, q.msResolution)).mkString("[", ",", "]")
+  }
+
+  /** [[executeQuery]] with the 413 refusal folded into an error body. */
   def runQuery(dp: DataFrame, q: TsQuery,
       opt: Planner.Options = Planner.Options(),
       maxDps: Int = DefaultMaxDps): String =
-    try {
-      // the cap is a RESPONSE budget, shared across sub-queries — each
-      // sub collects against what the previous ones left (the reference
-      // caps the whole response buffer, not per sub-query)
-      var remaining = maxDps
-      val sets = q.subQueries.flatMap { sub =>
-        val subSets = runSub(dp, q, sub, opt, remaining)
-        remaining -= subSets.iterator.map(_.dps.size).sum
-        if (remaining < 0) throw ResponseTooLarge(maxDps)
-        subSets
-      }
-      sets.map(toJson(_, q.msResolution)).mkString("[", ",", "]")
-    } catch {
+    try executeQuery(dp, q, opt, maxDps)
+    catch {
       case ResponseTooLarge(_) =>
         s"""{"error":{"code":413,"message":"response too large: more than $maxDps data points"}}"""
     }

@@ -68,11 +68,16 @@ object SelfMetrics {
 
   /** Drained samples as the canonical dp frame (metric, tags, ts, value,
     * seq) — ready for `Ingest.writePartitioned` / the query planner.
+    * `baseSeq` offsets the within-batch index so repeated flushes into a
+    * maintained [[graft.store.Store]] keep seq increasing across batches
+    * (the store's dedup contract).
     */
-  def toDp(spark: SparkSession, samples: Seq[Sample]): DataFrame = {
+  def toDp(spark: SparkSession, samples: Seq[Sample],
+      baseSeq: Long = 0L): DataFrame = {
     import spark.implicits._
     samples.zipWithIndex.map { case (s, i) =>
-      (s.metric, Map("func" -> s.func, "status" -> s.status), s.tsMs, s.value, i.toLong)
+      (s.metric, Map("func" -> s.func, "status" -> s.status), s.tsMs, s.value,
+        baseSeq + i.toLong)
     }.toDF("metric", "tags", "ts", "value", "seq")
   }
 }

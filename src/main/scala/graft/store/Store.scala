@@ -98,9 +98,24 @@ final class Store(spark: SparkSession, root: String,
       .parquet(entries.values.map(n => s"$path/$n").toSeq: _*)
   }
 
-  /** Raw data as the canonical dp frame. */
+  private val dpSchema = StructType(Seq(
+    StructField("metric", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("ts", LongType), StructField("value", DoubleType),
+    StructField("seq", LongType)))
+
+  /** Raw data as the canonical dp frame (empty before the first ingest —
+    * a freshly-booted server must answer queries with [] not a scan
+    * error).
+    */
   def data: DataFrame =
-    spark.read.parquet(dataPath).select(Dp.columns.map(col): _*)
+    if (!exists(dataPath)) emptyFrame(dpSchema)
+    else spark.read.parquet(dataPath).select(Dp.columns.map(col): _*)
+
+  /** Root of the date-partitioned raw data (what [[Maintenance]] and the
+    * admin commands operate on).
+    */
+  def dataLocation: String = dataPath
 
   def seriesIndex: DataFrame = readOr(indexPath, indexSchema)
 
