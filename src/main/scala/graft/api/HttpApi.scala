@@ -2,7 +2,6 @@ package graft.api
 
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.atomic.AtomicLong
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -50,12 +49,9 @@ final class HttpApi(
 
   // per-request seq window: wall-clock-seeded, strictly advancing even
   // when two requests land in the same millisecond (same scheme as the
-  // streaming seq, Ingest.withSeq)
-  private val SeqEpochMs = 1577836800000L
-  private val seqBase = new AtomicLong((System.currentTimeMillis() - SeqEpochMs) << 22)
-  private def nextSeqWindow(): Long =
-    seqBase.updateAndGet(prev =>
-      math.max((nowMs() - SeqEpochMs) << 22, prev + (1L << 22)))
+  // streaming seq, Ingest.withSeq; shared with the socket transports)
+  private val seqs = new graft.ingest.SeqWindows(nowMs)
+  private def nextSeqWindow(): Long = seqs.next()
 
   def start(): this.type = {
     server.createContext("/api/query", ex => handle(ex) {

@@ -1,0 +1,210 @@
+package graft.ingest
+
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import scala.io.Source
+
+import graft.model.Dp
+import graft.store.Store
+import org.apache.spark.sql.SparkSession
+
+/** Monotonic per-batch seq windows for driver-side ingest edges (HTTP
+  * request bodies, TCP connections, UDP packets). Each batch claims a
+  * window of 2^22 seqs seeded from the wall clock, strictly advancing
+  * even when two batches land in the same millisecond — the same scheme
+  * as the streaming seq ([[Ingest]]), so edge-ingested points and
+  * stream-ingested points order consistently under the maintained
+  * store's cross-batch last-wins dedup.
+  */
+final class SeqWindows(nowMs: () => Long = () => System.currentTimeMillis()) {
+  private val SeqEpochMs = 1577836800000L
+  private val base = new AtomicLong((nowMs() - SeqEpochMs) << 22)
+
+  /** Claim the base of a fresh window (room for 2^22 points). */
+  def next(): Long =
+    base.updateAndGet(prev =>
+      math.max((nowMs() - SeqEpochMs) << 22, prev + (1L << 22)))
+
+  /** Stamp a parsed batch with one window. */
+  def stamp(dps: Seq[Dp]): Seq[Dp] = {
+    val b = next()
+    dps.iterator.zipWithIndex.map { case (d, i) => d.copy(seq = b + i) }.toSeq
+  }
+}
+
+/** Line-batching core shared by the socket transports: receiver threads
+  * enqueue raw lines; one flusher thread drains them into
+  * [[Store.ingest]] batches (parse → seq-stamp → one Spark job per
+  * micro-batch). Batching is the load-bearing part — one job per LINE
+  * would drown the scheduler; one job per accumulated batch is the same
+  * shape as Structured Streaming's micro-batches and the reference's
+  * per-connection buffer flush (`src/core/tcp.cpp:460-534`).
+  *
+  * The driver JVM hosts the listener (like the HTTP edge); everything
+  * after `Store.ingest` is ordinary distributed Spark. A deployment that
+  * needs more edge bandwidth than one driver socket puts Kafka in front
+  * and uses [[graft.streaming.StreamIngest]] — same parsers, same store.
+  */
+private[graft] final class LineBatcher(
+    spark: SparkSession,
+    store: Store,
+    parse: String => Seq[Dp],
+    lingerMs: Long,
+    maxBatch: Int,
+    seqs: SeqWindows) {
+
+  private val queue = new ConcurrentLinkedQueue[String]()
+  private val running = new AtomicBoolean(true)
+  private val stopped = new CountDownLatch(1)
+  // flush() is synchronized: the flusher thread and awaitQuiesce callers
+  // (tests, shutdown) share it so a batch is never ingested twice
+  private val lock = new Object
+
+  def enqueue(line: String): Unit = queue.add(line)
+
+  private def flush(): Unit = lock.synchronized {
+    val buf = Seq.newBuilder[String]
+    var n = 0
+    var l = queue.poll()
+    while (l != null && n < maxBatch) { buf += l; n += 1; l = if (n < maxBatch) queue.poll() else null }
+    val lines = buf.result()
+    if (lines.nonEmpty) {
+      val dps = seqs.stamp(lines.flatMap(parse))
+      if (dps.nonEmpty) {
+        import spark.implicits._
+        store.ingest(spark.createDataset(dps).toDF())
+      }
+    }
+  }
+
+  private val flusher = new Thread(() => {
+    while (running.get()) {
+      flush()
+      if (queue.isEmpty) Thread.sleep(lingerMs)
+    }
+    flush() // drain what arrived during shutdown
+    stopped.countDown()
+  }, "graft-ingest-flusher")
+  flusher.setDaemon(true)
+  flusher.start()
+
+  /** Block until everything enqueued so far is ingested (tests). */
+  def awaitQuiesce(): Unit = { while (!queue.isEmpty) flush(); lock.synchronized(()) }
+
+  def stop(): Unit = { running.set(false); stopped.await() }
+}
+
+/** TCP line ingest — the Spark-side twin of the reference's TCP write
+  * path (`src/core/tcp.cpp:339,460-534`): a listener per protocol, port
+  * id 0 speaking OpenTSDB plain put and port id 1 InfluxDB line protocol
+  * (`include/config.h:78-79`). Fire-and-forget like the reference:
+  * data lines get no response; the inline `version` command is answered
+  * on the same socket (the reference's socket loop dispatches non-put
+  * commands to the HTTP handler table).
+  *
+  * @param proto "plain" (OpenTSDB put) or "influx" (line protocol)
+  */
+final class TcpLineServer(
+    spark: SparkSession,
+    store: Store,
+    proto: String = "plain",
+    port: Int = 0, // 0 = ephemeral (tests)
+    lingerMs: Long = 200L,
+    maxBatch: Int = 1 << 16,
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    seqs: SeqWindows = new SeqWindows()) {
+
+  private val parse: String => Seq[Dp] = proto match {
+    case "plain" => l => LineParsers.parsePlain(l).toSeq
+    case "influx" => l => LineParsers.parseInflux(l, nowMs())
+    case other => throw new IllegalArgumentException(s"unknown protocol: $other")
+  }
+
+  private val batcher = new LineBatcher(spark, store, parse, lingerMs, maxBatch, seqs)
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", port))
+
+  def boundPort: Int = server.getLocalPort
+
+  private val running = new AtomicBoolean(true)
+
+  private def serve(sock: Socket): Unit = {
+    val out = sock.getOutputStream
+    try Source.fromInputStream(sock.getInputStream, "UTF-8").getLines().foreach { line =>
+      val t = line.trim
+      if (t == "version") { // tsdb.cpp answers inline commands on-socket
+        out.write((graft.api.Info.versionJson + "\n").getBytes(UTF_8)); out.flush()
+      } else if (t.nonEmpty) batcher.enqueue(line)
+    } catch { case _: java.io.IOException => () } // peer reset mid-stream
+    finally sock.close()
+  }
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"graft-tcp-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () } // closed during accept
+    }
+  }, s"graft-tcp-$proto")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  /** Block until all received lines are ingested (tests). */
+  def awaitQuiesce(): Unit = batcher.awaitQuiesce()
+
+  def stop(): Unit = {
+    running.set(false)
+    server.close()
+    batcher.stop()
+  }
+}
+
+/** UDP line ingest — best-effort datagrams of OpenTSDB plain-put lines,
+  * one or more per packet (`src/core/udp.cpp:1-240`). No response path
+  * by construction; drops under overload are the protocol's contract.
+  */
+final class UdpLineServer(
+    spark: SparkSession,
+    store: Store,
+    port: Int = 0,
+    lingerMs: Long = 200L,
+    maxBatch: Int = 1 << 16,
+    seqs: SeqWindows = new SeqWindows()) {
+
+  private val batcher = new LineBatcher(
+    spark, store, l => LineParsers.parsePlain(l).toSeq, lingerMs, maxBatch, seqs)
+  private val socket = new DatagramSocket(new InetSocketAddress("127.0.0.1", port))
+
+  def boundPort: Int = socket.getLocalPort
+
+  private val running = new AtomicBoolean(true)
+
+  private val receiver = new Thread(() => {
+    val buf = new Array[Byte](65536) // max UDP payload
+    while (running.get()) {
+      try {
+        val pkt = new DatagramPacket(buf, buf.length)
+        socket.receive(pkt)
+        new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8)
+          .linesIterator.filter(_.nonEmpty).foreach(batcher.enqueue)
+      } catch { case _: java.io.IOException => () } // closed during receive
+    }
+  }, "graft-udp")
+  receiver.setDaemon(true)
+  receiver.start()
+
+  /** Block until all received packets are ingested (tests). */
+  def awaitQuiesce(): Unit = batcher.awaitQuiesce()
+
+  def stop(): Unit = {
+    running.set(false)
+    socket.close()
+    batcher.stop()
+  }
+}
