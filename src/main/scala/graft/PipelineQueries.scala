@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, FilterChain, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,46 @@ object PipelineQueries {
     "pl_fingerprint" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-family repetition profile: dup token/2-gram/3-gram
+    // fractions + longest same-token run, all per-row array math
+    "pl_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir))
+        .select(col("doc_id"),
+          sround(col("dup_token_frac")).as("dup_token_frac"),
+          sround(col("dup_2gram_frac")).as("dup_2gram_frac"),
+          sround(col("dup_3gram_frac")).as("dup_3gram_frac"),
+          col("max_run"))
+        .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: train docs sharing any 4-gram with the
+    // (broadcast) eval slice doc_id % 13 == 0
+    "pl_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % 13 =!= 0),
+        d.filter(col("doc_id") % 13 === 0), n = 4)
+        .orderBy("id")
+    },
+
+    // per-source document cap (the web pipeline's per-host cap):
+    // deterministic salted-rank keep of at most 10 docs per source
+    "pl_source_cap" -> { (s, dir) =>
+      Sampling.capPerKey(docs(s, dir), "source", "doc_id", maxPerKey = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // composite C4/Gopher filter chain with first-failing-rule reasons;
+    // +10000 duplicates unioned in so the duplicate rule fires
+    "pl_filter_chain" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val u = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      FilterChain.c4Filter(u)
+        .select(col("doc_id"), col("keep"), col("reason"))
         .orderBy("doc_id")
     },
 
@@ -267,6 +307,103 @@ object PipelineQueries {
          |      list_transform(w, t -> ${h60Sql("t")} % 1099511627776)),
          |    (a, b) -> (a * 31 + b) % 1099511627776) AS fp
          |FROM tok ORDER BY doc_id""".stripMargin
+
+    // Longest same-token run via gaps-and-islands over relation
+    // `src(doc_id, w)` → relation `mr(doc_id, max_run)`. Deliberately
+    // lambda-free: DuckDB 1.0.0's list_reduce leaks accumulator state
+    // across rows when vectorized over a table (correct on literals,
+    // wrong over a scan), so the oracle must not use it.
+    def maxRunCtes(src: String): String =
+      s"""ex AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM $src),
+         |ex2 AS (SELECT doc_id, i, w[i] AS tok FROM ex),
+         |isl AS (
+         |  SELECT doc_id, tok,
+         |         i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+         |  FROM ex2),
+         |mr AS (
+         |  SELECT doc_id, max(c) AS max_run FROM (
+         |    SELECT doc_id, count(*) AS c FROM isl GROUP BY doc_id, tok, grp)
+         |  GROUP BY doc_id)""".stripMargin
+    val dupFracSql = "1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)"
+
+    val repetition =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, w,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+         |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+         |  FROM t),
+         |${maxRunCtes("t")}
+         |SELECT g.doc_id,
+         |  ${sroundSql(dupFracSql)} AS dup_token_frac,
+         |  ${sroundSql(
+          "CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END")} AS dup_2gram_frac,
+         |  ${sroundSql(
+          "CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END")} AS dup_3gram_frac,
+         |  mr.max_run
+         |FROM g JOIN mr ON g.doc_id = mr.doc_id ORDER BY g.doc_id""".stripMargin
+
+    val decontam =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 13 = 0)
+        |SELECT g.doc_id AS id, count(*) AS n_contaminated
+        |FROM g JOIN ev USING (s) WHERE g.doc_id % 13 != 0
+        |GROUP BY g.doc_id ORDER BY id""".stripMargin
+
+    val sourceCap =
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cap'), 1, 15)) AS BIGINT) % 10000,
+        |             doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
+    val stop10 = stopIn(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+    val qualitySql =
+      s"""least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+         | + least(len(list_filter(w, t -> t IN ($stop10))) / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3
+         | + (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2""".stripMargin
+
+    val fcLangScores = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(w, t -> t IN (${stopIn(ws)}))) AS s_$lang"
+    }.mkString(",\n    ")
+    val fcLangBest = TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString(", ")
+    val fcLangCase = TextAnalysis.langProfiles
+      .map { case (lang, _) => s"WHEN s_$lang = best AND best > 0 THEN '$lang'" }
+      .mkString(" ")
+    val filterChain =
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents),
+         |t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM d),
+         |${maxRunCtes("t")},
+         |feat AS (
+         |  SELECT doc_id, keep_id, len(w) AS ntok,
+         |    $dupFracSql AS dupfrac,
+         |    $qualitySql AS q,
+         |    $fcLangScores
+         |  FROM t),
+         |best AS (SELECT *, greatest($fcLangBest) AS best FROM feat),
+         |r AS (
+         |  SELECT feat.doc_id,
+         |    CASE WHEN feat.doc_id != keep_id THEN 'duplicate'
+         |         WHEN (CASE $fcLangCase ELSE 'und' END) != 'en' THEN 'lang'
+         |         WHEN ntok < 15 THEN 'too_short'
+         |         WHEN ntok > 95 THEN 'too_long'
+         |         WHEN dupfrac > 0.65 THEN 'repetitive_tokens'
+         |         WHEN mr.max_run > 2 THEN 'repetitive_run'
+         |         WHEN q < 0.31 THEN 'low_quality'
+         |         ELSE 'ok' END AS reason
+         |  FROM best feat JOIN mr ON feat.doc_id = mr.doc_id)
+         |SELECT doc_id, reason = 'ok' AS keep, reason FROM r ORDER BY doc_id""".stripMargin
 
     val dedupExact =
       """WITH d AS (
@@ -526,6 +663,10 @@ object PipelineQueries {
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,
       "pl_fingerprint" -> fp,
+      "pl_repetition" -> repetition,
+      "pl_decontam" -> decontam,
+      "pl_source_cap" -> sourceCap,
+      "pl_filter_chain" -> filterChain,
       "pl_dedup_exact" -> dedupExact,
       "pl_dedup_ngram" -> ngram,
       "pl_dedup_ngram_hot" -> ngramHot,

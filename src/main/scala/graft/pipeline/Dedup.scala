@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.GraftFunctions.md5Hash60
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,6 +270,33 @@ object Dedup {
       .select(col("id"))
     val kept = docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
     materializeAndRelease(kept, labels)
+  }
+
+  /** Benchmark decontamination: flag TRAIN documents that share any word
+    * n-gram with the EVAL set (the test-set-leakage scrub every
+    * pre-training pipeline runs before releasing a corpus). Returns
+    * `(id, n_contaminated)` — one row per contaminated train doc with
+    * its count of distinct leaked n-grams.
+    *
+    * 100 TB shape: eval sets are benchmarks — kilobytes against a
+    * 100 TB corpus — so the distinct eval n-gram set is broadcast and
+    * the train side joins without shuffling; the only exchange is the
+    * per-doc count's map-side-combined aggregation.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokens projected once per row, then n-grams built from the array
+    // (inlining the split into the n-gram builder re-splits per element
+    // — measured 5× slower; see TextAnalysis codegen note)
+    def grams(df: DataFrame, cols: Column*) = {
+      val pre = TextAnalysis.withTokens(df, textCol)
+      pre.select(cols :+ explode(array_distinct(
+        TextAnalysis.ngramsOf(col("w_"), n))).as("g"): _*)
+    }
+    val evalGrams = grams(evalSet).distinct()
+    grams(train, col(idCol).as("id"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
   }
 
   /** SimHash of the token multiset: bit b of the result is the sign of

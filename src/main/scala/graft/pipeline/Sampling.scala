@@ -41,6 +41,24 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000))
 
+  /** Keep at most `maxPerKey` rows per key, chosen deterministically by
+    * salted md5 rank (doc id tie-break) — the per-host document cap of
+    * web-corpus pipelines, reproducible across runs and engines. One
+    * shuffle on the key; rank-then-filter means only `maxPerKey` rows
+    * per key survive the window, and a skewed key costs one partition's
+    * scan, not a blowup. (For pathological single-key skew, pre-filter
+    * with an approximate per-key count and salt — not needed while keys
+    * are hosts/sources with bounded fan-in.)
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int, salt: String = "cap"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+    df.withColumn("rk_", row_number().over(w))
+      .filter(col("rk_") <= maxPerKey)
+      .drop("rk_")
+  }
+
   /** Sequence packing: assign each doc a pack-bin so every bin holds
     * ~`budgetTokens` tokens — the grouping step before concatenating
     * documents into fixed-length training sequences. Docs are spread

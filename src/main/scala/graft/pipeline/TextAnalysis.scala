@@ -68,9 +68,11 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
   /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(stopwords: _*))) /
-      size(tokens(text)).cast("double")
+  def stopwordRatioOf(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*))) /
+      size(toks).cast("double")
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
 
   def avgWordLen(text: Column): Column =
     (length(text) - (size(tokens(text)) - 1)) /
@@ -80,10 +82,13 @@ object TextAnalysis {
     * presence − punctuation noise (the standard cheap heuristics used to
     * pre-filter web corpora).
     */
-  def qualityScore(text: Column): Column =
-    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
-      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3 +
+  def qualityScoreOf(text: Column, toks: Column): Column =
+    least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(stopwordRatioOf(toks) * 5.0, lit(1.0)) * 0.3 +
       (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.2
+
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text))
 
   /** Per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — language ID at corpus scale is a
@@ -100,8 +105,7 @@ object TextAnalysis {
     * (undetermined) when no profile scores > 0. Ties resolve in profile
     * order (en first) — deterministic.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdOf(toks: Column): Column = {
     def score(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words: _*)))
     val scores = langProfiles.map { case (lang, ws) => lang -> score(ws) }
@@ -109,6 +113,97 @@ object TextAnalysis {
     scores.foldRight(lit("und")) { case ((lang, s), el) =>
       when(s === best && best > 0, lang).otherwise(el)
     }
+  }
+
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** IMPORTANT codegen note for every `...Of(toks)` variant below: pass
+    * a PROJECTED array column (`df.select(split(...).as("w"))` in a
+    * child Project), not `tokens(text)` inline. Catalyst substitutes an
+    * inline expression into every `element_at`/`size` reference, so an
+    * n-gram builder over `tokens(text)` re-runs the regex split O(n)
+    * times per row (measured 5× on pl_decontam); a projected column is
+    * evaluated once per row and reused by whole-stage codegen (Catalyst
+    * keeps the Projects separate when collapsing would duplicate a
+    * non-cheap expression).
+    */
+  def withTokens(docs: DataFrame, textCol: String = "text",
+      tokCol: String = "w_"): DataFrame =
+    docs.withColumn(tokCol, tokens(col(textCol)))
+
+  /** Word n-grams of a token array as space-joined strings; empty array
+    * when the doc has fewer than n tokens.
+    */
+  def ngramsOf(toks: Column, n: Int): Column = {
+    require(n >= 1, "n >= 1")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word n-grams straight from text — fine for one-off use; hot paths
+    * should project `tokens` once and use [[ngramsOf]] (see codegen
+    * note above).
+    */
+  def wordNgrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
+
+  /** Fraction of token occurrences that are repeats of an earlier token
+    * (1 − distinct/total) — the token-level analogue of Gopher's
+    * duplicate-line fraction (the corpus is single-line docs). Pure
+    * per-row array math: no shuffle at any scale.
+    */
+  def dupTokenFracOf(toks: Column): Column =
+    lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double")
+
+  def dupTokenFrac(text: Column): Column = dupTokenFracOf(tokens(text))
+
+  /** Fraction of word n-gram occurrences that are repeats — Gopher's
+    * duplicate-n-gram filters, token-denominated. 0.0 for docs shorter
+    * than n.
+    */
+  def dupNgramFracOf(toks: Column, n: Int): Column = {
+    val g = ngramsOf(toks, n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)) / size(g).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def dupNgramFrac(text: Column, n: Int): Column =
+    dupNgramFracOf(tokens(text), n)
+
+  /** Longest run of the SAME token repeated consecutively — catches the
+    * "word word word word ..." degeneracy n-gram fractions miss. One
+    * `aggregate` pass over the token array (struct accumulator:
+    * previous token, current run, best run); O(tokens) per row, no
+    * shuffle.
+    */
+  def maxTokenRunOf(toks: Column): Column =
+    aggregate(
+      toks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  def maxTokenRun(text: Column): Column = maxTokenRunOf(tokens(text))
+
+  /** Per-document repetition profile (the Gopher repetition-filter
+    * family): duplicate token / bigram / trigram fractions + longest
+    * same-token run. Embarrassingly parallel per row; tokens split once
+    * per row via [[withTokens]].
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = col("w_")
+    withTokens(docs, textCol).select(col(idCol),
+      dupTokenFracOf(w).as("dup_token_frac"),
+      dupNgramFracOf(w, 2).as("dup_2gram_frac"),
+      dupNgramFracOf(w, 3).as("dup_3gram_frac"),
+      maxTokenRunOf(w).as("max_run"))
   }
 
   private val FpMod = 1L << 40

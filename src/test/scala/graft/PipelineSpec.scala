@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, FilterChain, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
@@ -230,5 +230,63 @@ class PipelineSpec extends SparkSpec {
       Multimodal.withPayload(media, "text", "doc_id"), n = 3, frameBytes = 64)
     val rows = frames.select("frame_idx").as[Int].collect().toSeq.sorted
     assert(rows === Seq(0, 1)) // 100 bytes → frame 0 (64) + frame 1 (36)
+  }
+
+  test("repetition stats: crafted docs hit exact fractions and runs") {
+    val d = Seq(
+      (1L, "a b c d"),           // no repeats
+      (2L, "a a a b"),           // dup tokens, run of 3
+      (3L, "x y x y x y"))       // repeated bigram "x y", no run
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double, Long)].collect()
+    assert(r(0) === ((1L, 0.0, 0.0, 0.0, 1L)))
+    assert(r(1)._2 === 0.5) // 4 tokens, 2 distinct
+    assert(r(1)._5 === 3L)
+    // "x y x y x y": 5 bigrams, 2 distinct → 3/5 dup; 4 trigrams, 2 distinct
+    assert(r(2)._3 === 0.6 && r(2)._4 === 0.5 && r(2)._5 === 1L)
+  }
+
+  test("decontaminate: only train docs sharing an n-gram with eval flagged") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),  // shares 4-gram with eval
+      (2L, "completely different words here now")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "see the quick brown fox run")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, eval_, n = 4)
+      .as[(Long, Long)].collect().toMap
+    // the single shared 4-gram is "the quick brown fox"; doc 2 is clean
+    assert(r === Map(1L -> 1L))
+  }
+
+  test("capPerKey keeps exactly min(k, n) per key, deterministically") {
+    val d = (0L until 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val r1 = Sampling.capPerKey(d, "source", "doc_id", 4)
+      .as[(Long, String)].collect().toSet
+    val r2 = Sampling.capPerKey(d, "source", "doc_id", 4)
+      .as[(Long, String)].collect().toSet
+    assert(r1 === r2 && r1.size === 12)
+    assert(r1.groupBy(_._2).forall(_._2.size === 4))
+    // cap above group size keeps everything
+    assert(Sampling.capPerKey(d, "source", "doc_id", 100).count() === 30)
+  }
+
+  test("filter chain: first failing rule wins, duplicates tagged") {
+    val en = "the stream is a table of the data and it is fast for the query"
+    val d = Seq(
+      (1L, en),                               // ok
+      (2L, en),                               // duplicate of 1
+      (3L, "el la de que y " * 4),            // lang
+      (4L, "the a of and to in is"),          // too_short (7 tokens)
+      (5L, en + (" word word word")))         // repetitive_run (run of 3)
+      .toDF("doc_id", "text")
+    val r = FilterChain.c4Filter(d)
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, true, "ok")))
+    assert(r(1) === ((2L, false, "duplicate")))
+    assert(r(2)._3 === "lang")
+    assert(r(3)._3 === "too_short")
+    assert(r(4)._3 === "repetitive_run")
   }
 }
