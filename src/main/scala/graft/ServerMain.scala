@@ -1,0 +1,76 @@
+package graft
+
+import graft.api.{HttpApi, SelfMetrics}
+import graft.ingest.{SeqWindows, TcpLineServer, UdpLineServer}
+import graft.store.Store
+import org.apache.spark.sql.SparkSession
+
+/** Runnable engine: the full port table of the reference
+  * (`src/core/http.cpp:95-116` HTTP endpoints; `include/config.h:78-79`
+  * TCP data ports; `src/core/udp.cpp` best-effort ingest) over ONE
+  * maintained [[Store]], plus the periodic self-metrics flush the
+  * reference runs as a background stats task (`src/utils/stats.cpp`).
+  *
+  *   sbt "runMain graft.ServerMain /tmp/graft_store 6182 6181 6180 6180"
+  *
+  * args: storeDir [httpPort tcpPlainPort tcpInfluxPort udpPort
+  * flushSeconds] — ports default to the reference's 6182/6181/6180,
+  * UDP shares 6180's number on its own protocol, flush every 30 s.
+  *
+  * The driver JVM hosts the listeners; every request's heavy lifting is
+  * ordinary distributed Spark. All transports share one [[SeqWindows]]
+  * so cross-transport duplicates resolve by arrival order under the
+  * store's last-wins dedup.
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val storeDir = args.headOption.getOrElse("/tmp/graft_store")
+    def port(i: Int, default: Int) =
+      args.lift(i).flatMap(_.toIntOption).getOrElse(default)
+    val (httpPort, tcpPort, influxPort, udpPort) =
+      (port(1, 6182), port(2, 6181), port(3, 6180), port(4, 6180))
+    val flushSeconds = port(5, 30)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val recorder = SelfMetrics.install(spark)
+    val store = new Store(spark, storeDir)
+    val seqs = new SeqWindows()
+    val http = new HttpApi(spark, store, port = httpPort,
+      recorder = Some(recorder)).start()
+    val tcp = new TcpLineServer(spark, store, proto = "plain",
+      port = tcpPort, seqs = seqs)
+    val influx = new TcpLineServer(spark, store, proto = "influx",
+      port = influxPort, seqs = seqs)
+    val udp = new UdpLineServer(spark, store, port = udpPort, seqs = seqs)
+
+    // periodic self-metrics flush into the store (graft.* series become
+    // queryable like the reference's ticktock.* stats)
+    val flusher = new Thread(() => {
+      while (true) {
+        Thread.sleep(flushSeconds * 1000L)
+        try http.flushSelfMetrics()
+        catch { case e: Exception =>
+          System.err.println(s"[graft] self-metrics flush failed: ${e.getMessage}")
+        }
+      }
+    }, "graft-selfmetrics-flush")
+    flusher.setDaemon(true)
+    flusher.start()
+
+    println(s"graft serving: http=${http.boundPort} tcp-plain=${tcp.boundPort} " +
+      s"tcp-influx=${influx.boundPort} udp=${udp.boundPort} store=$storeDir")
+    sys.addShutdownHook {
+      tcp.stop(); influx.stop(); udp.stop(); http.stop(); spark.stop()
+    }
+    Thread.currentThread.join() // serve until killed
+  }
+}

@@ -106,11 +106,15 @@ final class Store(spark: SparkSession, root: String,
 
   /** Raw data as the canonical dp frame (empty before the first ingest —
     * a freshly-booted server must answer queries with [] not a scan
-    * error).
+    * error). The schema is explicit, never inferred: a concurrent
+    * reader can land while the FIRST append holds only `_temporary`
+    * content, and schema inference over zero committed files throws
+    * where an explicit schema yields the correct empty result.
     */
   def data: DataFrame =
     if (!exists(dataPath)) emptyFrame(dpSchema)
-    else spark.read.parquet(dataPath).select(Dp.columns.map(col): _*)
+    else spark.read.schema(dpSchema).parquet(dataPath)
+      .select(Dp.columns.map(col): _*)
 
   /** Root of the date-partitioned raw data (what [[Maintenance]] and the
     * admin commands operate on).

@@ -17,6 +17,16 @@ class StoreSpec extends SparkSpec {
       Dp(m, Map("host" -> h), ts, v, q)
     }).toDF()
 
+  test("data dir present but no committed files yet: empty frame, not a scan error") {
+    // the state a concurrent reader sees while the FIRST append still
+    // holds only _temporary content (caught live in the ServerMain demo)
+    val dir = java.nio.file.Files.createTempDirectory("store_race").toString
+    val store = new Store(spark, dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/data/_temporary"))
+    assert(store.data.count() === 0)
+    assert(store.data.columns.toSeq === Dp.columns)
+  }
+
   test("incremental metadata equals the full derivation") {
     // 2 series × 3 days with an in-chunk OOO pair, a cross-chunk
     // duplicate timestamp, and a NaN — each marking its slice
