@@ -207,6 +207,26 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // embedding preprocessing: L2 norm + unit vector + symmetric int8
+    // quantization, summarized as scalars (array columns don't hash)
+    "pl_embed_prep" -> { (s, dir) =>
+      Similarity.embedPrep(emb(s, dir))
+        .select(col("vec_id"),
+          sround(col("norm")).as("norm"),
+          sround(element_at(col("unit"), 1)).as("unit1"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"))
+        .orderBy("vec_id")
+    },
+
+    // Lloyd k-means (k=8, 2 iterations, deterministic first-k init) —
+    // corpus clustering for curation; oracle replays both iterations
+    "pl_kmeans" -> { (s, dir) =>
+      Similarity.kmeans(emb(s, dir), k = 8, iters = 2)
+        .orderBy("id")
+    },
+
     // ---- multimodal columns ---------------------------------------------
     "pl_mm_meta" -> { (s, dir) =>
       Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir), "text", "doc_id"))
@@ -644,6 +664,59 @@ object PipelineQueries {
          |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
          |ORDER BY id1, id2""".stripMargin
 
+    val embedPrep =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, v,
+         |         sqrt(list_dot_product(v, v)) AS norm,
+         |         list_max(list_transform(v, x -> abs(x))) AS maxabs
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id, norm, v,
+         |         list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS qv
+         |  FROM p)
+         |SELECT vec_id,
+         |  ${sroundSql("norm")} AS norm,
+         |  ${sroundSql("v[1] / norm")} AS unit1,
+         |  list_min(qv) AS qmin,
+         |  list_max(qv) AS qmax,
+         |  CAST(list_sum(qv) AS BIGINT) AS qsum
+         |FROM q ORDER BY vec_id""".stripMargin
+
+    // Lloyd k-means, two full iterations + final assignment. Distances
+    // and init mirror Similarity.kmeans exactly; centroid means are
+    // rounded with the shared sround each iteration so both engines
+    // iterate from bit-identical literals (summation ORDER differs
+    // between engines; 1e-4 rounding absorbs the 1e-13 noise).
+    val kmAssign = (src: String, out: String) =>
+      s"""$out AS (SELECT id, v, cid FROM (
+         |  SELECT e.id, e.v, c.cid, row_number() OVER (PARTITION BY e.id ORDER BY
+         |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |      + list_dot_product(c.cv, c.cv), c.cid) AS rk
+         |  FROM e, $src c) WHERE rk = 1)""".stripMargin
+    val kmUpdate = (assign: String, prev: String, out: String) =>
+      s"""m_$out AS (
+         |  SELECT cid, d, ${sroundSql("avg(v[d])")} AS m
+         |  FROM $assign, (SELECT unnest(range(1, 65)) AS d) dims
+         |  GROUP BY cid, d),
+         |n_$out AS (SELECT cid, list(m ORDER BY d) AS cv FROM m_$out GROUP BY cid),
+         |$out AS (
+         |  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN n_$out n ON p.cid = n.cid)""".stripMargin
+    val kmeans =
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "a3")}
+         |SELECT id, cid FROM a3 ORDER BY id""".stripMargin
+
     val mmMeta =
       """SELECT doc_id AS id,
         |  CAST(length(text) AS BIGINT) AS byte_len,
@@ -681,6 +754,8 @@ object PipelineQueries {
       "pl_knn" -> knn,
       "pl_knn_ivf" -> ivf,
       "pl_knn_lsh" -> lshKnn,
+      "pl_embed_prep" -> embedPrep,
+      "pl_kmeans" -> kmeans,
       "pl_neardup_cos" -> nearDup,
       "pl_mm_meta" -> mmMeta,
       "pl_mm_frames" -> mmFrames)

@@ -109,6 +109,92 @@ object Similarity {
         col("cos"))
   }
 
+  /** Embedding preprocessing for the ANN/near-dup family: L2 norm, the
+    * unit-normalized vector, and symmetric int8 quantization
+    * `q_i = floor(127·x_i/max|x| + 0.5)` (the storage-shrink pass run
+    * before building an index at corpus scale). Norm and max|x| are
+    * projected once per row; everything is per-row array math — no
+    * shuffle at any scale.
+    */
+  def embedPrep(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dotp(col("v"), col("v"))))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("unit", transform(col("v"), x => x / col("norm")))
+      .withColumn("q",
+        transform(col("v"),
+          x => floor(x * 127.0 / col("maxabs") + 0.5).cast("long")))
+
+  /** The shared gate rounding (PipelineQueries.sround's JVM twin) —
+    * centroids are rounded with it every k-means iteration so both
+    * engines iterate from bit-identical literals.
+    */
+  private def round4(x: Double): Double =
+    math.floor(x * 10000 + 0.5 + 1e-6) / 10000.0
+
+  /** Lloyd k-means over the embedding column — corpus clustering for
+    * curation pipelines (SemDeDup-style semantic grouping, cluster-
+    * balanced sampling). Deterministic and oracle-checkable:
+    *
+    *   - init: the vectors with `id < k` (ids are stable, so is init);
+    *   - assignment: squared euclidean argmin, ties to the smaller cid;
+    *   - update: per-cluster mean, rounded to 1e-4 so cross-engine
+    *     floating-summation order can't leak into the next iteration;
+    *     an emptied cluster keeps its previous centroid.
+    *
+    * Spark shape (MLlib's own Lloyd layout): centroids live on the
+    * driver as k·dim literals — each iteration is ONE distributed pass
+    * (argmin against literal centroids, then a map-side-combined
+    * per-cluster sum whose k·dim result collects back). No join, no
+    * window; the only shuffle per iteration carries k rows of partial
+    * sums per partition. Returns (id, cid) under the final centroids.
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Seq[Double])] = pts.filter(col("id") < k)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    require(cents.nonEmpty, s"need at least one vector with $idCol < k")
+    val dim = cents.head._2.size
+
+    // argmin over literal centroids: least() on (dist, cid) structs —
+    // struct ordering gives min distance, then min cid on ties
+    def assigned() = {
+      val scored = cents.map { case (cid, cv) =>
+        val cl = array(cv.map(lit): _*)
+        val d2 = dotp(col("v"), col("v")) - lit(2.0) * dotp(col("v"), cl) +
+          lit(cv.map(x => x * x).sum)
+        struct(d2.as("d2"), lit(cid).as("cid"))
+      }
+      pts.withColumn("best", least(scored: _*))
+        .select(col("id"), col("v"), col("best.cid").as("cid"))
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assigned()
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("sv"))
+        .as[(Long, Long, Seq[Double])].collect()
+      val updated = sums.map { case (cid, n, sv) =>
+        cid -> sv.map(s => round4(s / n))
+      }.toMap
+      cents = cents.map { case (cid, cv) => cid -> updated.getOrElse(cid, cv) }
+    }
+    val out = assigned().select(col("id"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pts.unpersist()
+    out
+  }
+
   /** Deterministic hyperplane component r[p][d] ∈ [-1, 1], derived from
     * md5(p || '_' || d) — the JVM-side twin of
     * [[graft.functions.GraftFunctions.md5Hash60]], so buckets are

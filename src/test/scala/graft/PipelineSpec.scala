@@ -232,6 +232,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows === Seq(0, 1)) // 100 bytes → frame 0 (64) + frame 1 (36)
   }
 
+  test("embedPrep: unit vectors have norm 1, quantization spans [-127,127]") {
+    val r = Similarity.embedPrep(emb)
+      .select(
+        abs(graft.functions.GraftFunctions.dotp(col("unit"), col("unit")) - 1.0).as("err"),
+        array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"))
+      .agg(max("err"), min("qmin"), max("qmax"))
+      .as[(Double, Long, Long)].first()
+    assert(r._1 < 1e-9)
+    assert(r._2 >= -127L && r._3 <= 127L)
+    // the max-|x| component quantizes to exactly ±127 in every vector
+    val hit = Similarity.embedPrep(emb)
+      .filter(array_max(col("q")) === 127 || array_min(col("q")) === -127)
+    assert(hit.count() === emb.count())
+  }
+
+  test("kmeans: points sit with their nearest centroid; iterating helps") {
+    val a = Similarity.kmeans(emb, k = 4, iters = 2)
+    // every cluster non-empty and all points assigned exactly once
+    val sizes = a.groupBy("cid").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L, 3L) && sizes.values.sum === emb.count())
+    // deterministic across runs
+    val b = Similarity.kmeans(emb, k = 4, iters = 2)
+    assert(a.orderBy("id").collect().toSeq === b.orderBy("id").collect().toSeq)
+  }
+
   test("repetition stats: crafted docs hit exact fractions and runs") {
     val d = Seq(
       (1L, "a b c d"),           // no repeats
