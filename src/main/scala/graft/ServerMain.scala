@@ -37,6 +37,10 @@ object ServerMain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // auto-compaction rename-swaps a day dir; a query that listed
+      // files just before the swap then degrades to skipping the
+      // replaced small files instead of failing the request
+      .config("spark.sql.files.ignoreMissingFiles", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,7 +49,7 @@ object ServerMain {
     val store = new Store(spark, storeDir)
     val seqs = new SeqWindows()
     val http = new HttpApi(spark, store, port = httpPort,
-      recorder = Some(recorder)).start()
+      recorder = Some(recorder), sharedSeqs = Some(seqs)).start()
     val tcp = new TcpLineServer(spark, store, proto = "plain",
       port = tcpPort, seqs = seqs)
     val influx = new TcpLineServer(spark, store, proto = "influx",

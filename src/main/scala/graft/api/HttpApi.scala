@@ -40,7 +40,11 @@ final class HttpApi(
     port: Int = 0, // 0 = ephemeral (tests)
     maxDps: Int = QueryApi.DefaultMaxDps,
     recorder: Option[SelfMetrics.Recorder] = None,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    // pass the process-wide instance when other transports ingest into
+    // the same store (ServerMain does) — independent counters would
+    // break cross-transport last-wins ordering
+    sharedSeqs: Option[graft.ingest.SeqWindows] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -50,7 +54,7 @@ final class HttpApi(
   // per-request seq window: wall-clock-seeded, strictly advancing even
   // when two requests land in the same millisecond (same scheme as the
   // streaming seq, Ingest.withSeq; shared with the socket transports)
-  private val seqs = new graft.ingest.SeqWindows(nowMs)
+  private val seqs = sharedSeqs.getOrElse(new graft.ingest.SeqWindows(nowMs))
   private def nextSeqWindow(): Long = seqs.next()
 
   def start(): this.type = {
@@ -77,12 +81,17 @@ final class HttpApi(
       case "GET" => (200, Info.versionJson, Json)
     })
     server.createContext("/api/admin", ex => handle(ex) { case "POST" => admin(params(ex)) })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  // daemon threads (an embedding JVM must exit without an explicit
+  // stop()) and shut down on stop() so nothing leaks across instances
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ---- handlers ---------------------------------------------------------
 
@@ -142,23 +151,29 @@ final class HttpApi(
   }
 
   private def ingest(dps: Seq[Dp]): Unit = if (dps.nonEmpty) {
-    val base = nextSeqWindow()
-    val stamped = dps.zipWithIndex.map { case (d, i) => d.copy(seq = base + i) }
     import spark.implicits._
-    store.ingest(spark.createDataset(stamped).toDF())
+    store.ingest(spark.createDataset(seqs.stamp(dps)).toDF())
   }
 
   /** Top-level element count of a JSON put body (for the failed count —
     * the reference counts per-object parse failures, tsdb.cpp:2349-2378).
+    * String-aware: braces inside JSON string values don't count.
     */
   private def countJsonPuts(t: String): Int =
     if (t.startsWith("{")) 1
     else {
-      var depth = 0; var n = 0
-      t.foreach {
-        case '{' => depth += 1; if (depth == 1) n += 1
-        case '}' => depth -= 1
-        case _ => ()
+      var depth = 0; var n = 0; var inStr = false; var esc = false
+      t.foreach { c =>
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1; if (depth == 1) n += 1
+          case '}' => depth -= 1
+          case _ => ()
+        }
       }
       n
     }
@@ -181,7 +196,16 @@ final class HttpApi(
       case _ => None
     }
     val vals = df.map(_.collect().map(_.getString(0)).toSeq).getOrElse(Nil)
-    (200, vals.map(v => s""""$v"""").mkString("[", ",", "]"), Json)
+    // names come from ingest unvalidated — escape or a quote in a
+    // metric name breaks the response JSON
+    (200, vals.map(v => "\"" + jsonEscape(v) + "\"").mkString("[", ",", "]"), Json)
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** `GET /api/search/lookup?m=&limit=&startIndex=` (query.cpp:1477-1602). */

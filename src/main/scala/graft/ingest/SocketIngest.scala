@@ -80,13 +80,25 @@ private[graft] final class LineBatcher(
     }
   }
 
-  private val flusher = new Thread(() => {
-    while (running.get()) {
-      flush()
-      if (queue.isEmpty) Thread.sleep(lingerMs)
+  // a failed flush must not kill the flusher: the transport would go
+  // silently deaf and stop() would deadlock on the latch. The drained
+  // lines of the failed batch are lost (logged) — the same best-effort
+  // contract as the reference's UDP path; TCP senders needing stronger
+  // delivery use the HTTP edge's response codes.
+  private def flushLogged(): Unit =
+    try flush()
+    catch { case e: Throwable =>
+      System.err.println(s"[graft] ingest flush failed (batch dropped): ${e.getMessage}")
     }
-    flush() // drain what arrived during shutdown
-    stopped.countDown()
+
+  private val flusher = new Thread(() => {
+    try {
+      while (running.get()) {
+        flushLogged()
+        if (queue.isEmpty) Thread.sleep(lingerMs)
+      }
+      flushLogged() // drain what arrived during shutdown
+    } finally stopped.countDown()
   }, "graft-ingest-flusher")
   flusher.setDaemon(true)
   flusher.start()

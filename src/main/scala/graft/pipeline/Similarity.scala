@@ -172,7 +172,9 @@ object Similarity {
           lit(cv.map(x => x * x).sum)
         struct(d2.as("d2"), lit(cid).as("cid"))
       }
-      pts.withColumn("best", least(scored: _*))
+      // least() needs ≥2 args — k=1 degenerates to the single centroid
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      pts.withColumn("best", best)
         .select(col("id"), col("v"), col("best.cid").as("cid"))
     }
 

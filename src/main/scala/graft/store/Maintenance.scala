@@ -44,6 +44,8 @@ object Maintenance {
       numFiles: Int = 1): Unit = {
     val dir = s"$root/date=$date"
     val tmp = s"$root/.compact_tmp_date=$date"
+    val fs0 = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs0.exists(new Path(dir))) return // nothing to compact
     spark.read.parquet(dir)
       .repartition(numFiles)
       .sortWithinPartitions("metric", "ts")

@@ -143,10 +143,19 @@ final class Store(spark: SparkSession, root: String,
       oooMarks = Some(oooMarks),
       rollup1h = Some(rollup1h))
 
+  // Serializes writers: ServerMain wires several ingest edges into one
+  // store (HTTP pool threads, two TCP batchers, UDP, self-metrics
+  // flusher), and two interleaved ingests would race the manifest
+  // commit (both read prevSeq=N, one manifest.(N+1) rename silently
+  // loses) and share the raw append's _temporary dir. The reference
+  // serializes ingest per shard the same way; queries never take it.
+  private val writeLock = new Object
+
   /** Ingest one batch: append the data, then update the three metadata
-    * tables incrementally.
+    * tables incrementally. Thread-safe: batches from concurrent edges
+    * are serialized on [[writeLock]].
     */
-  def ingest(batch: DataFrame): Unit = {
+  def ingest(batch: DataFrame): Unit = writeLock.synchronized {
     val keyed = Dp.withSeriesKey(batch.select(Dp.columns.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -175,9 +184,14 @@ final class Store(spark: SparkSession, root: String,
 
   private def maybeCompact(days: Seq[Long]): Unit = {
     if (compactEveryBatches <= 0) return
+    // the data partition's date= value comes from to_date() under the
+    // SESSION timezone — name the dir the same way or a non-UTC session
+    // compacts a nonexistent path
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
     days.foreach { d =>
-      val date = java.time.Instant.ofEpochMilli(d)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      val date = java.time.Instant.ofEpochMilli(d).atZone(zone).toLocalDate.toString
       val n = batchesSinceCompact(date) + 1
       if (n >= compactEveryBatches) {
         Maintenance.compactPartition(spark, dataPath, date)
@@ -329,7 +343,12 @@ final class Store(spark: SparkSession, root: String,
     try out.write(entries.toSeq.sortBy(_._1)
       .map { case (d, n) => s"$d\t$n" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new Path(s"$live/manifest.$seq"))
+    // a failed rename means another writer published this seq — the
+    // single-writer lock should make that impossible in-process, so
+    // surface it instead of silently dropping the commit
+    if (!fs.rename(tmp, new Path(s"$live/manifest.$seq")))
+      throw new IllegalStateException(
+        s"manifest.$seq already published under $live — concurrent writer?")
   }
 
   /** Keep the two newest manifests (a reader may hold the previous one

@@ -152,6 +152,17 @@ class HttpSpec extends SparkSpec {
     } finally tiny.stop()
   }
 
+  test("suggest escapes JSON-hostile names; braces in strings don't skew put counts") {
+    // quotes are legal in the plain-put grammar (tokens are space-split)
+    post("/api/put", """put esc"q 0 1.0 host=x""")
+    val s = get("""/api/suggest?type=metrics&q=esc""")
+    assert(s.statusCode() === 200 && s.body() === """["esc\"q"]""")
+    // a '}' inside a string value must not corrupt the attempted count
+    val r = post("/api/put",
+      """[{"metric":"esc.m}x","timestamp":100,"value":1.0,"tags":{"h":"a"}}]""")
+    assert(r.statusCode() === 200 && r.body() === """{"success":1,"failed":0}""")
+  }
+
   test("self-metrics flush: recorded latencies become queryable graft.* series") {
     spark.range(100).count() // recorded by the listener (async delivery)
     var flushed = Seq.empty[SelfMetrics.Sample]

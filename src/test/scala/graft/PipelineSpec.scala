@@ -247,6 +247,12 @@ class PipelineSpec extends SparkSpec {
     assert(hit.count() === emb.count())
   }
 
+  test("kmeans degenerates cleanly at k=1") {
+    val a = Similarity.kmeans(emb, k = 1, iters = 1)
+    assert(a.select("cid").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(a.count() === emb.count())
+  }
+
   test("kmeans: points sit with their nearest centroid; iterating helps") {
     val a = Similarity.kmeans(emb, k = 4, iters = 2)
     // every cluster non-empty and all points assigned exactly once

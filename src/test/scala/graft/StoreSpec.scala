@@ -27,6 +27,26 @@ class StoreSpec extends SparkSpec {
     assert(store.data.columns.toSeq === Dp.columns)
   }
 
+  test("concurrent ingests from many threads serialize: nothing lost") {
+    val dir = java.nio.file.Files.createTempDirectory("store_mt").toString
+    val store = new Store(spark, dir)
+    val t0 = 1704412800000L
+    // 4 writer threads × 3 batches each, distinct series per thread
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 3).foreach { b =>
+        store.ingest(mkDp(Seq(
+          ("mt.m", s"h$t", t0 + b * H, t * 100.0 + b, (t * 10 + b).toLong))))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(store.data.filter(col("metric") === "mt.m").count() === 12)
+    // every series got its slice state and rollup rows committed
+    assert(store.seriesIndex.filter(col("metric") === "mt.m").count() === 4)
+    assert(store.rollup1h.join(
+      store.seriesIndex.filter(col("metric") === "mt.m").select("skey"),
+      "skey").count() === 12)
+  }
+
   test("incremental metadata equals the full derivation") {
     // 2 series × 3 days with an in-chunk OOO pair, a cross-chunk
     // duplicate timestamp, and a NaN — each marking its slice
