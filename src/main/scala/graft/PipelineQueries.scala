@@ -152,6 +152,24 @@ object PipelineQueries {
       labeled.select(col("id"), col("cid")).orderBy("id")
     },
 
+    // end-to-end corpus dedup: minhash pairs → clusters → keep only
+    // each cluster's representative (min id)
+    "pl_collapse" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, n = 3, threshold = 0.8)
+      val kept = Dedup.collapse(d, pairs)
+      pairs.unpersist()
+      kept.select(col("doc_id")).orderBy("doc_id")
+    },
+
+    // CCNet-style unigram LM proxy: per-doc mean -ln p(token) under the
+    // corpus unigram distribution
+    "pl_unigram_nll" -> { (s, dir) =>
+      TextAnalysis.unigramNll(docs(s, dir))
+        .select(col("doc_id"), sround(col("nll")).as("nll"))
+        .orderBy("doc_id")
+    },
+
     // deterministic salted-hash train/val/test assignment — reproducible
     // across engines/runs and stable under corpus growth
     "pl_split" -> { (s, dir) =>
@@ -473,7 +491,7 @@ object PipelineQueries {
 
     // clusters: the minhash pair chain, then min-reachable-id per doc via
     // a recursive reachability CTE (the SQL twin of hash-min propagation)
-    val clusters =
+    val clustersCtes =
       s"""WITH RECURSIVE $shingleCte,
          |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
          |sig AS (
@@ -496,8 +514,26 @@ object PipelineQueries {
          |reach AS (
          |  SELECT id, id AS r FROM nodes
          |  UNION
-         |  SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id)
+         |  SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id)""".stripMargin
+    val clusters =
+      s"""$clustersCtes
          |SELECT id, min(r) AS cid FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+    // collapse = keep each cluster's representative (id == min reachable)
+    val collapse =
+      s"""$clustersCtes
+         |SELECT id AS doc_id FROM (
+         |  SELECT id, min(r) AS cid FROM reach GROUP BY id)
+         |WHERE id = cid ORDER BY doc_id""".stripMargin
+
+    val unigramNll =
+      s"""WITH tokx AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tokx GROUP BY token),
+         |n AS (SELECT sum(freq) AS n FROM f)
+         |SELECT doc_id, ${sroundSql("-avg(ln(freq / CAST(n.n AS DOUBLE)))")} AS nll
+         |FROM tokx JOIN f USING (token), n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     val redact =
       s"""SELECT doc_id,
@@ -745,6 +781,8 @@ object PipelineQueries {
       "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_clusters" -> clusters,
+      "pl_collapse" -> collapse,
+      "pl_unigram_nll" -> unigramNll,
       "pl_split" -> split,
       "pl_sample" -> sample,
       "pl_vocab" -> vocab,

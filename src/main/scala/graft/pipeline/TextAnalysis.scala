@@ -206,6 +206,26 @@ object TextAnalysis {
       maxTokenRunOf(w).as("max_run"))
   }
 
+  /** CCNet-style language-model filter proxy: per-document mean negative
+    * log-likelihood under the corpus's own unigram distribution. High
+    * NLL = rare-token soup (boilerplate, code dumps, OCR noise); low =
+    * common-word text. Two passes: a corpus-wide token count (map-side
+    * combined; vocabulary for natural language is MBs even at 100 TB,
+    * so the frequency table broadcasts), then a per-doc mean over the
+    * exploded token stream — the only exchange is the per-doc
+    * aggregation.
+    */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = withTokens(docs, textCol)
+      .select(col(idCol), explode(col("w_")).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val n = freqs.agg(sum(col("freq"))).first().getLong(0)
+    toks.join(broadcast(freqs), "token")
+      .groupBy(col(idCol))
+      .agg((-avg(log(col("freq").cast("double") / n))).as("nll"))
+  }
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:
