@@ -24,21 +24,24 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
+    // tokens projected once per row (w_), then every stat reads the
+    // array — inlining tokens(text) into each stat re-runs the split
+    // per consumer (see TextAnalysis codegen note)
     "pl_text_stats" -> { (s, dir) =>
-      val d = docs(s, dir)
-      d.select(
+      val w = col("w_")
+      TextAnalysis.withTokens(docs(s, dir)).select(
         col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(w).cast("long").as("n_tokens"),
         TextAnalysis.charCount(col("text")).cast("long").as("n_chars_calc"),
         sround(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
-        sround(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
-        sround(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        sround(TextAnalysis.stopwordRatioOf(w)).as("stopword_ratio"),
+        sround(TextAnalysis.qualityScoreOf(col("text"), w)).as("quality"))
         .orderBy("doc_id")
     },
 
     "pl_lang_id" -> { (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.withTokens(docs(s, dir))
+        .select(col("doc_id"), TextAnalysis.langIdOf(col("w_")).as("lang_pred"))
         .orderBy("doc_id")
     },
 

@@ -290,6 +290,13 @@ class PipelineSpec extends SparkSpec {
     assert(r === Map(1L -> 1L))
   }
 
+  test("decontaminate plan broadcasts the eval grams, never the train side") {
+    val plan = Dedup.decontaminate(docs, docs.limit(5), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("capPerKey keeps exactly min(k, n) per key, deterministically") {
     val d = (0L until 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val r1 = Sampling.capPerKey(d, "source", "doc_id", 4)
