@@ -179,4 +179,43 @@ class PropertySpec extends SparkSpec {
       assert(res === expect, s"case $i")
     }
   }
+
+  test("repetition stats match a naive reference on any token sequence") {
+    import graft.pipeline.TextAnalysis
+    val docGen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield toks
+    val cases = samples(Gen.listOfN(8, docGen)).flatten.zipWithIndex
+    val df = cases.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df)
+      .as[(Long, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    cases.foreach { case (toks, i) =>
+      def dupFrac(xs: Seq[String]) =
+        if (xs.isEmpty) 0.0 else 1.0 - xs.distinct.size.toDouble / xs.size
+      val runs = toks.foldLeft(List.empty[(String, Int)]) {
+        case ((t, n) :: rest, x) if t == x => (t, n + 1) :: rest
+        case (acc, x) => (x, 1) :: acc
+      }
+      val (_, df1, df2, df3, mr) = got(i.toLong)
+      assert(math.abs(df1 - dupFrac(toks)) < 1e-9, s"doc $i tokens")
+      assert(math.abs(df2 - dupFrac(toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)) < 1e-9, s"doc $i 2grams")
+      assert(math.abs(df3 - dupFrac(toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq)) < 1e-9, s"doc $i 3grams")
+      assert(mr === runs.map(_._2).max.toLong, s"doc $i run")
+    }
+  }
+
+  test("SeqWindows: windows are strictly increasing under concurrent claims") {
+    val seqs = new graft.ingest.SeqWindows(() => 1704412800000L) // frozen clock
+    val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val threads = (0 until 8).map(_ => new Thread(() =>
+      (0 until 200).foreach(_ => out.add(seqs.next()))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // 1600 claims, all distinct, each a full 2^22 window apart
+    assert(out.size === 1600)
+    val sorted = out.toArray.map(_.asInstanceOf[Long]).sorted
+    sorted.sliding(2).foreach { case Array(a, b) => assert(b - a >= (1L << 22)) }
+  }
 }
