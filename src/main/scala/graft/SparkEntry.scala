@@ -442,6 +442,18 @@ object SparkEntry {
           st.plannerOptions()))
       },
 
+      // §2.9 level-2 routing from the MAINTAINED daily table: a 1d
+      // downsample routes to the store's rollup_1d (not a derivation
+      // from 1h), with the same maintained OOO fallback
+      "q_routed_1d" -> { (s, dir) =>
+        val st = storeFixture(s, dir)
+        out(Planner.planRouted(
+          st.data,
+          TsQuery(T0, T1),
+          SubQuery(metric = "error", aggregator = "none", downsample = Some("1d-avg")),
+          st.plannerOptions()))
+      },
+
       // §2.1/§2.10 store ingest throughput: a FRESH store per call — two
       // full ingest batches (append + series index + slice state + rollup
       // merge, ~16 day-partition tmp-swap writes). The returned frame is
@@ -924,6 +936,27 @@ object SparkEntry {
            |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dedup
            |GROUP BY skey, ts - ts % $SIXH
+           |ORDER BY skey, ts, value""".stripMargin),
+
+      // same dedup truth, DAY buckets: the planner answers from the
+      // maintained rollup_1d + marked-slice raw fallback, the oracle
+      // from raw alone (data exists only to T1+6h-1, inside the last
+      // day bucket's scan extension)
+      "q_routed_1d" -> (dpCte + ",\n" +
+        s"""dup AS (
+           |  SELECT skey, ts, value, seq FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |  UNION ALL
+           |  SELECT skey, ts, value + 0.5, seq + 10000000 FROM dp
+           |  WHERE metric = 'error' AND ts BETWEEN $T0 AND ${scanEnd(T1, SIXH)}
+           |    AND seq % 5 = 0),
+           |dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dup GROUP BY skey, ts)
+           |SELECT skey, (ts - ts % $DAY) // 1000 AS ts,
+           |       floor((avg(value)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM dedup
+           |GROUP BY skey, ts - ts % $DAY
            |ORDER BY skey, ts, value""".stripMargin),
 
       // raw last-wins truth of the same two-batch store, no downsample

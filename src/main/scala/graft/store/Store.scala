@@ -60,6 +60,7 @@ final class Store(spark: SparkSession, root: String,
   private val indexPath = s"$root/series_index"
   private val statePath = s"$root/slice_state"
   private val rollupPath = s"$root/rollup_1h"
+  private val rollup1dPath = s"$root/rollup_1d"
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,15 +134,25 @@ final class Store(spark: SparkSession, root: String,
     readManifested(rollupPath, rollupDaySchema)
       .select("skey", "wts", "cnt", "min", "max", "sum")
 
+  /** The maintained level-2 (daily) rollup — the reference's
+    * `RollupManager` level-2 files (`src/agg/rollup.cpp`, level2 query
+    * path `include/mmap.h:299-315`). A year-long daily query reads 24×
+    * fewer rows here than composing from the hourly table.
+    */
+  def rollup1d: DataFrame =
+    readManifested(rollup1dPath, rollupDaySchema)
+      .select("skey", "wts", "cnt", "min", "max", "sum")
+
   /** Default planner options over this store: index scans, maintained OOO
-    * marks, and rollup routing — the configuration every query should run
-    * with (what the reference's QuerySuperTask always has).
+    * marks, and both rollup levels — the configuration every query should
+    * run with (what the reference's QuerySuperTask always has).
     */
   def plannerOptions(): Planner.Options =
     Planner.Options(
       seriesIndex = Some(seriesIndex),
       oooMarks = Some(oooMarks),
-      rollup1h = Some(rollup1h))
+      rollup1h = Some(rollup1h),
+      rollup1d = Some(rollup1d))
 
   // Serializes writers: ServerMain wires several ingest edges into one
   // store (HTTP pool threads, two TCP batchers, UDP, self-metrics
@@ -264,7 +275,13 @@ final class Store(spark: SparkSession, root: String,
     days
   }
 
-  /** Merge the batch's hourly rollup into the touched days' generations. */
+  /** Merge the batch's hourly rollup into the touched days' generations,
+    * then re-derive those days' level-2 (daily) rollup from the merged
+    * hourly rows — each touched day's 1d entry is always the aggregate
+    * of its full, fresh 1h set, so both levels stay consistent per
+    * commit (sum of sums, min of mins — the same composition rule the
+    * reference's level-2 build uses).
+    */
   private def updateRollup(keyed: DataFrame, days: Seq[Long]): Unit = {
     if (days.isEmpty) return
     val batchRollup = Rollup.rollup1hKeyed(keyed)
@@ -279,7 +296,20 @@ final class Store(spark: SparkSession, root: String,
         max(col("max")).as("max"),
         sum(col("sum")).as("sum"))
       .select("skey", "cnt", "min", "max", "sum", "wts", "day")
+      // consumed by both level commits; tiny (touched days' rollup rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     commitDays(rollupPath, merged, days)
+    val merged1d = merged
+      .groupBy(col("skey"), col("day"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        sum(col("sum")).as("sum"))
+      .withColumn("wts", col("day"))
+      .select("skey", "cnt", "min", "max", "sum", "wts", "day")
+    commitDays(rollup1dPath, merged1d, days)
+    merged.unpersist()
   }
 
   // ---- manifest commit protocol -----------------------------------------

@@ -27,6 +27,20 @@ class StoreSpec extends SparkSpec {
     assert(store.data.columns.toSeq === Dp.columns)
   }
 
+  test("maintained rollup_1d equals the daily aggregate of maintained rollup_1h") {
+    val dir = java.nio.file.Files.createTempDirectory("store_1d").toString
+    val store = new Store(spark, dir)
+    val t0 = 1704412800000L
+    store.ingest(mkDp((0 until 30).map(i =>
+      ("d1.m", s"h${i % 2}", t0 + i * 2 * H, i.toDouble, i.toLong))))
+    store.ingest(mkDp(Seq(("d1.m", "h0", t0 + 50 * H, 99.0, 100L))))
+    val fromStore = store.rollup1d.orderBy("skey", "wts").collect().toSeq
+    val derived = Rollup.rollup1d(store.rollup1h)
+      .select("skey", "wts", "cnt", "min", "max", "sum")
+      .orderBy("skey", "wts").collect().toSeq
+    assert(fromStore === derived && fromStore.nonEmpty)
+  }
+
   test("concurrent ingests from many threads serialize: nothing lost") {
     val dir = java.nio.file.Files.createTempDirectory("store_mt").toString
     val store = new Store(spark, dir)
