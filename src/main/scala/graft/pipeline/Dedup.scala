@@ -203,25 +203,100 @@ object Dedup {
     * reachable through the pair graph (its cluster representative, i.e.
     * the doc to KEEP; drop rows where id != cid).
     *
-    * Hash-min label propagation: each round every node takes the min of
-    * its own label and its neighbors' labels — a join + min-aggregation
-    * per round, converging in graph-diameter rounds (near-dup clusters
-    * are shallow: duplicates of one source form a star). This is the
-    * standard MapReduce connected-components shape — each round is one
-    * shuffle on node id, no driver-side graph state; labels persist per
-    * round and release after the next materializes. `maxIter` bounds
-    * pathological chains; convergence is detected via the strictly
-    * decreasing label sum.
+    * Components are computed over the duplicate SUBGRAPH only: a node
+    * with no edge can never change its label, so isolated docs — the
+    * vast majority of a 100 TB corpus against a few % of duplicates —
+    * join back once at the end with `cid = id` instead of riding every
+    * round of the component computation. Cost scales with the pair
+    * graph, not the corpus.
+    *
+    * The subgraph labeling itself is ADAPTIVE, the same way AQE picks a
+    * broadcast join once it sees the real size: verified near-dup pairs
+    * are orders of magnitude smaller than the corpus, so when the pair
+    * count is under `driverEdgeCap` (default 4M ≈ 64 MB of longs — the
+    * broadcast regime) a driver-side union-find labels the subgraph in
+    * one bounded collect, and the labels return as a broadcastable
+    * local relation: the whole operation costs ONE distributed pass
+    * (the widening join) instead of a convergence loop of shuffles.
+    * Above the cap it falls back to distributed hash-min label
+    * propagation (see [[iterativeLabels]]), which never holds the graph
+    * in one place.
     */
   def clusters(pairs: DataFrame, nodes: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverEdgeCap: Long = 4L << 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val labels = subgraphLabels(pairs, maxIter, driverEdgeCap)
+    // widen the subgraph labels back to the full node set (left join —
+    // the label side is duplicate docs only, broadcast-sized in practice)
+    val full = nodes.select(col("id").cast("long").as("id"))
+      .join(labels.withColumnRenamed("cid", "ecid"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("ecid"), col("id")).as("cid"))
+      .persist(lvl)
+    full.count()
+    labels.unpersist()
+    full // persisted; callers may unpersist once consumed
+  }
+
+  /** `(id, cid)` for every node of the pair graph, driver union-find or
+    * distributed hash-min depending on the pair count. Returned frame is
+    * persisted. `pairs` should already be persisted (every producer in
+    * this module returns it so) — the sizing count is then free.
+    */
+  private def subgraphLabels(pairs: DataFrame, maxIter: Int,
+      driverEdgeCap: Long): DataFrame = {
+    if (pairs.count() <= driverEdgeCap) driverLabels(pairs)
+    else iterativeLabels(pairs, maxIter)
+  }
+
+  /** Union-find over a collected edge list — the small-graph fast path.
+    * Union-by-min (the smaller root adopts) + path compression keeps the
+    * forest shallow and makes every root its component's minimum id, the
+    * exact `cid` contract of [[clusters]].
+    */
+  private def driverLabels(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+      .toDF("id", "cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    labels
+  }
+
+  /** Distributed hash-min label propagation — the above-cap path: each
+    * round every node takes the min of its own label and its neighbors'
+    * labels (a join + min-aggregation), converging in graph-diameter
+    * rounds (near-dup clusters are shallow: duplicates of one source
+    * form a star). This is the standard MapReduce connected-components
+    * shape — each round is one shuffle on node id, no driver-side graph
+    * state; labels persist per round and release after the next
+    * materializes. `maxIter` bounds pathological chains; convergence is
+    * detected via the strictly decreasing label sum.
+    */
+  private def iterativeLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = pairs.select(col("id1").cast("long").as("src"),
       col("id2").cast("long").as("dst"))
     val edges = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
-    var labels = nodes.select(col("id").cast("long").as("id"))
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cid", col("id"))
       .persist(lvl)
     // exact 38-digit sum: labels only decrease, so the sum strictly
@@ -252,7 +327,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels // persisted; callers may unpersist once consumed
+    labels
   }
 
   /** Collapse a corpus to cluster representatives: keep only docs whose
@@ -263,8 +338,10 @@ object Dedup {
     */
   def collapse(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val ids = docs.select(col(idCol).cast("long").as("id"))
-    val labels = clusters(pairs, ids)
+    // the drop set lives entirely in the pair subgraph (an isolated doc
+    // is always its own cluster minimum), so collapse never widens the
+    // labels to the corpus — the only corpus-wide pass is the anti-join
+    val labels = subgraphLabels(pairs, maxIter = 25, driverEdgeCap = 4L << 20)
     val drop = labels
       .filter(col("id") =!= col("cid"))
       .select(col("id"))

@@ -56,6 +56,17 @@ class PipelineSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 11L, 12L -> 12L))
   }
 
+  test("clusters: driver union-find path equals distributed hash-min path") {
+    import graft.pipeline.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
+      .toDF("id1", "id2")
+    val nodes = (1L to 12L).toDF("id")
+    val driver = Dedup.clusters(pairs, nodes).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, nodes, driverEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver === dist)
+  }
+
   test("clusters are invariant to pair order and orientation") {
     import graft.pipeline.Dedup
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
