@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   * args: storeDir [httpPort tcpPlainPort tcpInfluxPort udpPort
   * flushSeconds] — ports default to the reference's 6182/6181/6180,
   * UDP shares 6180's number on its own protocol, flush every 30 s.
+  * `SPARK_GRAFT_WAL_DIR=<dir>` arms the socket transports' write-ahead
+  * log (the reference's `append.log.enabled`, `include/config.h:30`):
+  * received lines spool to disk before batching and a crashed process's
+  * tail replays at next boot.
   *
   * The driver JVM hosts the listeners; every request's heavy lifting is
   * ordinary distributed Spark. All transports share one [[SeqWindows]]
@@ -50,11 +54,14 @@ object ServerMain {
     val seqs = new SeqWindows()
     val http = new HttpApi(spark, store, port = httpPort,
       recorder = Some(recorder), sharedSeqs = Some(seqs)).start()
+    val walDir = sys.env.get("SPARK_GRAFT_WAL_DIR")
+    def wal(name: String) = walDir.map(d => s"$d/$name")
     val tcp = new TcpLineServer(spark, store, proto = "plain",
-      port = tcpPort, seqs = seqs)
+      port = tcpPort, seqs = seqs, walDir = wal("tcp-plain"))
     val influx = new TcpLineServer(spark, store, proto = "influx",
-      port = influxPort, seqs = seqs)
-    val udp = new UdpLineServer(spark, store, port = udpPort, seqs = seqs)
+      port = influxPort, seqs = seqs, walDir = wal("tcp-influx"))
+    val udp = new UdpLineServer(spark, store, port = udpPort, seqs = seqs,
+      walDir = wal("udp"))
 
     // periodic self-metrics flush into the store (graft.* series become
     // queryable like the reference's ticktock.* stats)

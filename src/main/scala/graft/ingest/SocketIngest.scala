@@ -54,7 +54,13 @@ private[graft] final class LineBatcher(
     parse: String => Seq[Dp],
     lingerMs: Long,
     maxBatch: Int,
-    seqs: SeqWindows) {
+    seqs: SeqWindows,
+    // durable mode ([[Wal]]): received lines hit disk before the batch
+    // queue, and a crashed process's tail replays at next boot through
+    // the same flush loop (the reference's append.log restore,
+    // include/append.h:50-52). None = in-memory hand-off (UDP-grade
+    // best-effort, the round-2 contract).
+    wal: Option[Wal] = None) {
 
   private val queue = new ConcurrentLinkedQueue[String]()
   private val running = new AtomicBoolean(true)
@@ -63,16 +69,16 @@ private[graft] final class LineBatcher(
   // (tests, shutdown) share it so a batch is never ingested twice
   private val lock = new Object
 
-  def enqueue(line: String): Unit = queue.add(line)
+  def enqueue(line: String): Unit = wal match {
+    case Some(w) => w.append(line)
+    case None => queue.add(line)
+  }
 
-  private def flush(): Unit = lock.synchronized {
-    val buf = Seq.newBuilder[String]
-    var n = 0
-    var l = queue.poll()
-    while (l != null && n < maxBatch) { buf += l; n += 1; l = if (n < maxBatch) queue.poll() else null }
-    val lines = buf.result()
-    if (lines.nonEmpty) {
-      val dps = seqs.stamp(lines.flatMap(parse))
+  private def ingestLines(lines: Seq[String]): Unit = {
+    // one store batch per maxBatch chunk: a fat WAL segment (or queue
+    // burst) becomes several scheduler-friendly jobs, not one huge one
+    lines.grouped(maxBatch).foreach { chunk =>
+      val dps = seqs.stamp(chunk.flatMap(parse))
       if (dps.nonEmpty) {
         import spark.implicits._
         store.ingest(spark.createDataset(dps).toDF())
@@ -80,11 +86,32 @@ private[graft] final class LineBatcher(
     }
   }
 
+  private def flush(): Unit = lock.synchronized {
+    wal match {
+      case Some(w) =>
+        // segment = batch: delete only after the store commit returned,
+        // so every received line is either on disk here or in parquet
+        var seg = w.roll()
+        while (seg.isDefined) {
+          val s = seg.get
+          try { ingestLines(Wal.readLines(s)); w.delete(s) }
+          catch { case e: Throwable => w.requeue(s); throw e }
+          seg = w.roll()
+        }
+      case None =>
+        val buf = Seq.newBuilder[String]
+        var n = 0
+        var l = queue.poll()
+        while (l != null && n < maxBatch) { buf += l; n += 1; l = if (n < maxBatch) queue.poll() else null }
+        ingestLines(buf.result())
+    }
+  }
+
   // a failed flush must not kill the flusher: the transport would go
-  // silently deaf and stop() would deadlock on the latch. The drained
-  // lines of the failed batch are lost (logged) — the same best-effort
-  // contract as the reference's UDP path; TCP senders needing stronger
-  // delivery use the HTTP edge's response codes.
+  // silently deaf and stop() would deadlock on the latch. In-memory
+  // mode loses the failed batch's drained lines (logged) — the same
+  // best-effort contract as the reference's UDP path; WAL mode requeues
+  // the segment and retries next tick, losing nothing.
   private def flushLogged(): Unit =
     try flush()
     catch { case e: Throwable =>
@@ -104,9 +131,16 @@ private[graft] final class LineBatcher(
   flusher.start()
 
   /** Block until everything enqueued so far is ingested (tests). */
-  def awaitQuiesce(): Unit = { while (!queue.isEmpty) flush(); lock.synchronized(()) }
+  def awaitQuiesce(): Unit = {
+    def dirty = wal.map(w => !w.isEmpty).getOrElse(!queue.isEmpty)
+    while (dirty) flush()
+    lock.synchronized(())
+  }
 
-  def stop(): Unit = { running.set(false); stopped.await() }
+  def stop(): Unit = {
+    running.set(false); stopped.await()
+    wal.foreach(_.close())
+  }
 }
 
 /** TCP line ingest — the Spark-side twin of the reference's TCP write
@@ -127,7 +161,10 @@ final class TcpLineServer(
     lingerMs: Long = 200L,
     maxBatch: Int = 1 << 16,
     nowMs: () => Long = () => System.currentTimeMillis(),
-    seqs: SeqWindows = new SeqWindows()) {
+    seqs: SeqWindows = new SeqWindows(),
+    // durable receive: spool lines to a WAL in this dir (replayed at
+    // next boot after a crash). None = in-memory hand-off.
+    walDir: Option[String] = None) {
 
   private val parse: String => Seq[Dp] = proto match {
     case "plain" => l => LineParsers.parsePlain(l).toSeq
@@ -135,7 +172,8 @@ final class TcpLineServer(
     case other => throw new IllegalArgumentException(s"unknown protocol: $other")
   }
 
-  private val batcher = new LineBatcher(spark, store, parse, lingerMs, maxBatch, seqs)
+  private val batcher = new LineBatcher(
+    spark, store, parse, lingerMs, maxBatch, seqs, walDir.map(new Wal(_)))
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", port))
 
@@ -187,10 +225,12 @@ final class UdpLineServer(
     port: Int = 0,
     lingerMs: Long = 200L,
     maxBatch: Int = 1 << 16,
-    seqs: SeqWindows = new SeqWindows()) {
+    seqs: SeqWindows = new SeqWindows(),
+    walDir: Option[String] = None) {
 
   private val batcher = new LineBatcher(
-    spark, store, l => LineParsers.parsePlain(l).toSeq, lingerMs, maxBatch, seqs)
+    spark, store, l => LineParsers.parsePlain(l).toSeq, lingerMs, maxBatch,
+    seqs, walDir.map(new Wal(_)))
   private val socket = new DatagramSocket(new InetSocketAddress("127.0.0.1", port))
 
   def boundPort: Int = socket.getLocalPort
