@@ -53,15 +53,18 @@ object ServerMain {
     val store = new Store(spark, storeDir)
     val seqs = new SeqWindows()
     val http = new HttpApi(spark, store, port = httpPort,
-      recorder = Some(recorder), sharedSeqs = Some(seqs)).start()
+      recorder = Some(recorder), sharedSeqs = Some(seqs),
+      bindAddr = sys.env.getOrElse("SPARK_GRAFT_BIND", "127.0.0.1")).start()
     val walDir = sys.env.get("SPARK_GRAFT_WAL_DIR")
     def wal(name: String) = walDir.map(d => s"$d/$name")
+    // SPARK_GRAFT_BIND=0.0.0.0 serves remote collectors; loopback default
+    val bind = sys.env.getOrElse("SPARK_GRAFT_BIND", "127.0.0.1")
     val tcp = new TcpLineServer(spark, store, proto = "plain",
-      port = tcpPort, seqs = seqs, walDir = wal("tcp-plain"))
+      port = tcpPort, seqs = seqs, walDir = wal("tcp-plain"), bindAddr = bind)
     val influx = new TcpLineServer(spark, store, proto = "influx",
-      port = influxPort, seqs = seqs, walDir = wal("tcp-influx"))
+      port = influxPort, seqs = seqs, walDir = wal("tcp-influx"), bindAddr = bind)
     val udp = new UdpLineServer(spark, store, port = udpPort, seqs = seqs,
-      walDir = wal("udp"))
+      walDir = wal("udp"), bindAddr = bind)
 
     // periodic self-metrics flush into the store (graft.* series become
     // queryable like the reference's ticktock.* stats)

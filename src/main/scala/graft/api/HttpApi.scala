@@ -44,9 +44,11 @@ final class HttpApi(
     // pass the process-wide instance when other transports ingest into
     // the same store (ServerMain does) — independent counters would
     // break cross-transport last-wins ordering
-    sharedSeqs: Option[graft.ingest.SeqWindows] = None) {
+    sharedSeqs: Option[graft.ingest.SeqWindows] = None,
+    // loopback by default (tests, embedded); "0.0.0.0" to serve remotely
+    bindAddr: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(bindAddr, port), 0)
 
   /** Ephemeral-port lookup for clients. */
   def boundPort: Int = server.getAddress.getPort
@@ -142,12 +144,17 @@ final class HttpApi(
     }
   }
 
-  /** `POST /api/write` — InfluxDB line protocol (tsdb.cpp:2498-2592). */
+  /** `POST /api/write` — InfluxDB line protocol (tsdb.cpp:2498-2592).
+    * Parseable lines ingest even when a sibling line is malformed, but
+    * any malformed line turns the status 400 (tsdb.cpp:2591) — same
+    * partial-accept contract as [[put]].
+    */
   private def write(content: String): (Int, String, String) = {
     val now = nowMs()
-    val dps = content.linesIterator.flatMap(l => LineParsers.parseInflux(l, now)).toSeq
+    val lines = content.linesIterator.toSeq
+    val dps = lines.flatMap(l => LineParsers.parseInflux(l, now))
     ingest(dps)
-    (200, "", Plain)
+    ((if (lines.forall(LineParsers.influxWellFormed)) 200 else 400), "", Plain)
   }
 
   private def ingest(dps: Seq[Dp]): Unit = if (dps.nonEmpty) {

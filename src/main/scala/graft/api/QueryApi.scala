@@ -177,9 +177,16 @@ object QueryApi {
           rs.map(r => (r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq)
       }
     } else {
-      // aggregated: group rows by grouping-tag values
+      // aggregated: group rows by grouping-tag values. Under
+      // collectSeriesKeys the collected set also carries one roster row
+      // per group (ts = null, skeys_ = member keys) — peel those off
+      // before value grouping.
       val tagCols = sub.groupByTags.map(k => s"tag_$k")
-      val rows = cappedCollect(df, maxDps)
+      val collected = cappedCollect(df, maxDps)
+      val (rosterRows, rows) =
+        if (df.columns.contains("skeys_"))
+          collected.partition(r => r.isNullAt(r.fieldIndex("ts")))
+        else (Array.empty[org.apache.spark.sql.Row], collected)
       val seriesTags: Seq[Map[String, String]] = opt.seriesIndex match {
         case Some(index) =>
           // dim-table path: series cardinality scan, fact data untouched
@@ -190,7 +197,7 @@ object QueryApi {
             .select(col("tags")).collect()
             .map(_.getAs[Map[String, String]](0)).toSeq
         case None =>
-          rows.iterator
+          rosterRows.iterator
             .flatMap(_.getAs[scala.collection.Seq[String]]("skeys_"))
             .toSeq.distinct.map(tagsOfKey)
       }
@@ -208,11 +215,15 @@ object QueryApi {
     }
   }
 
-  /** Driver-side inverse of [[Dp.seriesKey]] (`metric,k=v,...`). */
+  /** Driver-side inverse of [[Dp.seriesKey]] (`metric,k=v,...`).
+    * Fragments without `=` (a comma inside an unvalidated tag value
+    * split the key) are dropped — same degraded map as
+    * [[Dp.tagsFromKey]], never a crash.
+    */
   private def tagsOfKey(skey: String): Map[String, String] =
-    skey.split(",").iterator.drop(1).map { kv =>
+    skey.split(",").iterator.drop(1).flatMap { kv =>
       val i = kv.indexOf('=')
-      kv.substring(0, i) -> kv.substring(i + 1)
+      if (i < 0) None else Some(kv.substring(0, i) -> kv.substring(i + 1))
     }.toMap
 
   /** `GET /api/search/lookup` codec — the full LOOKUP response shape

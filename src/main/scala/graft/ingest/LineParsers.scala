@@ -45,6 +45,24 @@ object LineParsers {
     * only). Timestamps: ns per the protocol, with magnitude-based
     * normalization for s/ms/us inputs; missing ts → `nowMs`.
     */
+  /** Structural validity of an Influx line, independent of field types —
+    * what the reference answers 400 for (`tsdb.cpp:2591`). Blank and
+    * comment lines are fine; a line that can't split into
+    * measurement+fields or has a garbled timestamp is not. A well-formed
+    * line whose fields are all strings/bools parses to zero dps without
+    * being an error.
+    */
+  def influxWellFormed(line: String): Boolean = {
+    val t = line.trim
+    if (t.isEmpty || t.startsWith("#")) return true
+    val sections = splitUnescaped(t, ' ')
+    if (sections.length < 2) return false
+    if (sections.length >= 3 && sections(2).nonEmpty &&
+      normalizeTs(sections(2)).isEmpty) return false
+    val keyBits = splitUnescaped(sections(0), ',')
+    keyBits.nonEmpty && keyBits.head.nonEmpty
+  }
+
   def parseInflux(line: String, nowMs: Long): Seq[Dp] = {
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) return Nil

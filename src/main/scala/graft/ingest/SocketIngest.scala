@@ -164,7 +164,9 @@ final class TcpLineServer(
     seqs: SeqWindows = new SeqWindows(),
     // durable receive: spool lines to a WAL in this dir (replayed at
     // next boot after a crash). None = in-memory hand-off.
-    walDir: Option[String] = None) {
+    walDir: Option[String] = None,
+    // loopback by default (tests, embedded); "0.0.0.0" to serve remotely
+    bindAddr: String = "127.0.0.1") {
 
   private val parse: String => Seq[Dp] = proto match {
     case "plain" => l => LineParsers.parsePlain(l).toSeq
@@ -175,7 +177,7 @@ final class TcpLineServer(
   private val batcher = new LineBatcher(
     spark, store, parse, lingerMs, maxBatch, seqs, walDir.map(new Wal(_)))
   private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("127.0.0.1", port))
+  server.bind(new InetSocketAddress(bindAddr, port))
 
   def boundPort: Int = server.getLocalPort
 
@@ -226,12 +228,13 @@ final class UdpLineServer(
     lingerMs: Long = 200L,
     maxBatch: Int = 1 << 16,
     seqs: SeqWindows = new SeqWindows(),
-    walDir: Option[String] = None) {
+    walDir: Option[String] = None,
+    bindAddr: String = "127.0.0.1") {
 
   private val batcher = new LineBatcher(
     spark, store, l => LineParsers.parsePlain(l).toSeq, lingerMs, maxBatch,
     seqs, walDir.map(new Wal(_)))
-  private val socket = new DatagramSocket(new InetSocketAddress("127.0.0.1", port))
+  private val socket = new DatagramSocket(new InetSocketAddress(bindAddr, port))
 
   def boundPort: Int = socket.getLocalPort
 

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -219,11 +220,16 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = withTokens(docs, textCol)
       .select(col(idCol), explode(col("w_")).as("token"))
+    // corpus size rides inside the plan (global window over the already
+    // vocab-sized frequency table) instead of a separate .first() action
+    // — the heavy tokenize+count pass runs once, not twice
     val freqs = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-    val n = freqs.agg(sum(col("freq"))).first().getLong(0)
+      .withColumn("n_", sum(col("freq")).over(
+        Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     toks.join(broadcast(freqs), "token")
       .groupBy(col(idCol))
-      .agg((-avg(log(col("freq").cast("double") / n))).as("nll"))
+      .agg((-avg(log(col("freq").cast("double") / col("n_")))).as("nll"))
   }
 
   private val FpMod = 1L << 40

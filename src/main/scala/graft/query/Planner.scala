@@ -196,14 +196,35 @@ object Planner {
         val valueAgg = GraftFunctions.aggFor(agg, col("value"), col("skey"),
           opt.approxPercentileAccuracy).as("value")
         val grouped = df.groupBy(col("ts") +: groupCols: _*)
-        if (opt.collectSeriesKeys)
-          grouped.agg(valueAgg, sort_array(collect_set(col("skey"))).as("skeys_"))
-        else grouped.agg(valueAgg)
+        if (opt.collectSeriesKeys) {
+          // member rosters ride along as ONE extra row per result group
+          // (ts = null), not an array on every timestamp row — the
+          // collected response stays O(rows + cardinality) instead of
+          // O(rows × members). The roster branch is a distinct over the
+          // skey column alone (column pruning drops value/seq/ts from
+          // its scan — verified in ApiSpec), so the extra pass is a
+          // single-column read, not a second full fact scan.
+          val values = grouped.agg(valueAgg)
+            .withColumn("skeys_", lit(null).cast("array<string>"))
+          val roster = df
+            .groupBy(groupCols: _*)
+            .agg(sort_array(collect_set(col("skey"))).as("skeys_"))
+            .withColumn("ts", lit(null).cast("long"))
+            .withColumn("value", lit(null).cast("double"))
+          values.unionByName(roster.select(values.columns.map(col): _*))
+        } else grouped.agg(valueAgg)
     }
 
     // ---- 7. rate conversion, applied after aggregation per result group
-    // (query.cpp:470-491, rate.cpp:38-92)
-    if (sub.rate) rate(out, sub, groupKeysOf(out)) else out
+    // (query.cpp:470-491, rate.cpp:38-92). Roster rows (null ts) carry no
+    // values and must not feed the per-group delta windows.
+    if (sub.rate) {
+      if (out.columns.contains("skeys_")) {
+        val rated = rate(out.filter(col("ts").isNotNull), sub,
+          groupKeysOf(out))
+        rated.unionByName(out.filter(col("ts").isNull))
+      } else rate(out, sub, groupKeysOf(out))
+    } else out
   }
 
   /** Routed execution — the reference's `QuerySuperTask` lifecycle

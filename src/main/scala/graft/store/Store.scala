@@ -54,7 +54,12 @@ import org.apache.spark.sql.types._
   * against a writer.
   */
 final class Store(spark: SparkSession, root: String,
-    compactEveryBatches: Int = 8) {
+    compactEveryBatches: Int = 8,
+    // how long a superseded metadata generation survives after being
+    // replaced: a query that resolved a manifest gets this long to
+    // finish before its generation dirs can be GC'd (the newest two
+    // generations are always kept regardless)
+    gcGraceMs: Long = 10 * 60 * 1000L) {
 
   private val dataPath = s"$root/data"
   private val indexPath = s"$root/series_index"
@@ -196,19 +201,24 @@ final class Store(spark: SparkSession, root: String,
   private def maybeCompact(days: Seq[Long]): Unit = {
     if (compactEveryBatches <= 0) return
     // the data partition's date= value comes from to_date() under the
-    // SESSION timezone — name the dir the same way or a non-UTC session
-    // compacts a nonexistent path
+    // SESSION timezone, while `days` are UTC-floored slice keys — in a
+    // non-UTC session one UTC day straddles TWO local dates, so count
+    // both candidates (dedup'd) and let the existence check skip the one
+    // this batch didn't actually write. Sessions on UTC collapse to the
+    // single exact date.
     val zone = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone",
         java.util.TimeZone.getDefault.getID))
-    days.foreach { d =>
-      val date = java.time.Instant.ofEpochMilli(d).atZone(zone).toLocalDate.toString
-      val n = batchesSinceCompact(date) + 1
-      if (n >= compactEveryBatches) {
-        Maintenance.compactPartition(spark, dataPath, date)
-        batchesSinceCompact(date) = 0
-      } else batchesSinceCompact(date) = n
-    }
+    def localDate(ms: Long) =
+      java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDate.toString
+    days.flatMap(d => Seq(localDate(d), localDate(d + Rollup.DayMs - 1)))
+      .distinct.foreach { date =>
+        val n = batchesSinceCompact(date) + 1
+        if (n >= compactEveryBatches && exists(s"$dataPath/date=$date")) {
+          Maintenance.compactPartition(spark, dataPath, date)
+          batchesSinceCompact(date) = 0
+        } else batchesSinceCompact(date) = n
+      }
   }
 
   /** Append series not yet in the index (no rewrite of existing rows).
@@ -386,16 +396,28 @@ final class Store(spark: SparkSession, root: String,
     * unreferenced generation dirs.
     */
   private def gcGenerations(live: String): Unit = {
+    // survivors: the 2 newest manifests plus anything younger than the
+    // grace window — a DataFrame resolved against manifest N (e.g. a
+    // plannerOptions() captured at query start) keeps its generation
+    // dirs readable for gcGraceMs even while fast micro-batches keep
+    // committing
+    val cutoff = System.currentTimeMillis() - gcGraceMs
     val entries = fs.listStatus(new Path(live)).toSeq
-    val seqs = entries.filter(_.isFile).map(_.getPath.getName)
-      .filter(_.startsWith("manifest."))
-      .flatMap(_.stripPrefix("manifest.").toLongOption).sorted
-    seqs.dropRight(2).foreach(s =>
-      fs.delete(new Path(s"$live/manifest.$s"), false))
-    val referenced = seqs.takeRight(2)
-      .flatMap(s => readManifestFile(live, s).values).toSet
-    entries.filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("d_") && !referenced.contains(p.getName))
-      .foreach(p => fs.delete(p, true))
+    val manifests = entries.filter(_.isFile)
+      .flatMap(f => f.getPath.getName.stripPrefix("manifest.").toLongOption
+        .filter(_ => f.getPath.getName.startsWith("manifest."))
+        .map(s => (s, f)))
+      .sortBy(_._1)
+    val newest = manifests.takeRight(2).map(_._1).toSet
+    val (keep, retire) = manifests.partition { case (s, f) =>
+      newest.contains(s) || f.getModificationTime >= cutoff }
+    retire.foreach { case (_, f) => fs.delete(f.getPath, false) }
+    val referenced = keep
+      .flatMap { case (s, _) => readManifestFile(live, s).values }.toSet
+    entries.filter(_.isDirectory)
+      .filter(d => d.getPath.getName.startsWith("d_") &&
+        !referenced.contains(d.getPath.getName) &&
+        d.getModificationTime < cutoff)
+      .foreach(d => fs.delete(d.getPath, true))
   }
 }

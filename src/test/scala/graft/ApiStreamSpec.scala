@@ -60,6 +60,33 @@ class ApiSpec extends SparkSpec {
         """"dps":{"0":11.0,"3600":22.0}}]""")
   }
 
+  test("no-index roster: one row per group, value rows array-free, single scan") {
+    import graft.query.Planner
+    val body =
+      """{"start":0,"end":7200,"queries":[
+        |  {"metric":"m","aggregator":"sum","tags":{}}]}""".stripMargin
+    val q = QueryApi.parseRequest(body, nowMs = 2 * H)
+    val df = Planner.planRouted(dpDf, q, q.subQueries.head,
+      Planner.Options(collectSeriesKeys = true))
+    val rows = df.collect()
+    val tsIdx = df.columns.indexOf("ts")
+    val (roster, values) = rows.partition(_.isNullAt(tsIdx))
+    // exactly one roster row (no grouping tags = one global group)
+    assert(roster.length === 1)
+    assert(roster.head.getAs[scala.collection.Seq[String]]("skeys_").size === 2)
+    // value rows carry NO member arrays — driver weight is O(rows +
+    // cardinality), not O(rows × members)
+    assert(values.nonEmpty)
+    assert(values.forall(_.isNullAt(df.columns.indexOf("skeys_"))))
+    // and the roster branch's scan is pruned to the skey column alone —
+    // the extra pass reads one column, not the fact data again
+    val plan = df.queryExecution.executedPlan.toString
+    val rosterScan = "LocalTableScan \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .find(cols => cols.contains("skey") && !cols.contains("value"))
+    assert(rosterScan.isDefined, s"no pruned roster scan in plan:\n$plan")
+  }
+
   test("API routes through rollups when configured, same JSON out") {
     import graft.rollup.Rollup
     import graft.query.Planner

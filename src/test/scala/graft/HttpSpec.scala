@@ -85,6 +85,14 @@ class HttpSpec extends SparkSpec {
   test("influx write round-trips through the wire") {
     val r = post("/api/write", s"wm,host=a temp=65.5,hum=80 ${T0s}000000000")
     assert(r.statusCode() === 200)
+    // structurally malformed lines turn the status 400 (tsdb.cpp:2591);
+    // parseable siblings still ingest — same partial-accept as /api/put
+    val bad = post("/api/write",
+      s"wm,host=a temp=66.5 ${T0s + 60}000000000\ngarbage-no-fields")
+    assert(bad.statusCode() === 400)
+    // a well-formed line with only string fields is NOT an error
+    val strOnly = post("/api/write", s"""wm,host=a note="hi" ${T0s}000000000""")
+    assert(strOnly.statusCode() === 200)
     val resp = post("/api/query",
       s"""{"start":$T0s,"end":$T0s,"queries":[{"metric":"wm","aggregator":"none","tags":{}}]}""")
     assert(resp.body().contains(""""temp""""))

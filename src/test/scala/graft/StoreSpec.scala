@@ -171,7 +171,9 @@ class StoreSpec extends SparkSpec {
 
   test("concurrent reads during ingest commits: metadata complete, data monotone") {
     val root = java.nio.file.Files.createTempDirectory("store_conc").toString
-    val st = new Store(spark, root, compactEveryBatches = 0)
+    // gcGraceMs = 0: this test asserts the GC floor (2 manifests); the
+    // grace window has its own test below
+    val st = new Store(spark, root, compactEveryBatches = 0, gcGraceMs = 0L)
     st.ingest(mkDp(Seq(("m", "a", 1000L, 1.0, 1L)))) // day 0 committed
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
     @volatile var stop = false
@@ -207,6 +209,19 @@ class StoreSpec extends SparkSpec {
     val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/rollup_1h"))
       .map(_.getPath.getName).count(_.startsWith("manifest."))
     assert(manifests <= 2)
+  }
+
+  test("GC grace: a frame resolved before later commits stays readable") {
+    val root = java.nio.file.Files.createTempDirectory("store_grace").toString
+    val st = new Store(spark, root) // default grace (10 min)
+    st.ingest(mkDp(Seq(("m", "a", 1000L, 1.0, 1L))))
+    // resolve the manifest NOW (what a long query's plannerOptions does)
+    val held = st.rollup1h
+    val before = held.count()
+    // several more commits supersede that generation
+    (2 to 6).foreach(i => st.ingest(mkDp(Seq(("m", "a", 1000L + i, i.toDouble, i.toLong)))))
+    // the held frame still reads its generation dirs — grace keeps them
+    assert(held.count() >= before)
   }
 
   test("auto-compaction keeps data file count bounded with results unchanged") {
