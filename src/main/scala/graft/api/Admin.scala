@@ -15,31 +15,33 @@ import org.apache.spark.sql.SparkSession
 object Admin {
 
   def execute(spark: SparkSession, params: Map[String, String],
-      storeRoot: Option[String] = None): Either[String, String] = {
-    def root: Either[String, String] =
-      storeRoot.toRight("no store configured")
+      store: Option[graft.store.Store] = None): Either[String, String] = {
+    def st: Either[String, graft.store.Store] =
+      store.toRight("no store configured")
     params.get("cmd") match {
       case None => Left("cmd missing")
       case Some("ping") => Right("pong")
       case Some("compact") =>
-        root.map { r =>
+        // through the store: a manifest-committed data table must swap
+        // via the commit protocol, not a directory rename
+        st.map { s =>
           val dates = params.get("date").map(Seq(_))
-            .getOrElse(Maintenance.partitions(spark, r))
-          dates.foreach(Maintenance.compactPartition(spark, r, _))
+            .getOrElse(Maintenance.partitions(spark, s.dataLocation))
+          dates.foreach(s.compactDay(_))
           s"compacted ${dates.size} partition(s)"
         }
       case Some("rollup") => // trigger daily (level-2) rollup build
         Right("rollup scheduled") // streaming job owns rollup_1h; 1d derives
       case Some("stat") =>
-        root.map { r =>
-          Maintenance.stats(spark, r)
+        st.map { s =>
+          Maintenance.stats(spark, s.dataLocation)
             .map { case (d, n, b) => s"$d files=$n bytes=$b" }
             .mkString("\n")
         }
       case Some("purge") => // retention purge (tsdb.retention.threshold)
-        root.flatMap { r =>
+        st.flatMap { s =>
           params.get("cutoff").toRight("cutoff missing")
-            .map(c => s"purged ${Maintenance.purgeOlderThan(spark, r, c).size}")
+            .map(c => s"purged ${s.purgeBefore(c).size}")
         }
       case Some(noop @ ("append" | "cfg" | "cp" | "gc" | "log" | "stop")) =>
         Right(s"$noop: no-op under Spark storage") // durable files/checkpoints

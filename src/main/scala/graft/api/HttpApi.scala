@@ -242,7 +242,7 @@ final class HttpApi(
   }
 
   private def admin(p: Map[String, Seq[String]]): (Int, String, String) =
-    Admin.execute(spark, p.view.mapValues(_.head).toMap, Some(store.dataLocation)) match {
+    Admin.execute(spark, p.view.mapValues(_.head).toMap, Some(store)) match {
       case Right(bodyText) => (200, bodyText, Plain)
       case Left(err) => (400, err, Plain)
     }

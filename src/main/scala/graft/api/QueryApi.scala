@@ -2,7 +2,7 @@ package graft.api
 
 import graft.ingest.JsonMini
 import graft.model.{Dp, RateOptions, RollupUsage, SubQuery, TsQuery}
-import graft.query.{Meta, Planner, TimeParse}
+import graft.query.{Downsample, Meta, Planner, TimeParse}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -153,9 +153,21 @@ object QueryApi {
   /** Run a query against a maintained [[graft.store.Store]] with its
     * metadata defaults — series-index scans, maintained OOO marks, and
     * rollup routing are always on, like the reference's QuerySuperTask.
+    * The data read is day-pruned to the query window (plus downsample
+    * slack): the scan opens the queried days' files, not the store's
+    * whole history.
     */
-  def runQuery(store: graft.store.Store, q: TsQuery): String =
-    runQuery(store.data, q, store.plannerOptions(), DefaultMaxDps)
+  def runQuery(store: graft.store.Store, q: TsQuery): String = {
+    // planner scan expansion is bounded by the largest downsample
+    // interval (expanded end; rollup snapping is <= 1d)
+    val slack = q.subQueries
+      .flatMap(_.downsample)
+      .flatMap(s => scala.util.Try(Downsample.parse(s).intervalMs).toOption)
+      .maxOption.getOrElse(0L)
+      .max(graft.rollup.Rollup.DayMs)
+    runQuery(store.dataForRange(q.startMs, q.endMs, slack), q,
+      store.plannerOptions(), DefaultMaxDps)
+  }
 
   private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,
       opt: Planner.Options, maxDps: Int = DefaultMaxDps): Seq[ResultSet] = {

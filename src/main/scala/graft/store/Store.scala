@@ -112,14 +112,49 @@ final class Store(spark: SparkSession, root: String,
 
   /** Raw data as the canonical dp frame (empty before the first ingest —
     * a freshly-booted server must answer queries with [] not a scan
-    * error). The schema is explicit, never inferred: a concurrent
-    * reader can land while the FIRST append holds only `_temporary`
-    * content, and schema inference over zero committed files throws
-    * where an explicit schema yields the correct empty result.
+    * error). Manifest-resolved like the metadata tables: the read names
+    * exactly the files the newest manifest commits, so a reader sees a
+    * whole batch or none of it, and a compaction swap is invisible
+    * (the superseded files survive the GC grace window for in-flight
+    * scans). A data dir written by an external tool (no manifest) falls
+    * back to directory listing with the explicit schema — a concurrent
+    * reader can land while a write holds only `_temporary` content, and
+    * schema inference over zero committed files throws where an explicit
+    * schema yields the correct empty result.
     */
-  def data: DataFrame =
-    if (!exists(dataPath)) emptyFrame(dpSchema)
-    else spark.read.schema(dpSchema).parquet(dataPath)
+  def data: DataFrame = currentDataManifest() match {
+    case Some((_, entries)) => readDataFiles(entries.values.flatten.toSeq)
+    case None =>
+      if (!exists(dataPath)) emptyFrame(dpSchema)
+      else spark.read.schema(dpSchema).parquet(dataPath)
+        .select(Dp.columns.map(col): _*)
+  }
+
+  /** Day-pruned data read: only the date partitions that can contain
+    * `[startMs - slackMs, endMs + slackMs]` (±1 local date of extra
+    * slack covers a UTC/session-timezone straddle). At scale this is
+    * the difference between opening every day's file footers per query
+    * and opening the queried window's.
+    */
+  def dataForRange(startMs: Long, endMs: Long, slackMs: Long = 0L): DataFrame =
+    currentDataManifest() match {
+      case Some((_, entries)) =>
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone",
+            java.util.TimeZone.getDefault.getID))
+        def ld(ms: Long) = java.time.Instant.ofEpochMilli(ms).atZone(zone).toLocalDate
+        val lo = ld(startMs - slackMs).minusDays(1).toString
+        val hi = ld(endMs + slackMs).plusDays(1).toString
+        // ISO date strings order lexicographically = chronologically
+        readDataFiles(entries.view.filterKeys(d => d >= lo && d <= hi)
+          .values.flatten.toSeq)
+      case None => data
+    }
+
+  private def readDataFiles(files: Seq[String]): DataFrame =
+    if (files.isEmpty) emptyFrame(dpSchema).select(Dp.columns.map(col): _*)
+    else spark.read.schema(dpSchema)
+      .parquet(files.map(f => s"$dataPath/$f"): _*)
       .select(Dp.columns.map(col): _*)
 
   /** Root of the date-partitioned raw data (what [[Maintenance]] and the
@@ -180,14 +215,50 @@ final class Store(spark: SparkSession, root: String,
       // densifying per write would pay a shuffle per batch for nothing —
       // auto-compaction rewrites partitions densely on a batch cadence,
       // exactly the reference's compaction split of responsibilities
-      keyed.select(Dp.columns.map(col): _*)
-        .withColumn("date", to_date(timestamp_millis(col("ts"))))
-        .write.mode(SaveMode.Append).partitionBy("date").parquet(dataPath)
+      appendData(keyed)
       updateSeriesIndex(keyed)
       val days = updateSliceState(keyed)
       updateRollup(keyed, days)
       maybeCompact(days)
     } finally keyed.unpersist()
+  }
+
+  /** Append the batch's files under their date partitions and commit
+    * them to the data manifest: write to a hidden tmp, move the part
+    * files in under generation names, publish. Readers resolve the
+    * manifest, so the batch appears atomically.
+    */
+  private def appendData(keyed: DataFrame): Unit = {
+    val gen = System.nanoTime()
+    val tmp = s"$dataPath/.ingest_tmp_$gen"
+    keyed.select(Dp.columns.map(col): _*)
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(tmp)
+    // adopting a pre-manifest layout: fold the existing files into the
+    // first manifest so nothing already on disk goes unreferenced
+    val (prevSeq, prevEntries) = currentDataManifest()
+      .getOrElse((0L, bootstrapDataEntries()))
+    val entries = scala.collection.mutable.Map(prevEntries.toSeq: _*)
+    val touched = Seq.newBuilder[String]
+    fs.listStatus(new Path(tmp)).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("date=")).foreach { dp =>
+        val date = dp.getName.stripPrefix("date=")
+        touched += date
+        val liveDir = new Path(s"$dataPath/date=$date")
+        fs.mkdirs(liveDir)
+        var i = 0
+        fs.listStatus(dp)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            val name = s"g${gen}_$i.parquet"
+            i += 1
+            fs.rename(f.getPath, new Path(liveDir, name))
+            entries(date) = entries.getOrElse(date, Nil) :+ s"date=$date/$name"
+          }
+      }
+    publishDataManifest(prevSeq + 1, entries.toMap)
+    fs.delete(new Path(tmp), true)
+    gcDataFiles(touched.result())
   }
 
   // per-date count of shuffle-free appends since that date's data
@@ -215,7 +286,7 @@ final class Store(spark: SparkSession, root: String,
       .distinct.foreach { date =>
         val n = batchesSinceCompact(date) + 1
         if (n >= compactEveryBatches && exists(s"$dataPath/date=$date")) {
-          Maintenance.compactPartition(spark, dataPath, date)
+          compactDay(date) // reentrant under the ingest's writeLock
           batchesSinceCompact(date) = 0
         } else batchesSinceCompact(date) = n
       }
@@ -322,6 +393,134 @@ final class Store(spark: SparkSession, root: String,
     merged.unpersist()
   }
 
+  // ---- data-table manifest (date -> file list) --------------------------
+
+  /** Newest committed (seq, date -> relative file paths). None = never
+    * manifest-committed (legacy or externally-written layout).
+    */
+  private def currentDataManifest(): Option[(Long, Map[String, Seq[String]])] = {
+    if (!exists(dataPath)) return None
+    val seqs = fs.listStatus(new Path(dataPath)).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.startsWith("manifest."))
+      .flatMap(_.stripPrefix("manifest.").toLongOption)
+    if (seqs.isEmpty) None
+    else {
+      val s = seqs.max
+      Some((s, readManifestLines(dataPath, s).groupBy(_._1)
+        .map { case (d, ls) => d -> ls.map(_._2) }))
+    }
+  }
+
+  private def publishDataManifest(seq: Long,
+      entries: Map[String, Seq[String]]): Unit =
+    publishManifestLines(dataPath, seq,
+      entries.toSeq.sortBy(_._1)
+        .flatMap { case (d, fls) => fls.sorted.map(f => (d, f)) })
+
+  /** Committed parquet files under one date dir (bootstrap + GC). */
+  private def listDateFiles(date: String): Seq[String] = {
+    val dir = new Path(s"$dataPath/date=$date")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => s"date=$date/${f.getPath.getName}").toSeq
+  }
+
+  private def bootstrapDataEntries(): Map[String, Seq[String]] =
+    if (!exists(dataPath)) Map.empty
+    else fs.listStatus(new Path(dataPath)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("date="))
+      .map(_.stripPrefix("date="))
+      .map(d => d -> listDateFiles(d)).filter(_._2.nonEmpty).toMap
+
+  /** Rewrite one date partition densely (ts-sorted for row-group
+    * pruning) and swap it in via the manifest — readers either resolve
+    * the small files or the dense one, never a half-swapped dir; the
+    * superseded files survive the GC grace window for in-flight scans.
+    * The reference's `Tsdb::compact` with the WAL-era visibility rules
+    * replaced by the commit protocol.
+    */
+  def compactDay(date: String, numFiles: Int = 1): Unit = writeLock.synchronized {
+    currentDataManifest() match {
+      case Some((seq, entries)) if entries.get(date).exists(_.size > numFiles) =>
+        val gen = System.nanoTime()
+        val tmp = s"$dataPath/.compact_tmp_$gen"
+        readDataFiles(entries(date))
+          .repartition(numFiles)
+          .sortWithinPartitions("metric", "ts")
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val liveDir = new Path(s"$dataPath/date=$date")
+        fs.mkdirs(liveDir)
+        var i = 0
+        val moved = fs.listStatus(new Path(tmp))
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map { f =>
+            val name = s"c${gen}_$i.parquet"
+            i += 1
+            fs.rename(f.getPath, new Path(liveDir, name))
+            s"date=$date/$name"
+          }.toSeq
+        publishDataManifest(seq + 1, entries.updated(date, moved))
+        fs.delete(new Path(tmp), true)
+        gcDataFiles(Seq(date))
+      case Some(_) => () // nothing to compact
+      case None => // legacy layout: dir-swap compaction
+        Maintenance.compactPartition(spark, dataPath, date, numFiles)
+    }
+  }
+
+  /** Retention purge: unreference and delete partitions strictly older
+    * than `cutoffDate`, and drop the purged days from the metadata
+    * manifests (cutoff interpreted at UTC midnight for the day-keyed
+    * tables). Returns the dropped dates.
+    */
+  def purgeBefore(cutoffDate: String): Seq[String] = writeLock.synchronized {
+    val victims = currentDataManifest() match {
+      case Some((seq, entries)) =>
+        val v = entries.keys.filter(_ < cutoffDate).toSeq.sorted
+        if (v.nonEmpty) {
+          publishDataManifest(seq + 1, entries -- v)
+          v.foreach(d => fs.delete(new Path(s"$dataPath/date=$d"), true))
+        }
+        v
+      case None => Maintenance.purgeOlderThan(spark, dataPath, cutoffDate)
+    }
+    if (victims.nonEmpty) {
+      val cutoffDay = java.time.LocalDate.parse(cutoffDate)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      Seq(statePath, rollupPath, rollup1dPath).foreach { live =>
+        val (seq, entries) = currentManifest(live)
+        val keep = entries.filter { case (day, _) => day >= cutoffDay }
+        if (keep.size != entries.size)
+          publishManifestLines(live, seq + 1,
+            keep.toSeq.sortBy(_._1).map { case (d, n) => (d.toString, n) })
+      }
+    }
+    victims
+  }
+
+  /** Drop files in the touched date dirs that no surviving manifest
+    * references and that are older than the grace window (superseded by
+    * compaction, or orphaned by an interrupted commit). Untouched days'
+    * leftovers wait until that day is next written or compacted —
+    * bounded by the compaction cadence.
+    */
+  private def gcDataFiles(dates: Seq[String]): Unit = {
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    val referenced = gcManifests(dataPath, cutoff)
+      .flatMap(s => readManifestLines(dataPath, s)).map(_._2).toSet
+    dates.distinct.foreach { d =>
+      val dir = new Path(s"$dataPath/date=$d")
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .filter(f => !referenced.contains(s"date=$d/${f.getPath.getName}") &&
+            f.getModificationTime < cutoff)
+          .foreach(f => fs.delete(f.getPath, false))
+    }
+  }
+
   // ---- manifest commit protocol -----------------------------------------
 
   /** Write `df` (carrying a `day` column) as new per-day generation dirs
@@ -347,7 +546,8 @@ final class Store(spark: SparkSession, root: String,
         entries(d) = dirName
       } else entries.remove(d) // merged frame dropped the day entirely
     }
-    publishManifest(live, prevSeq + 1, entries.toMap)
+    publishManifestLines(live, prevSeq + 1,
+      entries.toSeq.sortBy(_._1).map { case (d, n) => (d.toString, n) })
     fs.delete(new Path(tmp), true)
     gcGenerations(live)
   }
@@ -363,24 +563,30 @@ final class Store(spark: SparkSession, root: String,
     else (seqs.max, readManifestFile(live, seqs.max))
   }
 
-  private def readManifestFile(live: String, seq: Long): Map[Long, String] = {
+  /** Raw manifest lines (key, value); metadata tables use one line per
+    * day, the data table many lines per date.
+    */
+  private def readManifestLines(live: String, seq: Long): Seq[(String, String)] = {
     val in = fs.open(new Path(s"$live/manifest.$seq"))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).map { l =>
         val i = l.indexOf('\t')
-        l.substring(0, i).toLong -> l.substring(i + 1)
-      }.toMap
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toList
     finally in.close()
   }
+
+  private def readManifestFile(live: String, seq: Long): Map[Long, String] =
+    readManifestLines(live, seq).map { case (k, v) => k.toLong -> v }.toMap
 
   /** Hidden write + atomic rename: the manifest appears fully written or
     * not at all.
     */
-  private def publishManifest(live: String, seq: Long,
-      entries: Map[Long, String]): Unit = {
+  private def publishManifestLines(live: String, seq: Long,
+      lines: Seq[(String, String)]): Unit = {
     val tmp = new Path(s"$live/.manifest_tmp_$seq")
     val out = fs.create(tmp, true)
-    try out.write(entries.toSeq.sortBy(_._1)
+    try out.write(lines
       .map { case (d, n) => s"$d\t$n" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // a failed rename means another writer published this seq — the
@@ -395,15 +601,15 @@ final class Store(spark: SparkSession, root: String,
     * mid-scan) and every dir either names; drop older manifests and
     * unreferenced generation dirs.
     */
-  private def gcGenerations(live: String): Unit = {
-    // survivors: the 2 newest manifests plus anything younger than the
-    // grace window — a DataFrame resolved against manifest N (e.g. a
-    // plannerOptions() captured at query start) keeps its generation
-    // dirs readable for gcGraceMs even while fast micro-batches keep
-    // committing
-    val cutoff = System.currentTimeMillis() - gcGraceMs
-    val entries = fs.listStatus(new Path(live)).toSeq
-    val manifests = entries.filter(_.isFile)
+  /** Delete superseded manifests and return the survivors' seqs.
+    * Survivors: the 2 newest plus anything younger than the grace
+    * window — a DataFrame resolved against manifest N (e.g. a
+    * plannerOptions() captured at query start) keeps its generation
+    * dirs/files readable for gcGraceMs even while fast micro-batches
+    * keep committing.
+    */
+  private def gcManifests(live: String, cutoff: Long): Seq[Long] = {
+    val manifests = fs.listStatus(new Path(live)).toSeq.filter(_.isFile)
       .flatMap(f => f.getPath.getName.stripPrefix("manifest.").toLongOption
         .filter(_ => f.getPath.getName.startsWith("manifest."))
         .map(s => (s, f)))
@@ -412,9 +618,14 @@ final class Store(spark: SparkSession, root: String,
     val (keep, retire) = manifests.partition { case (s, f) =>
       newest.contains(s) || f.getModificationTime >= cutoff }
     retire.foreach { case (_, f) => fs.delete(f.getPath, false) }
-    val referenced = keep
-      .flatMap { case (s, _) => readManifestFile(live, s).values }.toSet
-    entries.filter(_.isDirectory)
+    keep.map(_._1)
+  }
+
+  private def gcGenerations(live: String): Unit = {
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    val referenced = gcManifests(live, cutoff)
+      .flatMap(s => readManifestFile(live, s).values).toSet
+    fs.listStatus(new Path(live)).toSeq.filter(_.isDirectory)
       .filter(d => d.getPath.getName.startsWith("d_") &&
         !referenced.contains(d.getPath.getName) &&
         d.getModificationTime < cutoff)

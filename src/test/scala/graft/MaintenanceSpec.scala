@@ -47,19 +47,20 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("admin dispatcher: ping/stat/compact/purge/unknown") {
-    val root = Files.createTempDirectory("graft_store").toString + "/store"
-    writeStore(root)
+    val base = Files.createTempDirectory("graft_store").toString
+    writeStore(s"$base/data") // legacy (pre-manifest) layout
+    val st = new graft.store.Store(spark, base)
     assert(Admin.execute(spark, Map("cmd" -> "ping")) === Right("pong"))
     assert(Admin.execute(spark, Map.empty) === Left("cmd missing"))
     assert(Admin.execute(spark, Map("cmd" -> "nope")).isLeft)
     assert(Admin.execute(spark, Map("cmd" -> "stat")).isLeft) // no store
-    val stat = Admin.execute(spark, Map("cmd" -> "stat"), Some(root))
+    val stat = Admin.execute(spark, Map("cmd" -> "stat"), Some(st))
     assert(stat.exists(_.contains("1970-01-01")))
     assert(Admin.execute(spark,
-      Map("cmd" -> "compact", "date" -> "1970-01-02"), Some(root))
+      Map("cmd" -> "compact", "date" -> "1970-01-02"), Some(st))
       .exists(_.contains("1")))
     assert(Admin.execute(spark,
-      Map("cmd" -> "purge", "cutoff" -> "1970-01-02"), Some(root))
+      Map("cmd" -> "purge", "cutoff" -> "1970-01-02"), Some(st))
       === Right("purged 1"))
   }
 
