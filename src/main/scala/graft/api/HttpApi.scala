@@ -114,7 +114,8 @@ final class HttpApi(
   }
 
   private def runQuery(q: graft.model.TsQuery): (Int, String, String) =
-    try (200, QueryApi.executeQuery(store.data, q, store.plannerOptions(), maxDps), Json)
+    try (200, QueryApi.executeQuery(
+      QueryApi.storeFrame(store, q), q, store.plannerOptions(), maxDps), Json)
     catch {
       // reference sends an empty-body 413 (query.cpp:1644)
       case QueryApi.ResponseTooLarge(_) => (413, "", Plain)

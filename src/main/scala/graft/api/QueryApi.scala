@@ -157,16 +157,21 @@ object QueryApi {
     * slack): the scan opens the queried days' files, not the store's
     * whole history.
     */
-  def runQuery(store: graft.store.Store, q: TsQuery): String = {
-    // planner scan expansion is bounded by the largest downsample
-    // interval (expanded end; rollup snapping is <= 1d)
+  def runQuery(store: graft.store.Store, q: TsQuery): String =
+    runQuery(storeFrame(store, q), q, store.plannerOptions(), DefaultMaxDps)
+
+  /** Day-pruned source frame for a query over a maintained store (also
+    * the HTTP edge's scan source). Slack: the planner's scan expansion
+    * is bounded by the largest downsample interval (expanded end;
+    * rollup snapping is <= 1d).
+    */
+  def storeFrame(store: graft.store.Store, q: TsQuery): DataFrame = {
     val slack = q.subQueries
       .flatMap(_.downsample)
       .flatMap(s => scala.util.Try(Downsample.parse(s).intervalMs).toOption)
       .maxOption.getOrElse(0L)
       .max(graft.rollup.Rollup.DayMs)
-    runQuery(store.dataForRange(q.startMs, q.endMs, slack), q,
-      store.plannerOptions(), DefaultMaxDps)
+    store.dataForRange(q.startMs, q.endMs, slack)
   }
 
   private def runSub(dp: DataFrame, q: TsQuery, sub: SubQuery,

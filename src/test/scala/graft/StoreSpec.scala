@@ -224,6 +224,27 @@ class StoreSpec extends SparkSpec {
     assert(held.count() >= before)
   }
 
+  test("dataForRange prunes to the queried days' files") {
+    val D = graft.rollup.Rollup.DayMs
+    val root = java.nio.file.Files.createTempDirectory("store_range").toString
+    val st = new Store(spark, root, compactEveryBatches = 0)
+    // ten days of data, one point per day
+    (0 until 10).foreach(i =>
+      st.ingest(mkDp(Seq(("m", "a", i * D + 1000L, i.toDouble, i.toLong)))))
+    // file-level pruning with ±1-day slack: the window's rows are all
+    // present; the row-level ts filter is the planner's job downstream
+    val pruned = st.dataForRange(5 * D, 6 * D)
+    val got = pruned.select("value").as[Double].collect().toSet
+    assert(Set(5.0, 6.0).subsetOf(got) && got.subsetOf(Set(4.0, 5.0, 6.0, 7.0)))
+    // the scan's file list is the window's days (±1 slack), not all ten
+    val scanned = pruned.queryExecution.sparkPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }).sum
+    assert(scanned <= 4, s"expected <= 4 files scanned, got $scanned")
+  }
+
   test("compaction swap: a pre-swap reader still reads; data unchanged") {
     val root = java.nio.file.Files.createTempDirectory("store_swap").toString
     val st = new Store(spark, root, compactEveryBatches = 0) // manual compact
