@@ -188,6 +188,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // weighted training-mix resampling: src0 at 2.5 epochs (2 whole
+    // copies + a deterministic half-epoch), src1 at a quarter, the rest
+    // at 1.0 — each copy tagged with its epoch index
+    "pl_mixture" -> { (s, dir) =>
+      Sampling.mixtureSample(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+
+    // per-doc top-3 TF-IDF keywords (smoothed idf, quantized-score
+    // ranking with token tie-break)
+    "pl_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
+        .select(col("doc_id"), col("token"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
     "pl_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), nBits = 32, maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
@@ -580,6 +599,42 @@ object PipelineQueries {
     val sample =
       s"""SELECT doc_id FROM documents
          |WHERE ${bucketSql("sample")} < 2500 ORDER BY doc_id""".stripMargin
+    val mixture =
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2.5
+         |         WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS rate,
+         |    ${bucketSql("mix")} AS b
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(rate) AS BIGINT) +
+         |      (CASE WHEN b < floor((rate - floor(rate)) * 10000)
+         |            THEN 1 ELSE 0 END) AS copies
+         |  FROM r)
+         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch FROM (
+         |  SELECT doc_id, source, unnest(range(copies)) AS e FROM c)
+         |ORDER BY doc_id, epoch""".stripMargin
+    val tfidf =
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    floor(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * 10000
+        |          + 0.5 + 1e-6) / 10000.0 AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, token, score, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
     val nBits = 32
     val votes = (0 until nBits)
@@ -788,6 +843,8 @@ object PipelineQueries {
       "pl_unigram_nll" -> unigramNll,
       "pl_split" -> split,
       "pl_sample" -> sample,
+      "pl_mixture" -> mixture,
+      "pl_tfidf" -> tfidf,
       "pl_vocab" -> vocab,
       "pl_pack" -> pack,
       "pl_redact" -> redact,

@@ -41,6 +41,35 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000))
 
+  /** Weighted mixture resampling — compose a training mix from per-source
+    * rates (the "epochs" column of published LM mixture tables): rate ≤ 1
+    * keeps a deterministic rate-fraction of the source; rate > 1 emits
+    * `floor(rate)` whole copies plus a deterministically-sampled
+    * fractional epoch. Copies carry a 0-based `epoch` column so a
+    * downstream shuffle can salt repeats apart. Per-row and
+    * embarrassingly parallel — a row's copy count depends only on
+    * (id, salt, its source's rate), so the mix is reproducible and
+    * stable under corpus growth; the threshold is integer basis points
+    * of the fractional part, IEEE-identical across engines.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "mix"): DataFrame = {
+    require(rates.values.forall(_ >= 0) && defaultRate >= 0, "rates >= 0")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(r)).otherwise(acc)
+      }
+    val whole = floor(rate).cast("long")
+    val thr = floor((rate - floor(rate)) * 10000)
+    val copies = whole +
+      when(bucket(col(idCol), salt) < thr, 1L).otherwise(0L)
+    df.withColumn("copies_", copies)
+      .filter(col("copies_") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("copies_") - 1)))
+      .drop("copies_")
+  }
+
   /** Keep at most `maxPerKey` rows per key, chosen deterministically by
     * salted md5 rank (doc id tie-break) — the per-host document cap of
     * web-corpus pipelines, reproducible across runs and engines. One

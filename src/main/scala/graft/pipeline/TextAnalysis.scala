@@ -232,6 +232,33 @@ object TextAnalysis {
       .agg((-avg(log(col("freq").cast("double") / col("n_")))).as("nll"))
   }
 
+  /** Per-document top-k TF-IDF keywords with smoothed idf
+    * `ln((N+1)/(df+1)) + 1`. Ranking uses the 1e-4-quantized score
+    * (token-ascending tie-break) so the ordering is reproducible across
+    * engines despite last-ulp `ln` differences. Shuffle shape at scale:
+    * explode → map-side-combined (doc, token) counts → broadcast join
+    * against the vocabulary-sized document-frequency table → one window
+    * shuffle on doc id. `N` is a columnless parquet count (metadata
+    * scan), not a second data pass.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val tf = withTokens(docs, textCol)
+      .select(col(idCol), explode(col("w_")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("score",
+        floor(col("tf") * idf * 10000 + 0.5 + 1e-6) / 10000.0)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:

@@ -122,6 +122,46 @@ class PipelineSpec extends SparkSpec {
     assert(a === b && a.nonEmpty && a.size < docs.count())
   }
 
+  test("mixtureSample: whole copies + fractional epoch, deterministic") {
+    import graft.pipeline.Sampling
+    val m = Sampling.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+    val perDoc = m.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("maxe"))
+      .as[(Long, String, Long, Long)].collect()
+    // src0 rows appear 2 or 3 times; src1 rows 0 or 1; others exactly 1
+    assert(perDoc.forall { case (_, s, n, maxe) =>
+      maxe == n - 1 && (s match {
+        case "src0" => n == 2 || n == 3
+        case "src1" => n == 1 // zero-copy rows don't appear at all
+        case _ => n == 1
+      })
+    })
+    val src0 = perDoc.filter(_._2 == "src0")
+    val frac0 = src0.count(_._3 == 3).toDouble / src0.length
+    assert(frac0 > 0.3 && frac0 < 0.7) // ~half get the fractional epoch
+    val src1Kept = perDoc.count(_._2 == "src1")
+    val src1Total = docs.filter($"source" === "src1").count()
+    assert(src1Kept.toDouble / src1Total > 0.1 &&
+      src1Kept.toDouble / src1Total < 0.4) // ~quarter keep rate
+    // reproducible
+    val again = Sampling.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 2.5, "src1" -> 0.25))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again === m.select("doc_id", "epoch").as[(Long, Long)].collect().toSet)
+  }
+
+  test("tfidf: rare tokens outrank common ones at equal tf") {
+    val d = Seq((1L, "rare common"), (2L, "common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfKeywords(d, k = 2)
+    val doc1 = r.filter($"doc_id" === 1).orderBy("rank")
+      .select("token").as[String].collect()
+    assert(doc1.toSeq === Seq("rare", "common"))
+    assert(r.groupBy("doc_id").count().as[(Long, Long)].collect()
+      .forall(_._2 <= 2))
+  }
+
   test("packing: every doc binned; bins hold ~budget tokens") {
     import graft.pipeline.Sampling
     val packed = Sampling.packBins(docs, "doc_id",
