@@ -267,6 +267,18 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // SemDeDup: the pl_kmeans clustering + within-cluster cosine pairs
+    // ≥ 0.4 + hash-min components; cid = kept representative
+    "pl_semdedup" -> { (s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), k = 8, iters = 2, threshold = 0.4)
+        .orderBy("id")
+    },
+
+    // C4-style span dedup: first global occurrence of each sentence wins
+    "pl_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(docs(s, dir)).orderBy("doc_id")
+    },
+
     // ---- multimodal columns ---------------------------------------------
     "pl_mm_meta" -> { (s, dir) =>
       Multimodal.extractMeta(Multimodal.withPayload(docs(s, dir), "text", "doc_id"))
@@ -811,6 +823,50 @@ object PipelineQueries {
          |${kmAssign("c2", "a3")}
          |SELECT id, cid FROM a3 ORDER BY id""".stripMargin
 
+    // SemDeDup oracle: the pl_kmeans replay, then pairs restricted to a
+    // shared cluster, then the same recursive-reachability labeling as
+    // pl_dedup_clusters (min reachable id = representative).
+    val semDedup =
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "a3")},
+         |sp AS (
+         |  SELECT a.id AS id1, b.id AS id2
+         |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.id < b.id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM sp
+         |  UNION ALL
+         |  SELECT id2, id1 FROM sp),
+         |nodes AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT eg.a AS id, reach.r FROM reach JOIN edges eg ON eg.b = reach.id)
+         |SELECT id, min(r) AS cid FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+    // span dedup oracle: 1-based positions; string_agg skips the
+    // CASE-nulled duplicate spans, ORDER BY pos preserves document order
+    val spanDedup =
+      """WITH sp0 AS (SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+        |spn AS (SELECT doc_id, unnest(range(1, len(ps) + 1)) AS pos, ps FROM sp0),
+        |sp AS (SELECT doc_id, pos, ps[pos] AS span FROM spn WHERE length(ps[pos]) > 0),
+        |fr AS (SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |       FROM sp)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, '. ' ORDER BY pos), '') AS clean_text,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
     val mmMeta =
       """SELECT doc_id AS id,
         |  CAST(length(text) AS BIGINT) AS byte_len,
@@ -854,6 +910,8 @@ object PipelineQueries {
       "pl_knn_lsh" -> lshKnn,
       "pl_embed_prep" -> embedPrep,
       "pl_kmeans" -> kmeans,
+      "pl_semdedup" -> semDedup,
+      "pl_span_dedup" -> spanDedup,
       "pl_neardup_cos" -> nearDup,
       "pl_mm_meta" -> mmMeta,
       "pl_mm_frames" -> mmFrames)

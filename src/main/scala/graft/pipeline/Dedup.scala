@@ -31,6 +31,46 @@ object Dedup {
       .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy(col("digest"))))
       .select(col(idCol), col("keep_id"))
 
+  /** C4/RefinedWeb-style intra-corpus span dedup: split each document
+    * into spans (sentences here, on `". "`; C4 uses three-sentence spans,
+    * CCNet dedupes paragraphs/lines — same shape), keep only the globally
+    * FIRST occurrence of each distinct span (smallest (doc_id, position)),
+    * and reassemble the surviving spans in document order.
+    *
+    * Scale shape: one shuffle keyed by the span digest (the row_number
+    * window — first-occurrence choice must see all copies of a span), one
+    * shuffle keyed by doc id to reassemble. Span text never shuffles
+    * twice: the reassembly carries (id, pos, span) only for KEPT spans.
+    * Hot spans (boilerplate repeated millions of times) are exactly the
+    * rows this drops, so the digest key's skew is bounded by the window's
+    * rank-1 cutoff — at 100 TB swap row_number for a min_by(struct(id,
+    * pos)) aggregation + re-join if a single span's copies exceed one
+    * task's spill budget.
+    *
+    * Returns (doc_id, clean_text, n_spans, n_dropped); documents whose
+    * every span was seen earlier come back with empty clean_text rather
+    * than vanishing (the caller decides whether empty docs survive).
+    */
+  def spanDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\\. ", joiner: String = ". "): DataFrame = {
+    val spans = docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "span")))
+      .filter(length(col("span")) > 0)
+    val firstW = Window.partitionBy(col("span")).orderBy(col("id"), col("pos"))
+    val kept = spans
+      .withColumn("rn", row_number().over(firstW))
+      .withColumn("keep", col("rn") === 1)
+    kept.groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("span"))))),
+          s => s("span")), joiner).as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        count(when(!col("keep"), lit(1))).as("n_dropped"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_spans"), col("n_dropped"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). Rows are
     * unique per (id, shingle) already — `array_distinct` dedupes within
     * the doc and ids are unique — so no shuffle happens here.

@@ -197,6 +197,57 @@ object Similarity {
     out
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023 shape):
+    * k-means the corpus ([[kmeans]]), then compute cosine pairs ONLY
+    * within each cluster. The pairwise work drops from the corpus-global
+    * O(n²) of [[nearDupPairs]] to Σ|cluster|², and the join key is the
+    * cluster id, so each cluster's vectors co-locate on one task — at
+    * 100 TB the scale lever is k (SemDeDup sizes k so a cluster fits an
+    * executor; ~0.1·√n is the paper's working point). Pairs crossing
+    * cluster boundaries are out of scope BY DEFINITION — that is the
+    * SemDeDup approximation, and what makes it tractable where the exact
+    * blocked join is not.
+    *
+    * Deterministic end to end (deterministic k-means init + 1e-4-rounded
+    * centroid updates), so the whole operator is oracle-replayable.
+    * Output: (id1, id2, cos) with id1 < id2, cos ≥ threshold.
+    */
+  def semanticPairs(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = kmeans(emb, k, iters, idCol, vecCol) // (id, cid), persisted
+    val p = prep(emb, idCol, vecCol, "pid", "v", "n")
+      .join(asg, col("pid") === col("id"))
+      .select(col("cid"), col("id"), col("v"), col("n"))
+    val a = p.select(col("cid"), col("id").as("id1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val b = p.select(col("cid"), col("id").as("id2"),
+      col("v").as("v2"), col("n").as("n2"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", pairCos("v1", "n1", "v2", "n2"))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize before releasing the assignment cache
+    asg.unpersist()
+    pairs // persisted; callers may unpersist once consumed
+  }
+
+  /** Full SemDeDup labels: (id, cid) where cid is the representative
+    * (min reachable id) of each semantic near-dup group; id == cid marks
+    * the row to keep. Composes [[semanticPairs]] with the same hash-min
+    * connected-components labeling used for lexical dedup
+    * ([[graft.pipeline.Dedup.clusters]]) — one shuffle-on-id round per
+    * component-diameter step, no driver graph state.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticPairs(emb, k, iters, threshold, idCol, vecCol)
+    val labels = Dedup.clusters(pairs, emb.select(col(idCol).as("id")))
+    pairs.unpersist()
+    labels
+  }
+
   /** Deterministic hyperplane component r[p][d] ∈ [-1, 1], derived from
     * md5(p || '_' || d) — the JVM-side twin of
     * [[graft.functions.GraftFunctions.md5Hash60]], so buckets are

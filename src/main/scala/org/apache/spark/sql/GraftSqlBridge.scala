@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager Column → catalyst conversion. [[expression]] wraps the node in
+    * a LAZY `ColumnNodeExpression` that only the DataFrame entry points
+    * unwrap; a tree returned from a FunctionRegistry builder (SQL
+    * function injection) bypasses those, so it must be converted eagerly
+    * or execution hits `Cannot generate code for expression`.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -378,4 +378,35 @@ class PipelineSpec extends SparkSpec {
     assert(r(3)._3 === "too_short")
     assert(r(4)._3 === "repetitive_run")
   }
+
+  test("semanticDedup: pairs stay within clusters; labels are min-reachable") {
+    val labels = Similarity.semanticDedup(emb, k = 4, iters = 2, threshold = 0.3)
+    val l = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    // every embedding gets a label, representatives label themselves
+    assert(l.size === emb.count())
+    assert(l.values.toSet.forall(cid => l(cid) === cid))
+    // the semantic pair set is a subset of the global near-dup pairs at
+    // the same threshold (cluster restriction only removes pairs)
+    val sem = Similarity.semanticPairs(emb, k = 4, iters = 2, threshold = 0.3)
+    val semPairs = sem.select("id1", "id2").as[(Long, Long)].collect().toSet
+    sem.unpersist()
+    val global = Similarity.nearDupPairs(emb, 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(semPairs.subsetOf(global))
+    assert(semPairs.nonEmpty) // near-dups co-cluster — that's the premise
+  }
+
+  test("spanDedup: first occurrence wins, order preserved, empties kept") {
+    val d = Seq(
+      (1L, "alpha beta. gamma delta. unique one"),
+      (2L, "alpha beta. second only. gamma delta"),
+      (3L, "alpha beta. gamma delta")) // every span seen before
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(r(0) === ((1L, "alpha beta. gamma delta. unique one", 3L, 0L)))
+    assert(r(1) === ((2L, "second only", 3L, 2L)))
+    assert(r(2) === ((3L, "", 2L, 2L))) // survives as an empty doc
+  }
 }
