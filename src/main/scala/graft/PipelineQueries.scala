@@ -145,6 +145,25 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // incremental dedup: a new batch (doc_id % 5 == 0, plus exact copies
+    // of some corpus docs at +50000) matched against the established
+    // corpus's persisted band index + shingle table — cost scales with
+    // the batch, never the corpus
+    "pl_dedup_incr" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val fresh = d.filter(col("doc_id") % 5 === 0).unionByName(
+        corpus.filter(col("doc_id") % 7 === 1)
+          .withColumn("doc_id", col("doc_id") + 50000))
+      val index = Dedup.lshBandIndex(corpus)
+      val corpusSh = Dedup.shingleHashes(corpus).select("id", "h")
+      val out = Dedup.incrementalNearDups(fresh, index, corpusSh)
+        .select(col("new_id"), col("corpus_id"),
+          sround(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "corpus_id")
+      out
+    },
+
     // pairwise matches → dedup GROUPS: connected components over the
     // (verified) minhash pairs; cid = min reachable id = the doc to keep
     "pl_dedup_clusters" -> { (s, dir) =>
@@ -185,6 +204,21 @@ object PipelineQueries {
     "pl_sample" -> { (s, dir) =>
       Sampling.deterministicSample(docs(s, dir), "doc_id", 0.25)
         .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // context-window chunking: 12-token chunks, stride 8 (4 tokens of
+    // overlap), last chunk short — per-row sequence+slice, no shuffle
+    "pl_chunk" -> { (s, dir) =>
+      Sampling.chunkDocs(docs(s, dir), size = 12, stride = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // deterministic corpus shuffle into 8 training shards: salted-hash
+    // shard assignment + within-shard ordering (window parallel per shard)
+    "pl_shuffle" -> { (s, dir) =>
+      Sampling.shuffleShards(docs(s, dir), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("doc_id")
     },
 
@@ -522,6 +556,79 @@ object PipelineQueries {
          |FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
          |WHERE p.jac >= 0.8
          |ORDER BY p.id1, p.id2""".stripMargin
+
+    // incremental dedup: replay corpus/fresh construction, minhash both
+    // sides, band-join fresh signatures against the corpus index, verify
+    // candidates by exact shingle jaccard
+    val shingleOf = (rel: String, out: String) =>
+      s"""$out AS (
+         |  SELECT DISTINCT doc_id AS id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $rel)))""".stripMargin
+    val dedupIncr =
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |fresh AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 50000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 != 0 AND doc_id % 7 = 1),
+         |${shingleOf("corpus", "csh")},
+         |${shingleOf("fresh", "nsh")},
+         |chs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM csh),
+         |nhs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM nsh),
+         |csig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM chs GROUP BY id),
+         |nsig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM nhs GROUP BY id),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+         |  FROM nsig a JOIN csig b ON ($bandCond)),
+         |ncnt AS (SELECT id, count(*) AS n FROM nsh GROUP BY id),
+         |ccnt AS (SELECT id, count(*) AS n FROM csh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS new_id, b.id AS corpus_id, count(*) AS i
+         |  FROM nsh a JOIN csh b ON a.s = b.s GROUP BY a.id, b.id),
+         |pairs AS (
+         |  SELECT new_id, corpus_id, i / (n1.n + n2.n - i) AS jac
+         |  FROM inter
+         |  JOIN ncnt n1 ON new_id = n1.id
+         |  JOIN ccnt n2 ON corpus_id = n2.id)
+         |SELECT p.new_id, p.corpus_id, ${sroundSql("p.jac")} AS jaccard
+         |FROM pairs p JOIN cand c
+         |  ON p.new_id = c.new_id AND p.corpus_id = c.corpus_id
+         |WHERE p.jac >= 0.8
+         |ORDER BY p.new_id, p.corpus_id""".stripMargin
+
+    // context-window chunking (size 12, stride 8): integer-ceil chunk
+    // count, 1-based inclusive list_slice == Spark slice(start, length)
+    val chunk =
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |         (greatest(n - 12, 0) + 7) // 8 + 1 AS nck
+        |  FROM t),
+        |e AS (SELECT doc_id, w, n, unnest(range(nck)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       array_to_string(list_slice(w, chunk_id * 8 + 1, chunk_id * 8 + 12), ' ') AS chunk,
+        |       CAST(least(12, n - chunk_id * 8) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
+    val shuffle =
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_shuffle'), 1, 15)) AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id, k % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
+        |FROM t ORDER BY doc_id""".stripMargin
 
     // clusters: the minhash pair chain, then min-reachable-id per doc via
     // a recursive reachability CTE (the SQL twin of hash-min propagation)
@@ -894,6 +1001,9 @@ object PipelineQueries {
       "pl_dedup_ngram" -> ngram,
       "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_minhash" -> minhash,
+      "pl_dedup_incr" -> dedupIncr,
+      "pl_chunk" -> chunk,
+      "pl_shuffle" -> shuffle,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,
       "pl_unigram_nll" -> unigramNll,

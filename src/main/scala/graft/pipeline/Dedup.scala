@@ -207,18 +207,22 @@ object Dedup {
     * verification touches ONLY candidate pairs — each joins its two
     * shingle sets and intersects them, never the full shingle self-join.
     */
+  /** Explode signature columns m0..m7 into 4 band rows
+    * `(id, band, x, y)` — the LSH bucket keys.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = sig.select(
+    col("id"),
+    explode(array((0 until 4).map(k =>
+      struct(lit(k).as("band"), col(s"m${2 * k}").as("x"), col(s"m${2 * k + 1}").as("y"))): _*))
+      .as("bk"))
+    .select(col("id"), col("bk.band"), col("bk.x"), col("bk.y"))
+
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // consumed by two plan branches (signatures + verification sets)
     val sh = shingleHashes(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = signaturesFrom(sh)
     // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
-    val banded = sig.select(
-      col("id"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"), col(s"m${2 * k}").as("x"), col(s"m${2 * k + 1}").as("y"))): _*))
-        .as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.x"), col("bk.y"))
+    val banded = bandRows(signaturesFrom(sh))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
@@ -235,6 +239,60 @@ object Dedup {
         col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+    materializeAndRelease(pairs, sh)
+  }
+
+  /** The corpus-side LSH dedup index: one row per (doc, band) with the
+    * band's minhash bucket key — what a 100 TB pipeline PERSISTS between
+    * ingest batches so new data dedups against the whole corpus without
+    * ever re-scanning it. Pairs with [[shingleHashes]] output (also
+    * persisted) as the verification side; both are plain columnar tables,
+    * partitionable by band/bucket.
+    */
+  def lshBandIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    bandRows(minhashSignatures(docs, n))
+
+  /** Incremental near-dup detection: match NEW docs against an existing
+    * corpus via its persisted [[lshBandIndex]] + shingle table, without
+    * touching corpus text. The scale shape of continuous ingestion —
+    * cost scales with the BATCH (new-side shingling + a band join that
+    * reads only matching index buckets + candidate-only verification),
+    * not the corpus: the corpus index is hash-partitioned on the band
+    * key, so the batch's band probe is a co-partitioned join, and
+    * verification joins corpus shingle sets for candidate ids only.
+    *
+    * Returns `(new_id, corpus_id, jaccard)` — new docs with a match are
+    * duplicates of existing data; the caller drops them and appends the
+    * survivors' shingles/bands to the index tables.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpusIndex: DataFrame,
+      corpusShingles: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    // new-side shingles feed two branches (signatures + verification)
+    val sh = shingleHashes(newDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandRows(signaturesFrom(sh)).as("a")
+      .join(corpusIndex.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val newSets = sh.groupBy("id").agg(collect_set("h").as("hs"))
+    // corpus sets materialize only for candidate ids (semi-join first:
+    // at scale candidates are a sliver of the corpus)
+    val corpusSets = corpusShingles
+      .join(cand.select(col("corpus_id").as("id")).distinct(), Seq("id"),
+        "left_semi")
+      .groupBy("id").agg(collect_set("h").as("hs"))
+    val pairs = cand
+      .join(newSets.select(col("id").as("new_id"), col("hs").as("hs1")), "new_id")
+      .join(corpusSets.select(col("id").as("corpus_id"), col("hs").as("hs2")),
+        "corpus_id")
+      .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))).cast("double"))
+      .withColumn("jaccard",
+        col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
     materializeAndRelease(pairs, sh)
   }
 

@@ -96,6 +96,54 @@ object Sampling {
     * the cluster; nothing global). Deterministic: same corpus ⇒ same
     * bins. Output adds `bucket` and `bin` ("<bucket>_<k>").
     */
+  /** Split every document into fixed-size token chunks with overlap —
+    * the context-window shaping pass before tokenization/packing. Chunk
+    * k covers tokens `[k·stride, k·stride + size)`; the last chunk may
+    * be short, and every token is covered (`stride ≤ size` gives
+    * `size − stride` tokens of overlap between neighbors). Pure per-row
+    * array math (`sequence` + `slice`): embarrassingly parallel, no
+    * shuffle at any scale. Output: one row per chunk with 0-based
+    * `chunk_id`, the chunk text, and its token count.
+    */
+  def chunkDocs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && stride <= size, "1 <= stride <= size")
+    val w = split(col(textCol), " ")
+    val n = org.apache.spark.sql.functions.size(w).cast("long")
+    // integer ceil: chunks = ceil(max(n - size, 0) / stride) + 1
+    val nChunks =
+      floor((greatest(n - size, lit(0L)) + (stride - 1)) / stride).cast("long") + 1
+    df.withColumn("w_", w)
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("w_"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(size)))
+          .as("chunk"),
+        least(lit(size.toLong), n - col("chunk_id") * stride).as("n_tokens"))
+  }
+
+  /** Deterministic corpus shuffle into training shards: each doc hashes
+    * to one of `nShards` shards, ordered within its shard by a salted
+    * md5 key — the reproducible global-shuffle pass that breaks source
+    * ordering before training. One exchange on the shard id; the
+    * within-shard ordering window parallelizes across shards, so pick
+    * `nShards` ≥ cluster parallelism (shards are typically 256–4096 at
+    * 100 TB — each window partition is then corpus/nShards rows).
+    * Stable under corpus growth only in shard ASSIGNMENT (positions
+    * shift as docs arrive — inherent to dense positions).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, "nShards >= 1")
+    val key = md5Hash60(concat(col(idCol).cast("string"), lit("_" + salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key_"), col(idCol))
+    df.withColumn("key_", key)
+      .withColumn("shard", pmod(col("key_"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("key_")
+  }
+
   def packBins(df: DataFrame, idCol: String, tokens: Column,
       budgetTokens: Long, nBuckets: Int = 256,
       salt: String = "pack"): DataFrame = {

@@ -409,4 +409,60 @@ class PipelineSpec extends SparkSpec {
     assert(r(1) === ((2L, "second only", 3L, 2L)))
     assert(r(2) === ((3L, "", 2L, 2L))) // survives as an empty doc
   }
+
+  test("chunkDocs: full coverage, overlap, short tail") {
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val r = Sampling.chunkDocs(d, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    assert(r.filter(_._1 == 1L).map(_._3).toSeq ===
+      Seq("a b c d", "d e f g", "g h i j")) // stride 3 ⇒ 1-token overlap
+    assert(r.filter(_._1 == 1L).map(_._4).toSeq === Seq(4L, 4L, 4L))
+    assert(r.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "x y", 2L)))
+    // every token covered: chunk k starts at k*stride, last start + size >= n
+    val starts = r.filter(_._1 == 1L).map(_._2 * 3)
+    assert(starts.last + 4 >= 10)
+  }
+
+  test("shuffleShards: dense positions per shard, deterministic") {
+    val d = docs.select("doc_id")
+    val r = Sampling.shuffleShards(d, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(r.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // positions within each shard are exactly 0..count-1
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    val again = Sampling.shuffleShards(d, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(r.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("incremental near-dups: exact copy matches its corpus original") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0).select("doc_id", "text")
+    val planted = corpus.limit(3).withColumn("doc_id", $"doc_id" + 90000)
+    val fresh = docs.filter($"doc_id" % 5 === 0).select("doc_id", "text")
+      .unionByName(planted)
+    val idx = Dedup.lshBandIndex(corpus)
+    val csh = Dedup.shingleHashes(corpus).select("id", "h")
+    val pairs = Dedup.incrementalNearDups(fresh, idx, csh)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val plantedIds = planted.select("doc_id").as[Long].collect().toSet
+    // every planted copy matches its original at jaccard 1.0
+    plantedIds.foreach { pid =>
+      assert(pairs.exists(p => p._1 == pid && p._2 == pid - 90000 && p._3 == 1.0))
+    }
+    // incremental result over (corpus ∪ fresh) agrees with what the full
+    // batch pair set says about cross(new, corpus) pairs
+    val all = Dedup.minhashLshPairs(
+      corpus.unionByName(fresh), 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+    val crossFromFull = all.collect {
+      case (a, b) if freshIds.contains(b) && !freshIds.contains(a) => (b, a)
+      case (a, b) if freshIds.contains(a) && !freshIds.contains(b) => (a, b)
+    }
+    assert(pairs.map(p => (p._1, p._2)).toSet === crossFromFull)
+  }
 }
