@@ -438,13 +438,22 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     // the drop set lives entirely in the pair subgraph (an isolated doc
     // is always its own cluster minimum), so collapse never widens the
-    // labels to the corpus — the only corpus-wide pass is the anti-join
+    // labels to the corpus — the only corpus-wide pass is the anti-join.
+    // Materialize the SMALL side (drop ids, longs bounded by the pair
+    // graph) and return the anti-join lazily: materializing the kept
+    // frame would pin the whole text corpus in cache for no reason
+    // (measured 4× on the sf0.1 bench).
     val labels = subgraphLabels(pairs, maxIter = 25, driverEdgeCap = 4L << 20)
     val drop = labels
       .filter(col("id") =!= col("cid"))
       .select(col("id"))
-    val kept = docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
-    materializeAndRelease(kept, labels)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    drop.count()
+    labels.unpersist()
+    // no broadcast hint: at 100 TB the drop set can be a large fraction
+    // of the corpus (30-50% dup rates are normal) — let AQE pick
+    // broadcast when the materialized size allows it
+    docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
   }
 
   /** Benchmark decontamination: flag TRAIN documents that share any word
