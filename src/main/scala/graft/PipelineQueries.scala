@@ -60,6 +60,16 @@ object PipelineQueries {
       TextAnalysis.vocabulary(docs(s, dir), topK = 100)
     },
 
+    // frozen logistic-regression quality classifier (fasttext-style
+    // model-based filtering): σ(w·x+b) over per-row features, keep > 0.5
+    "pl_quality_lr" -> { (s, dir) =>
+      val sc = sround(
+        TextAnalysis.qualityLrScoreOf(col("text"), col("w_")))
+      TextAnalysis.withTokens(docs(s, dir))
+        .select(col("doc_id"), sc.as("lr_score"), (sc > 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // sequence packing: running-token-total bins within salted buckets —
     // the doc→training-sequence grouping step, window-parallel per bucket
     "pl_pack" -> { (s, dir) =>
@@ -473,6 +483,31 @@ object PipelineQueries {
       s"""least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
          | + least(len(list_filter(w, t -> t IN ($stop10))) / CAST(len(w) AS DOUBLE) * 5.0, 1.0) * 0.3
          | + (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2""".stripMargin
+
+    // frozen LR quality classifier: weights interpolated from the Scala
+    // constants so model and oracle can never drift
+    val lrW = TextAnalysis.QualityLrWeights.toMap
+    val qualityLr =
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) AS ntok_norm,
+         |    len(list_filter(w, t -> t IN ($stop10))) / CAST(len(w) AS DOUBLE) AS stopr,
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punctr,
+         |    1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS dupfrac,
+         |    least((length(text) - (len(w) - 1)) / (CAST(len(w) AS DOUBLE) * 8.0), 1.0) AS awl
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, 1.0 / (1.0 + exp(-(${TextAnalysis.QualityLrBias}
+         |    + ntok_norm * ${lrW("ntok_norm")}
+         |    + stopr * ${lrW("stopword_ratio")}
+         |    + punctr * ${lrW("punct_ratio")}
+         |    + dupfrac * ${lrW("dup_token_frac")}
+         |    + awl * ${lrW("avg_word_len_norm")}))) AS sc
+         |  FROM f)
+         |SELECT doc_id, ${sroundSql("sc")} AS lr_score,
+         |       ${sroundSql("sc")} > 0.5 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
 
     val fcLangScores = TextAnalysis.langProfiles.map { case (lang, ws) =>
       s"len(list_filter(w, t -> t IN (${stopIn(ws)}))) AS s_$lang"
@@ -1004,6 +1039,7 @@ object PipelineQueries {
       "pl_dedup_incr" -> dedupIncr,
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
+      "pl_quality_lr" -> qualityLr,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,
       "pl_unigram_nll" -> unigramNll,

@@ -259,6 +259,43 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("score"), col("rank"))
   }
 
+  /** Fixed weights for [[qualityLrScore]] — a frozen linear model over
+    * the cheap per-row features, the shape of the fasttext-style quality
+    * classifiers used to filter web corpora (score = σ(w·x + b)). Values
+    * are calibration constants, not learned here; production pipelines
+    * ship their own trained weights.
+    */
+  val QualityLrWeights: Seq[(String, Double)] = Seq(
+    "ntok_norm" -> 1.8, // length signal, capped at 1
+    "stopword_ratio" -> 2.2, // English-like prose
+    "punct_ratio" -> -3.0, // OCR noise / markup
+    "dup_token_frac" -> -2.5, // degenerate repetition
+    "avg_word_len_norm" -> 0.9) // natural word lengths
+  val QualityLrBias: Double = -1.1
+
+  /** Model-based quality score in (0,1): a frozen logistic regression
+    * over per-row text features. Pure `Column` arithmetic — codegen'd,
+    * shuffle-free, embarrassingly parallel; at 100 TB this is the
+    * cheapest possible classifier pass (no UDF, no model server).
+    */
+  def qualityLrScoreOf(text: Column, toks: Column): Column = {
+    val feats = Map[String, Column](
+      "ntok_norm" -> least(size(toks).cast("double") / 100.0, lit(1.0)),
+      "stopword_ratio" -> stopwordRatioOf(toks),
+      "punct_ratio" -> punctRatio(text),
+      "dup_token_frac" -> dupTokenFracOf(toks),
+      "avg_word_len_norm" ->
+        least((length(text) - (size(toks) - 1)) /
+          (size(toks).cast("double") * 8.0), lit(1.0)))
+    val z = QualityLrWeights.foldLeft(lit(QualityLrBias): Column) {
+      case (acc, (name, w)) => acc + feats(name) * w
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  def qualityLrScore(text: Column): Column =
+    qualityLrScoreOf(text, tokens(text))
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:

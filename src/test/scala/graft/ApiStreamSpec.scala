@@ -305,6 +305,54 @@ class StreamingSpec extends SparkSpec {
     assert(res === Seq(10.0))
   }
 
+  test("streaming corpus dedup: each batch dedups against the growing index") {
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("incr_dedup").toString
+    val (bandsP, shP, keptP) = (s"$root/bands", s"$root/sh", s"$root/kept")
+    val fs = new java.io.File(bandsP)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        // survivors = batch minus docs near-dup to the indexed corpus.
+        // Dup ids resolve EAGERLY (bounded by the batch) before the index
+        // appends below — a lazy anti-join would be re-planned per write
+        // and, after its own bands/shingles append, match the survivor
+        // against itself (recacheByPath refreshes path-backed caches)
+        val keep =
+          if (!fs.exists()) b
+          else {
+            val dup = Dedup.incrementalNearDups(b,
+              spark.read.parquet(bandsP), spark.read.parquet(shP))
+              .select("new_id").distinct()
+              .collect().map(_.getLong(0)).toSeq
+            if (dup.isEmpty) b
+            else b.filter(!org.apache.spark.sql.functions.col("doc_id").isin(dup: _*))
+          }
+        // append survivors' bands + shingles: the index GROWS per batch,
+        // later batches dedup against everything kept so far
+        Dedup.lshBandIndex(keep).write.mode("append").parquet(bandsP)
+        Dedup.shingleHashes(keep).select("id", "h")
+          .write.mode("append").parquet(shP)
+        keep.select("doc_id").write.mode("append").parquet(keptP)
+        b.unpersist(); ()
+      }
+      .start()
+    try {
+      mem.addData((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six seven"))
+      q.processAllAvailable()
+      mem.addData((3L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+        (4L, "completely different fresh content arrives here"))
+      q.processAllAvailable()
+      mem.addData((5L, "one two three four five six seven")) // dup of 2
+      q.processAllAvailable()
+      val kept = spark.read.parquet(keptP).as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming seq: in-batch duplicates resolve deterministically, last wins") {
     import graft.model.{SubQuery, TsQuery}
     import graft.query.Planner

@@ -410,6 +410,18 @@ class PipelineSpec extends SparkSpec {
     assert(r(2) === ((3L, "", 2L, 2L))) // survives as an empty doc
   }
 
+  test("quality LR: prose outranks degenerate junk, score in (0,1)") {
+    val d = Seq(
+      (1L, "the cat sat on a mat and it was a good day for everyone in town"),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "!!! ??? ... ;;; ::: ,,, !!!")).toDF("doc_id", "text")
+    val r = d.select($"doc_id",
+      graft.pipeline.TextAnalysis.qualityLrScore($"text").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(r.values.forall(s => s > 0.0 && s < 1.0))
+    assert(r(1L) > r(2L) && r(1L) > r(3L))
+  }
+
   test("chunkDocs: full coverage, overlap, short tail") {
     val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
     val r = Sampling.chunkDocs(d, size = 4, stride = 3)
