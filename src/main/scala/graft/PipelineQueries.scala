@@ -202,6 +202,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // bigram LM (KenLM-direction): per-doc mean -ln P(w2|w1), add-0.1
+    // smoothing over corpus bigram counts
+    "pl_bigram_nll" -> { (s, dir) =>
+      TextAnalysis.bigramNll(docs(s, dir))
+        .select(col("doc_id"), sround(col("nll")).as("nll"))
+        .orderBy("doc_id")
+    },
+
     // deterministic salted-hash train/val/test assignment — reproducible
     // across engines/runs and stable under corpus growth
     "pl_split" -> { (s, dir) =>
@@ -711,6 +719,21 @@ object PipelineQueries {
          |FROM tokx JOIN f USING (token), n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+    val bigramNll =
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |         i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM tok WHERE len(w) >= 2),
+         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tok)),
+         |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1)
+         |SELECT doc_id,
+         |  ${sroundSql("-avg(ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * v.v)))")} AS nll
+         |FROM bg JOIN c2 USING (g)
+         |JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1, v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
     val redact =
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(
@@ -1043,6 +1066,7 @@ object PipelineQueries {
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,
       "pl_unigram_nll" -> unigramNll,
+      "pl_bigram_nll" -> bigramNll,
       "pl_split" -> split,
       "pl_sample" -> sample,
       "pl_mixture" -> mixture,

@@ -232,6 +232,35 @@ object TextAnalysis {
       .agg((-avg(log(col("freq").cast("double") / col("n_")))).as("nll"))
   }
 
+  /** Bigram-LM filter (one order above [[unigramNll]], the direction of
+    * CCNet's KenLM perplexity scoring): per-doc mean −ln P(w₂|w₁) under
+    * the corpus's own bigram counts with add-α smoothing
+    * `P = (c(w₁w₂)+α) / (c(w₁·)+α·V)`. Docs shorter than 2 tokens have
+    * no bigrams and drop out. Scale shape: the bigram table grows past
+    * broadcast range (~100M rows for web-scale corpora), so both count
+    * joins are plain shuffle joins on the gram key — map-side-combined
+    * counts, one per-doc aggregation; nothing corpus-sized ever sits on
+    * one node. V (distinct unigrams) is vocabulary-sized: one cheap
+    * distinct-count pass.
+    */
+  def bigramNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.1): DataFrame = {
+    val bg = withTokens(docs, textCol)
+      .select(col(idCol), explode(ngramsOf(col("w_"), 2)).as("g"))
+    val v = withTokens(docs, textCol)
+      .select(explode(col("w_")).as("t"))
+      .agg(count_distinct(col("t"))).first().getLong(0)
+    val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = bg.select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, "g")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, "w1")
+      .groupBy(col(idCol))
+      .agg((-avg(log((col("c2") + alpha) / (col("c1") + alpha * v))))
+        .as("nll"))
+  }
+
   /** Per-document top-k TF-IDF keywords with smoothed idf
     * `ln((N+1)/(df+1)) + 1`. Ranking uses the 1e-4-quantized score
     * (token-ascending tie-break) so the ordering is reproducible across

@@ -422,6 +422,21 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) > r(2L) && r(1L) > r(3L))
   }
 
+  test("bigram NLL: seen continuations score lower than unseen ones") {
+    val d = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "the dog ran")) // "the dog"/"dog ran" are 1-count bigrams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramNll(d)
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) === r(2L))
+    assert(r(4L) > r(1L)) // rarer bigrams ⇒ higher NLL
+    // a doc with a single token has no bigrams and drops out
+    val single = TextAnalysis.bigramNll(
+      Seq((9L, "lonely")).toDF("doc_id", "text"))
+    assert(single.count() === 0)
+  }
+
   test("chunkDocs: full coverage, overlap, short tail") {
     val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
     val r = Sampling.chunkDocs(d, size = 4, stride = 3)
@@ -434,6 +449,10 @@ class PipelineSpec extends SparkSpec {
     // every token covered: chunk k starts at k*stride, last start + size >= n
     val starts = r.filter(_._1 == 1L).map(_._2 * 3)
     assert(starts.last + 4 >= 10)
+    // shuffle-free: pure per-row explode — no Exchange in the plan
+    val plan = Sampling.chunkDocs(d, size = 4, stride = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 
   test("shuffleShards: dense positions per shard, deterministic") {
