@@ -20,7 +20,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
 
     val defaults = Seq("q_scan_range", "q_ds_avg", "q_agg_sum", "q_rate",
-      "q_rollup_route", "pl_dedup_minhash", "pl_knn_ivf")
+      "q_rollup_route", "pl_dedup_minhash", "pl_dedup_incr", "pl_knn_ivf",
+      "pl_chunk")
     val picked = if (args.isEmpty) defaults else args.toSeq
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => picked.exists(n.contains) }

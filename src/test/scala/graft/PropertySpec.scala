@@ -207,6 +207,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking partitions exactly at stride == size; covers at stride < size") {
+    import graft.pipeline.Sampling
+    val docGen = for {
+      n <- Gen.choose(1, 50)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "b", "ccc", "d", "ee"))
+    } yield toks
+    val cases = samples(Gen.listOfN(6, docGen)).flatten.zipWithIndex
+    val df = cases.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    // stride == size: chunks are a partition — concatenation restores the doc
+    val parts = Sampling.chunkDocs(df, size = 7, stride = 7)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).mkString(" ")).toMap
+    cases.foreach { case (toks, i) =>
+      assert(parts(i.toLong) === toks.mkString(" "), s"doc $i partition")
+    }
+    // stride < size: every token index sits in ≥1 chunk, counts correct
+    val over = Sampling.chunkDocs(df, size = 7, stride = 4)
+      .as[(Long, Long, String, Long)].collect()
+    cases.foreach { case (toks, i) =>
+      val covered = over.filter(_._1 == i.toLong).flatMap { case (_, k, _, nt) =>
+        (k * 4) until (k * 4 + nt)
+      }.toSet
+      assert(covered === toks.indices.toSet, s"doc $i coverage")
+      over.filter(_._1 == i.toLong).foreach { case (_, k, c, nt) =>
+        assert(c === toks.slice((k * 4).toInt, (k * 4).toInt + nt.toInt)
+          .mkString(" "), s"doc $i chunk $k text")
+      }
+    }
+  }
+
   test("SeqWindows: windows are strictly increasing under concurrent claims") {
     val seqs = new graft.ingest.SeqWindows(() => 1704412800000L) // frozen clock
     val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
