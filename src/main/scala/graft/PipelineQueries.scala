@@ -60,6 +60,22 @@ object PipelineQueries {
       TextAnalysis.vocabulary(docs(s, dir), topK = 100)
     },
 
+    // per-source corpus report: the dashboard aggregation every pipeline
+    // runs after filtering — doc/token volumes and mean quality signals
+    // per source, one map-side-combined groupBy
+    "pl_corpus_stats" -> { (s, dir) =>
+      val w = col("w_")
+      TextAnalysis.withTokens(docs(s, dir))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(w).cast("long")).as("n_tokens"),
+          sround(avg(TextAnalysis.qualityScoreOf(col("text"), w))).as("avg_quality"),
+          sround(avg(TextAnalysis.qualityLrScoreOf(col("text"), w))).as("avg_lr"),
+          count(when(TextAnalysis.langIdOf(w) === "en", lit(1))).as("n_en"))
+        .orderBy("source")
+    },
+
     // frozen logistic-regression quality classifier (fasttext-style
     // model-based filtering): σ(w·x+b) over per-row features, keep > 0.5
     "pl_quality_lr" -> { (s, dir) =>
@@ -517,6 +533,17 @@ object PipelineQueries {
          |       ${sroundSql("sc")} > 0.5 AS keep
          |FROM s ORDER BY doc_id""".stripMargin
 
+    // shared LR σ(w·x+b) expression over (text, w) — weights interpolated
+    // from the Scala constants (single line: nesting stripMargin blocks
+    // re-strips continuation lines, see the verify-skill note)
+    val lrScoreSql =
+      s"1.0 / (1.0 + exp(-(${TextAnalysis.QualityLrBias} " +
+        s"+ least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * ${lrW("ntok_norm")} " +
+        s"+ (len(list_filter(w, t -> t IN ($stop10))) / CAST(len(w) AS DOUBLE)) * ${lrW("stopword_ratio")} " +
+        s"+ ((length(text) - length(regexp_replace(text, '[.,!?;:''\"]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * ${lrW("punct_ratio")} " +
+        s"+ (1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * ${lrW("dup_token_frac")} " +
+        s"+ least((length(text) - (len(w) - 1)) / (CAST(len(w) AS DOUBLE) * 8.0), 1.0) * ${lrW("avg_word_len_norm")})))"
+
     val fcLangScores = TextAnalysis.langProfiles.map { case (lang, ws) =>
       s"len(list_filter(w, t -> t IN (${stopIn(ws)}))) AS s_$lang"
     }.mkString(",\n    ")
@@ -524,6 +551,25 @@ object PipelineQueries {
     val fcLangCase = TextAnalysis.langProfiles
       .map { case (lang, _) => s"WHEN s_$lang = best AND best > 0 THEN '$lang'" }
       .mkString(" ")
+    val corpusStats =
+      s"""WITH t AS (SELECT source, text, string_split(text, ' ') AS w FROM documents),
+         |f AS (
+         |  SELECT source, CAST(len(w) AS BIGINT) AS ntok,
+         |    $qualitySql AS q,
+         |    $lrScoreSql AS lr,
+         |    $fcLangScores
+         |  FROM t),
+         |b AS (SELECT *, greatest($fcLangBest) AS best FROM f),
+         |r AS (
+         |  SELECT source, ntok, q, lr,
+         |    CASE $fcLangCase ELSE 'und' END AS lang
+         |  FROM b)
+         |SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens,
+         |  ${sroundSql("avg(q)")} AS avg_quality,
+         |  ${sroundSql("avg(lr)")} AS avg_lr,
+         |  count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+
     val filterChain =
       s"""WITH d AS (
          |  SELECT doc_id, text FROM documents
@@ -1063,6 +1109,7 @@ object PipelineQueries {
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,
+      "pl_corpus_stats" -> corpusStats,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,
       "pl_unigram_nll" -> unigramNll,
