@@ -148,6 +148,10 @@ final class MqttLineClient(
     maxBatch, seqs, walDir.map(d => new Wal(d + "/line")))
 
   private val socket = new Socket(broker, port)
+  // bounded handshake: a silent broker fails construction instead of
+  // hanging it; cleared afterwards (the reader blocks indefinitely by
+  // design, keepalive pings detect a dead peer)
+  socket.setSoTimeout(15000)
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
   private val running = new AtomicBoolean(true)
@@ -167,6 +171,7 @@ final class MqttLineClient(
     val (t, _, _) = MqttCodec.readPacket(in)
     require(t == MqttCodec.Suback, s"expected SUBACK, got type $t")
   }
+  socket.setSoTimeout(0)
 
   private def route(topic: String, payload: Array[Byte]): Unit = {
     val text = new String(payload, UTF_8)
