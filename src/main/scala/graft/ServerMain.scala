@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.{HttpApi, SelfMetrics}
-import graft.ingest.{SeqWindows, TcpLineServer, UdpLineServer}
+import graft.ingest.{MqttLineClient, SeqWindows, TcpLineServer, UdpLineServer}
 import graft.store.Store
 import org.apache.spark.sql.SparkSession
 
@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
   * log (the reference's `append.log.enabled`, `include/config.h:30`):
   * received lines spool to disk before batching and a crashed process's
   * tail replays at next boot.
+  * `SPARK_GRAFT_MQTT="host:1883,topic=line,topic2=plain"` additionally
+  * subscribes to an MQTT broker (the reference's `mqtt.settings`).
   *
   * The driver JVM hosts the listeners; every request's heavy lifting is
   * ordinary distributed Spark. All transports share one [[SeqWindows]]
@@ -65,6 +67,19 @@ object ServerMain {
       port = influxPort, seqs = seqs, walDir = wal("tcp-influx"), bindAddr = bind)
     val udp = new UdpLineServer(spark, store, port = udpPort, seqs = seqs,
       walDir = wal("udp"), bindAddr = bind)
+    // optional MQTT subscription (the reference's mqtt.settings,
+    // `src/utils/mqtt.cpp:101-210`), compact env form:
+    //   SPARK_GRAFT_MQTT="host:1883,tele/metrics=line,tele/put=plain"
+    val mqtt = sys.env.get("SPARK_GRAFT_MQTT").map { cfg =>
+      val parts = cfg.split(",").toSeq
+      val Array(host, bport) = parts.head.split(":")
+      val topics = parts.tail.map { t =>
+        val i = t.lastIndexOf('=')
+        if (i < 0) t -> "plain" else t.take(i) -> t.drop(i + 1)
+      }
+      new MqttLineClient(spark, store, host, bport.toInt, topics,
+        seqs = seqs, walDir = wal("mqtt"))
+    }
 
     // periodic self-metrics flush into the store (graft.* series become
     // queryable like the reference's ticktock.* stats)
@@ -81,8 +96,10 @@ object ServerMain {
     flusher.start()
 
     println(s"graft serving: http=${http.boundPort} tcp-plain=${tcp.boundPort} " +
-      s"tcp-influx=${influx.boundPort} udp=${udp.boundPort} store=$storeDir")
+      s"tcp-influx=${influx.boundPort} udp=${udp.boundPort} " +
+      s"mqtt=${mqtt.isDefined} store=$storeDir")
     sys.addShutdownHook {
+      mqtt.foreach(_.stop())
       tcp.stop(); influx.stop(); udp.stop(); http.stop(); spark.stop()
     }
     Thread.currentThread.join() // serve until killed

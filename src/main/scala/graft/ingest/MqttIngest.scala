@@ -81,14 +81,17 @@ object MqttCodec {
   def disconnect: Array[Byte] = packet(Disconnect, 0, Array.emptyByteArray)
 
   /** One raw packet off the stream: (type, flags, body). Blocks; throws
-    * EOFException at clean stream end.
+    * EOFException at clean stream end, IOException on a malformed
+    * remaining-length (spec caps it at 4 bytes — without the cap a
+    * corrupt peer could drive `mult` into Int overflow).
     */
   def readPacket(in: DataInputStream): (Int, Int, Array[Byte]) = {
     val h = in.readUnsignedByte()
-    var len = 0; var mult = 1; var b = 0
+    var len = 0; var mult = 1; var b = 0; var n = 0
     do {
+      if (n >= 4) throw new java.io.IOException("malformed remaining length")
       b = in.readUnsignedByte()
-      len += (b & 0x7f) * mult; mult *= 128
+      len += (b & 0x7f) * mult; mult *= 128; n += 1
     } while ((b & 0x80) != 0)
     val body = new Array[Byte](len)
     in.readFully(body)
@@ -147,10 +150,12 @@ final class MqttLineClient(
     spark, store, l => LineParsers.parseInflux(l, nowMs()), lingerMs,
     maxBatch, seqs, walDir.map(d => new Wal(d + "/line")))
 
-  private val socket = new Socket(broker, port)
-  // bounded handshake: a silent broker fails construction instead of
-  // hanging it; cleared afterwards (the reader blocks indefinitely by
+  // bounded handshake END TO END: connect and reads both time out, so a
+  // black-holed broker fails construction instead of hanging it; the
+  // read timeout clears afterwards (the reader blocks indefinitely by
   // design, keepalive pings detect a dead peer)
+  private val socket = new Socket()
+  socket.connect(new java.net.InetSocketAddress(broker, port), 15000)
   socket.setSoTimeout(15000)
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
@@ -166,13 +171,6 @@ final class MqttLineClient(
     require(t == MqttCodec.Connack && body.length >= 2 && body(1) == 0,
       s"MQTT CONNECT refused (type=$t rc=${if (body.length >= 2) body(1) else -1})")
   }
-  send(MqttCodec.subscribe(1, topics.map(_._1), qos = 1))
-  locally {
-    val (t, _, _) = MqttCodec.readPacket(in)
-    require(t == MqttCodec.Suback, s"expected SUBACK, got type $t")
-  }
-  socket.setSoTimeout(0)
-
   private def route(topic: String, payload: Array[Byte]): Unit = {
     val text = new String(payload, UTF_8)
     // reference guard: skip string-valued payloads (mqtt.cpp:281-283)
@@ -184,19 +182,50 @@ final class MqttLineClient(
     }
   }
 
+  /** Route first, THEN ack: with a WAL configured the line is on disk
+    * before the broker is told to forget the message, so QoS 1 stays
+    * at-least-once across a crash (ack-first would drop an acked,
+    * unspooled message).
+    */
+  private def handlePublish(flags: Int, body: Array[Byte]): Unit = {
+    val (topic, pid, payload) = MqttCodec.parsePublish(flags, body)
+    route(topic, payload)
+    if (((flags >> 1) & 0x3) > 0) send(MqttCodec.puback(pid))
+  }
+
+  send(MqttCodec.subscribe(1, topics.map(_._1), qos = 1))
+  // MQTT 3.1.1 §3.8.4: the broker may deliver matching PUBLISHes (e.g.
+  // retained messages) BEFORE the SUBACK — process them instead of
+  // failing the handshake
+  locally {
+    var acked = false
+    while (!acked) {
+      val (t, flags, body) = MqttCodec.readPacket(in)
+      if (t == MqttCodec.Suback) acked = true
+      else if (t == MqttCodec.Publish) handlePublish(flags, body)
+      else require(t == MqttCodec.Pingresp, s"unexpected packet type $t in handshake")
+    }
+  }
+  socket.setSoTimeout(0)
+
   private val reader = new Thread(() => {
     try {
       while (running.get()) {
         val (tpe, flags, body) = MqttCodec.readPacket(in)
         tpe match {
-          case MqttCodec.Publish =>
-            val (topic, pid, payload) = MqttCodec.parsePublish(flags, body)
-            if (((flags >> 1) & 0x3) > 0) send(MqttCodec.puback(pid))
-            route(topic, payload)
+          case MqttCodec.Publish => handlePublish(flags, body)
           case _ => () // PINGRESP etc.
         }
       }
-    } catch { case _: java.io.IOException => () } // closed / broker gone
+    } catch {
+      case _: java.io.IOException => () // closed / broker gone
+      case e: Throwable =>
+        // a malformed packet desyncs the stream — close rather than read
+        // garbage forever; the pinger then errors out too instead of
+        // keeping a dead session looking alive
+        System.err.println(s"[graft-mqtt] reader failed: ${e.getMessage}")
+        try socket.close() catch { case _: java.io.IOException => () }
+    }
   }, "graft-mqtt-reader")
   reader.setDaemon(true)
   reader.start()

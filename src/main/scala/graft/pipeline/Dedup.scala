@@ -201,12 +201,6 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
     signaturesFrom(shingleHashes(docs, n))
 
-  /** LSH candidate pairs (band match on the signature), verified by exact
-    * Jaccard ≥ `threshold`. The band join is the scale path: candidates
-    * bucket by (band, minhash values) instead of comparing all pairs, and
-    * verification touches ONLY candidate pairs — each joins its two
-    * shingle sets and intersects them, never the full shingle self-join.
-    */
   /** Explode signature columns m0..m7 into 4 band rows
     * `(id, band, x, y)` — the LSH bucket keys.
     */
@@ -217,6 +211,12 @@ object Dedup {
       .as("bk"))
     .select(col("id"), col("bk.band"), col("bk.x"), col("bk.y"))
 
+  /** LSH candidate pairs (band match on the signature), verified by exact
+    * Jaccard ≥ `threshold`. The band join is the scale path: candidates
+    * bucket by (band, minhash values) instead of comparing all pairs, and
+    * verification touches ONLY candidate pairs — each joins its two
+    * shingle sets and intersects them, never the full shingle self-join.
+    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // consumed by two plan branches (signatures + verification sets)
     val sh = shingleHashes(docs, n)
@@ -271,12 +271,15 @@ object Dedup {
     // new-side shingles feed two branches (signatures + verification)
     val sh = shingleHashes(newDocs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed by two plan branches (pair join + corpus-set semi-join):
+    // persisted so the index probe — the expensive part — runs once
     val cand = bandRows(signaturesFrom(sh)).as("a")
       .join(corpusIndex.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
           col("a.y") === col("b.y"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSets = sh.groupBy("id").agg(collect_set("h").as("hs"))
     // corpus sets materialize only for candidate ids (semi-join first:
     // at scale candidates are a sliver of the corpus)
@@ -293,7 +296,9 @@ object Dedup {
         col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
-    materializeAndRelease(pairs, sh)
+    val out = materializeAndRelease(pairs, sh)
+    cand.unpersist()
+    out
   }
 
   /** Connected components over near-dup pairs — turns pairwise matches
@@ -442,7 +447,11 @@ object Dedup {
     // Materialize the SMALL side (drop ids, longs bounded by the pair
     // graph) and return the anti-join lazily: materializing the kept
     // frame would pin the whole text corpus in cache for no reason
-    // (measured 4× on the sf0.1 bench).
+    // (measured 4× on the sf0.1 bench). The persisted drop frame stays
+    // cached for the session (same lifetime class as the pair frames the
+    // producers return): id-longs of the duplicate subgraph, evictable
+    // under memory pressure — callers looping per ingest round should
+    // prefer incrementalNearDups, which releases its intermediates.
     val labels = subgraphLabels(pairs, maxIter = 25, driverEdgeCap = 4L << 20)
     val drop = labels
       .filter(col("id") =!= col("cid"))

@@ -88,14 +88,6 @@ object Sampling {
       .drop("rk_")
   }
 
-  /** Sequence packing: assign each doc a pack-bin so every bin holds
-    * ~`budgetTokens` tokens — the grouping step before concatenating
-    * documents into fixed-length training sequences. Docs are spread
-    * over `nBuckets` salted buckets and packed by running token total
-    * within each bucket (window partitioned by bucket ⇒ parallel across
-    * the cluster; nothing global). Deterministic: same corpus ⇒ same
-    * bins. Output adds `bucket` and `bin` ("<bucket>_<k>").
-    */
   /** Split every document into fixed-size token chunks with overlap —
     * the context-window shaping pass before tokenization/packing. Chunk
     * k covers tokens `[k·stride, k·stride + size)`; the last chunk may
@@ -144,6 +136,14 @@ object Sampling {
       .drop("key_")
   }
 
+  /** Sequence packing: assign each doc a pack-bin so every bin holds
+    * ~`budgetTokens` tokens — the grouping step before concatenating
+    * documents into fixed-length training sequences. Docs are spread
+    * over `nBuckets` salted buckets and packed by running token total
+    * within each bucket (window partitioned by bucket ⇒ parallel across
+    * the cluster; nothing global). Deterministic: same corpus ⇒ same
+    * bins. Output adds `bucket` and `bin` ("<bucket>_<k>").
+    */
   def packBins(df: DataFrame, idCol: String, tokens: Column,
       budgetTokens: Long, nBuckets: Int = 256,
       salt: String = "pack"): DataFrame = {

@@ -247,17 +247,21 @@ object TextAnalysis {
       textCol: String = "text", alpha: Double = 0.1): DataFrame = {
     val bg = withTokens(docs, textCol)
       .select(col(idCol), explode(ngramsOf(col("w_"), 2)).as("g"))
-    val v = withTokens(docs, textCol)
+    // V rides inside the plan as a broadcast 1-row frame (the oracle's
+    // `v` CTE) — an eager .first() here would pay a second full corpus
+    // scan at plan-construction time (see the unigramNll note)
+    val vdf = withTokens(docs, textCol)
       .select(explode(col("w_")).as("t"))
-      .agg(count_distinct(col("t"))).first().getLong(0)
+      .agg(count_distinct(col("t")).as("v_"))
     val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
     val c1 = bg.select(substring_index(col("g"), " ", 1).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(c2, "g")
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .join(c1, "w1")
+      .crossJoin(broadcast(vdf))
       .groupBy(col(idCol))
-      .agg((-avg(log((col("c2") + alpha) / (col("c1") + alpha * v))))
+      .agg((-avg(log((col("c2") + alpha) / (col("c1") + col("v_") * alpha))))
         .as("nll"))
   }
 
