@@ -216,9 +216,14 @@ final class Store(spark: SparkSession, root: String,
       // auto-compaction rewrites partitions densely on a batch cadence,
       // exactly the reference's compaction split of responsibilities
       appendData(keyed)
-      updateSeriesIndex(keyed)
-      val days = updateSliceState(keyed)
+      // slice aggregation first: its cached (skey, day) frame also feeds
+      // the series-index update, so the index pass reads the tiny slice
+      // aggregate instead of re-scanning the whole batch for distinct
+      // skeys — one fewer full-batch pass per ingest
+      val (days, slices) = updateSliceState(keyed)
+      updateSeriesIndex(slices)
       updateRollup(keyed, days)
+      slices.unpersist()
       maybeCompact(days)
     } finally keyed.unpersist()
   }
@@ -293,14 +298,17 @@ final class Store(spark: SparkSession, root: String,
   }
 
   /** Append series not yet in the index (no rewrite of existing rows).
-    * The distinct runs on the skey STRING and metric/tags re-derive from
-    * it afterwards — `first(tags)` would force a SortAggregate on every
-    * ingest batch (maps have no hash buffer). Meta.seriesTable's
-    * constraint-propagation caveat doesn't apply here: the index is
-    * materialized to parquet, so readers see real columns.
+    * Input is the cached slice aggregate — one row per (skey, day), so
+    * the distinct runs over a frame the size of the batch's series set,
+    * never the batch itself. The distinct runs on the skey STRING and
+    * metric/tags re-derive from it afterwards — `first(tags)` would
+    * force a SortAggregate on every ingest batch (maps have no hash
+    * buffer). Meta.seriesTable's constraint-propagation caveat doesn't
+    * apply here: the index is materialized to parquet, so readers see
+    * real columns.
     */
-  private def updateSeriesIndex(keyed: DataFrame): Unit = {
-    val batchSeries = keyed
+  private def updateSeriesIndex(slices: DataFrame): Unit = {
+    val batchSeries = slices
       .select(col("skey")).distinct()
       .select(col("skey"),
         Dp.metricFromKey(col("skey")).as("metric"),
@@ -313,12 +321,14 @@ final class Store(spark: SparkSession, root: String,
     newOnly.write.mode(SaveMode.Append).parquet(indexPath)
   }
 
-  /** Merge the batch into `slice_state` and return the touched days.
-    * Within-batch OOO is detected with a window over the BATCH's rows
-    * (bounded by batch size — the reference's in-memory page state);
-    * cross-batch OOO compares the batch's min ts against the stored hwm.
+  /** Merge the batch into `slice_state`; returns the touched days AND
+    * the still-cached slice aggregate (caller releases it after the
+    * series-index update reads it). Within-batch OOO is detected with a
+    * window over the BATCH's rows (bounded by batch size — the
+    * reference's in-memory page state); cross-batch OOO compares the
+    * batch's min ts against the stored hwm.
     */
-  private def updateSliceState(keyed: DataFrame): Seq[Long] = {
+  private def updateSliceState(keyed: DataFrame): (Seq[Long], DataFrame) = {
     val w = Window.partitionBy(col("skey"), col("day")).orderBy(col("seq"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val slices = keyed
@@ -339,7 +349,7 @@ final class Store(spark: SparkSession, root: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = slices.select("day").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    if (days.isEmpty) { slices.unpersist(); return Nil }
+    if (days.isEmpty) return (Nil, slices)
     val prev = readManifested(statePath, stateSchema)
       .filter(col("day").isin(days: _*))
     val merged = prev.as("p")
@@ -352,8 +362,7 @@ final class Store(spark: SparkSession, root: String,
           coalesce(col("b.bmin") <= col("p.hwm"), lit(false))).as("ooo"),
         col("day"))
     commitDays(statePath, merged, days)
-    slices.unpersist()
-    days
+    (days, slices)
   }
 
   /** Merge the batch's hourly rollup into the touched days' generations,
