@@ -13,7 +13,10 @@ import graft.store.Store
   * packets and observe PUBACKs. Just enough broker to exercise
   * [[MqttLineClient]] over a real socket.
   */
-private final class MiniMqttBroker {
+private final class MiniMqttBroker(
+    // delivered between SUBSCRIBE and SUBACK, the way a compliant broker
+    // may push retained messages (MQTT 3.1.1 §3.8.4)
+    retained: Seq[(String, String)] = Nil) {
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", 0))
   def port: Int = server.getLocalPort
@@ -44,6 +47,9 @@ private final class MiniMqttBroker {
               subscribed.add(new String(body, off + 2, tlen, "UTF-8"))
               off += 2 + tlen + 1 // + qos byte
               n += 1
+            }
+            retained.foreach { case (t, p) =>
+              out.write(MqttCodec.publish(t, p.getBytes("UTF-8"), 0))
             }
             out.write(MqttCodec.suback(pid, Seq.fill(n)(1))); out.flush()
           case MqttCodec.Puback =>
@@ -117,6 +123,19 @@ class MqttSpec extends SparkSpec {
       assert(resp.contains(s""""$T0s":1.5"""))
       assert(resp.contains(s""""${T0s + 60}":2.5"""))
       assert(resp.contains(s""""${T0s + 120}":3.5"""))
+    } finally { client.stop(); broker.close() }
+  }
+
+  test("retained PUBLISH delivered before SUBACK still ingests (§3.8.4)") {
+    val broker = new MiniMqttBroker(
+      retained = Seq("tele/plain" -> s"put mqtt.ret $T0s 4.5 host=r"))
+    val store = freshStore()
+    // construction must survive the PUBLISH-before-SUBACK interleaving
+    val client = new MqttLineClient(spark, store, "127.0.0.1", broker.port,
+      topics = Seq("tele/plain" -> "plain"), seqs = new SeqWindows(() => Now))
+    try {
+      val resp = awaitContains(store, client, "mqtt.ret", "4.5")
+      assert(resp.contains(s""""$T0s":4.5"""))
     } finally { client.stop(); broker.close() }
   }
 
