@@ -329,6 +329,56 @@ object TextAnalysis {
   def qualityLrScore(text: Column): Column =
     qualityLrScoreOf(text, tokens(text))
 
+  /** Greedy longest-match-first WordPiece over each whitespace word:
+    * first piece matches bare, continuations match with the `##` prefix;
+    * a word with any unmatchable remainder becomes one `[UNK]` (the
+    * published WordPiece contract). Driver-local, shared with the
+    * distributed [[wordpiece]] and the specs.
+    */
+  def wordpieceWord(word: String, vocab: Set[String], maxPiece: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      var len = math.min(maxPiece, word.length - pos)
+      var hit: String = null
+      while (len >= 1 && hit == null) {
+        val sub = word.substring(pos, pos + len)
+        val candidate = if (pos == 0) sub else "##" + sub
+        if (vocab.contains(candidate)) hit = candidate else len -= 1
+      }
+      if (hit == null) return Seq("[UNK]")
+      out += hit
+      pos += len
+    }
+    out.result()
+  }
+
+  /** Distributed tokenizer application: WordPiece pieces per document
+    * against a broadcast vocabulary — the pass that turns a cleaned
+    * corpus into model tokens. Real subword vocabularies are ~30-100k
+    * entries (MBs), so the vocab broadcasts to every executor and the
+    * pass is a typed per-row map: embarrassingly parallel, no shuffle at
+    * any scale. A typed map (not Column-expression) is the justified
+    * choice here — greedy longest-match is an imperative loop per word,
+    * and the shingleHashes measurement note applies: interpreted
+    * higher-order Column lambdas cost ~10× on exactly this shape.
+    */
+  def wordpiece(docs: DataFrame, vocab: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxPiece = vocab.map(v => v.stripPrefix("##").length).max
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val pieces = text.split(" ", -1).iterator.filter(_.nonEmpty)
+          .flatMap(w => wordpieceWord(w, bc.value, maxPiece)).toSeq
+        (id, pieces, pieces.size)
+      }
+      .toDF(idCol, "pieces", "n_pieces")
+  }
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:

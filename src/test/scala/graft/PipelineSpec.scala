@@ -422,6 +422,26 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) > r(2L) && r(1L) > r(3L))
   }
 
+  test("wordpiece: greedy longest-match, ## continuations, [UNK] words") {
+    val vocab = Seq("un", "aff", "##aff", "##able", "affable", "hello",
+      "##lo", "hell")
+    // longest-first: "hello" matches whole before "hell"+"##lo"
+    assert(TextAnalysis.wordpieceWord("hello", vocab.toSet, 7) === Seq("hello"))
+    assert(TextAnalysis.wordpieceWord("unaffable", vocab.toSet, 7) ===
+      Seq("un", "##aff", "##able"))
+    // "affable" as a continuation is not in vocab with ## — whole-word
+    // match fires at pos 0 instead
+    assert(TextAnalysis.wordpieceWord("affable", vocab.toSet, 7) ===
+      Seq("affable"))
+    // any unmatchable remainder voids the word
+    assert(TextAnalysis.wordpieceWord("unxyz", vocab.toSet, 7) === Seq("[UNK]"))
+    val d = Seq((1L, "hello unaffable"), (2L, "zzz")).toDF("doc_id", "text")
+    val r = TextAnalysis.wordpiece(d, vocab)
+      .as[(Long, Seq[String], Int)].collect().toSeq.sortBy(_._1)
+    assert(r(0) === ((1L, Seq("hello", "un", "##aff", "##able"), 4)))
+    assert(r(1) === ((2L, Seq("[UNK]"), 1)))
+  }
+
   test("bigram NLL: seen continuations score lower than unseen ones") {
     val d = Seq(
       (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
