@@ -141,6 +141,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // window-level duplication profile: every 8-token window hashed,
+    // windows occurring ≥2 times corpus-wide counted per doc (the
+    // fixed-window flavor of substring dedup)
+    "pl_dup_windows" -> { (s, dir) =>
+      Dedup.dupWindowStats(docs(s, dir), w = 8)
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          sround(col("dup_frac")).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ---------------------------------------------------------
     "pl_dedup_exact" -> { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
@@ -599,6 +609,20 @@ object PipelineQueries {
          |         ELSE 'ok' END AS reason
          |  FROM best feat JOIN mr ON feat.doc_id = mr.doc_id)
          |SELECT doc_id, reason = 'ok' AS keep, reason FROM r ORDER BY doc_id""".stripMargin
+
+    val dupWindows =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |win AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+         |         i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+         |  FROM t WHERE len(w) >= 8),
+         |c AS (SELECT g, count(*) AS c FROM win GROUP BY g)
+         |SELECT doc_id,
+         |  count(*) AS n_windows,
+         |  count(CASE WHEN c.c >= 2 THEN 1 END) AS n_dup_windows,
+         |  ${sroundSql("count(CASE WHEN c.c >= 2 THEN 1 END) / CAST(count(*) AS DOUBLE)")} AS dup_frac
+         |FROM win JOIN c USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     val dedupExact =
       """WITH d AS (
@@ -1106,6 +1130,7 @@ object PipelineQueries {
       "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_incr" -> dedupIncr,
+      "pl_dup_windows" -> dupWindows,
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,

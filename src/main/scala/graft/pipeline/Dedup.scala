@@ -71,6 +71,43 @@ object Dedup {
       .select(col("id").as(idCol), col("clean_text"), col("n_spans"), col("n_dropped"))
   }
 
+  /** Window-level duplication profile — the fixed-window flavor of
+    * substring dedup (every `w`-token window hashed, windows seen more
+    * than once across the corpus counted per doc). Spans/paragraphs are
+    * [[spanDedup]]'s job; this catches verbatim reuse that crosses span
+    * boundaries. Returns one row per doc with ≥w tokens:
+    * `(id, n_windows, n_dup_windows, dup_frac)` where a window is "dup"
+    * iff its text occurs ≥2 times corpus-wide (across docs OR repeated
+    * inside one doc).
+    *
+    * Scale shape: explode to one row per window position (|tokens| rows),
+    * map-side-combined count per window text, join back — the same
+    * exchange pattern as [[ngramJaccardPairs]]'s shingle counting, and
+    * like there the shuffle carries hashes of windows, never quadratic
+    * pair work.
+    */
+  def dupWindowStats(docs: DataFrame, w: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(0), size(toks) - w),
+      i => array_join(slice(toks, i + 1, lit(w)), " "))
+    // every position kept (no per-doc distinct): in-doc repetition counts
+    val win = docs
+      .filter(size(toks) >= w)
+      .select(col(idCol).cast("long").as("id"), explode(grams).as("g"))
+    val counts = win.groupBy("g").agg(count(lit(1)).as("c"))
+    win.join(counts, "g")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("c") >= 2, lit(1))).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows") / col("n_windows").cast("double"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
+        col("dup_frac"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). Rows are
     * unique per (id, shingle) already — `array_distinct` dedupes within
     * the doc and ids are unique — so no shuffle happens here.

@@ -422,6 +422,25 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L) > r(2L) && r(1L) > r(3L))
   }
 
+  test("dupWindowStats: repeated windows flagged across and within docs") {
+    val d = Seq(
+      (1L, "a b c d e unique tail one"),
+      (2L, "a b c d e different ending here"),  // shares the 5-window "a b c d e" with 1
+      (3L, "x y z x y z x y z x"), // in-doc repetition: "x y z x y" repeats
+      (4L, "short")) // < w tokens ⇒ no row
+      .toDF("doc_id", "text")
+    val r = Dedup.dupWindowStats(d, w = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val m = r.map(x => x._1 -> x).toMap
+    assert(m(1L)._2 === 4) // 8 tokens, w=5 ⇒ 4 windows
+    assert(m(1L)._3 === 1) // only "a b c d e" is shared
+    assert(m(2L)._3 === 1)
+    // doc 3: 10 tokens ⇒ 6 windows; "x y z x y" at 0 and 3, "y z x y z"
+    // at 1 and 4, "z x y z x" at 2 and 5 ⇒ all 6 dup
+    assert(m(3L)._2 === 6 && m(3L)._3 === 6 && m(3L)._4 === 1.0)
+  }
+
   test("wordpiece: greedy longest-match, ## continuations, [UNK] words") {
     val vocab = Seq("un", "aff", "##aff", "##able", "affable", "hello",
       "##lo", "hell")
