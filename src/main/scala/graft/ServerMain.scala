@@ -72,12 +72,16 @@ object ServerMain {
     //   SPARK_GRAFT_MQTT="host:1883,tele/metrics=line,tele/put=plain"
     val mqtt = sys.env.get("SPARK_GRAFT_MQTT").map { cfg =>
       val parts = cfg.split(",").toSeq
-      val Array(host, bport) = parts.head.split(":")
+      val hostPort = parts.head.split(":")
+      require(hostPort.length == 2 && hostPort(1).toIntOption.isDefined,
+        s"SPARK_GRAFT_MQTT must start with host:port, got '${parts.head}'")
       val topics = parts.tail.map { t =>
         val i = t.lastIndexOf('=')
         if (i < 0) t -> "plain" else t.take(i) -> t.drop(i + 1)
       }
-      new MqttLineClient(spark, store, host, bport.toInt, topics,
+      require(topics.nonEmpty,
+        "SPARK_GRAFT_MQTT needs at least one topic: host:port,topic=format,…")
+      new MqttLineClient(spark, store, hostPort(0), hostPort(1).toInt, topics,
         seqs = seqs, walDir = wal("mqtt"))
     }
 

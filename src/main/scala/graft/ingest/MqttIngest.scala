@@ -150,27 +150,58 @@ final class MqttLineClient(
     spark, store, l => LineParsers.parseInflux(l, nowMs()), lingerMs,
     maxBatch, seqs, walDir.map(d => new Wal(d + "/line")))
 
-  // bounded handshake END TO END: connect and reads both time out, so a
-  // black-holed broker fails construction instead of hanging it; the
-  // read timeout clears afterwards (the reader blocks indefinitely by
-  // design, keepalive pings detect a dead peer)
-  private val socket = new Socket()
-  socket.connect(new java.net.InetSocketAddress(broker, port), 15000)
-  socket.setSoTimeout(15000)
-  private val in = new DataInputStream(socket.getInputStream)
-  private val out = new DataOutputStream(socket.getOutputStream)
   private val running = new AtomicBoolean(true)
-  // handshake synchronously: CONNECT → CONNACK, SUBSCRIBE → SUBACK —
-  // construction fails loudly on a refused connection (rc != 0)
+  @volatile private var socket: Socket = _
+  @volatile private var in: DataInputStream = _
+  @volatile private var out: DataOutputStream = _
   private val outLock = new Object
-  private def send(b: Array[Byte]): Unit =
-    outLock.synchronized { out.write(b); out.flush() }
-  send(MqttCodec.connect(clientId, keepAliveSec))
-  locally {
-    val (t, _, body) = MqttCodec.readPacket(in)
-    require(t == MqttCodec.Connack && body.length >= 2 && body(1) == 0,
-      s"MQTT CONNECT refused (type=$t rc=${if (body.length >= 2) body(1) else -1})")
+  private def send(b: Array[Byte]): Unit = outLock.synchronized {
+    val o = out
+    if (o != null) { o.write(b); o.flush() }
   }
+
+  /** Connect + full handshake (CONNECT → CONNACK, SUBSCRIBE → SUBACK)
+    * with an overall 30 s deadline — the per-read SoTimeout alone would
+    * reset on every retained PUBLISH a broken broker drips out. Fails
+    * loudly on a refused connection (rc != 0); cleans up its socket on
+    * any failure.
+    */
+  private def connect(): Unit = {
+    val s = new Socket()
+    try {
+      s.connect(new java.net.InetSocketAddress(broker, port), 15000)
+      s.setSoTimeout(15000)
+      val i = new DataInputStream(s.getInputStream)
+      val o = new DataOutputStream(s.getOutputStream)
+      o.write(MqttCodec.connect(clientId, keepAliveSec)); o.flush()
+      val (t0, _, body) = MqttCodec.readPacket(i)
+      require(t0 == MqttCodec.Connack && body.length >= 2 && body(1) == 0,
+        s"MQTT CONNECT refused (type=$t0 rc=${if (body.length >= 2) body(1) else -1})")
+      // publish fields now: a retained PUBLISH during the SUBSCRIBE
+      // handshake routes (and PUBACKs) through the normal path
+      outLock.synchronized { socket = s; in = i; out = o }
+      send(MqttCodec.subscribe(1, topics.map(_._1), qos = 1))
+      // MQTT 3.1.1 §3.8.4: the broker may deliver matching PUBLISHes
+      // (e.g. retained messages) BEFORE the SUBACK — process them
+      // instead of failing the handshake
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var acked = false
+      while (!acked) {
+        require(System.nanoTime() < deadline, "no SUBACK within 30s")
+        val (t, flags, pkt) = MqttCodec.readPacket(i)
+        if (t == MqttCodec.Suback) acked = true
+        else if (t == MqttCodec.Publish) handlePublish(flags, pkt)
+        else require(t == MqttCodec.Pingresp,
+          s"unexpected packet type $t in handshake")
+      }
+      s.setSoTimeout(0)
+    } catch {
+      case e: Throwable =>
+        try s.close() catch { case _: java.io.IOException => () }
+        throw e
+    }
+  }
+
   private def route(topic: String, payload: Array[Byte]): Unit = {
     val text = new String(payload, UTF_8)
     // reference guard: skip string-valued payloads (mqtt.cpp:281-283)
@@ -193,38 +224,55 @@ final class MqttLineClient(
     if (((flags >> 1) & 0x3) > 0) send(MqttCodec.puback(pid))
   }
 
-  send(MqttCodec.subscribe(1, topics.map(_._1), qos = 1))
-  // MQTT 3.1.1 §3.8.4: the broker may deliver matching PUBLISHes (e.g.
-  // retained messages) BEFORE the SUBACK — process them instead of
-  // failing the handshake
-  locally {
-    var acked = false
-    while (!acked) {
-      val (t, flags, body) = MqttCodec.readPacket(in)
-      if (t == MqttCodec.Suback) acked = true
-      else if (t == MqttCodec.Publish) handlePublish(flags, body)
-      else require(t == MqttCodec.Pingresp, s"unexpected packet type $t in handshake")
+  // initial connection: a failed construction releases the batchers
+  // (and their WAL handles) it started above
+  try connect()
+  catch {
+    case e: Throwable =>
+      running.set(false)
+      plainBatcher.stop(); lineBatcher.stop()
+      throw e
+  }
+
+  /** Re-establish the session until it works or the client stops — the
+    * behavior mosquitto's loop gives the reference for free
+    * (`mosquitto_loop_start`, mqtt.cpp:91): a broker restart costs
+    * messages published while down (QoS-1 redelivery of unacked ones
+    * aside) but never the subscription.
+    */
+  private def reconnect(): Unit = {
+    while (running.get()) {
+      try { connect(); System.err.println("[graft-mqtt] reconnected"); return }
+      catch {
+        case _: InterruptedException => return
+        case e: Throwable =>
+          System.err.println(s"[graft-mqtt] reconnect failed: ${e.getMessage}")
+          Thread.sleep(math.max(keepAliveSec * 1000L, 1000L))
+      }
     }
   }
-  socket.setSoTimeout(0)
 
   private val reader = new Thread(() => {
-    try {
-      while (running.get()) {
+    while (running.get()) {
+      try {
         val (tpe, flags, body) = MqttCodec.readPacket(in)
         tpe match {
           case MqttCodec.Publish => handlePublish(flags, body)
           case _ => () // PINGRESP etc.
         }
+      } catch {
+        case e: java.io.IOException if running.get() =>
+          System.err.println(s"[graft-mqtt] connection lost (${e.getMessage}), reconnecting")
+          reconnect()
+        case _: java.io.IOException => () // stopped
+        case _: InterruptedException => ()
+        case e: Throwable if running.get() =>
+          // a malformed packet desyncs the stream — drop the connection
+          // and re-handshake rather than read garbage forever
+          System.err.println(s"[graft-mqtt] reader failed: ${e.getMessage}")
+          try socket.close() catch { case _: java.io.IOException => () }
+          reconnect()
       }
-    } catch {
-      case _: java.io.IOException => () // closed / broker gone
-      case e: Throwable =>
-        // a malformed packet desyncs the stream — close rather than read
-        // garbage forever; the pinger then errors out too instead of
-        // keeping a dead session looking alive
-        System.err.println(s"[graft-mqtt] reader failed: ${e.getMessage}")
-        try socket.close() catch { case _: java.io.IOException => () }
     }
   }, "graft-mqtt-reader")
   reader.setDaemon(true)
@@ -234,9 +282,13 @@ final class MqttLineClient(
     try {
       while (running.get()) {
         Thread.sleep(math.max(keepAliveSec * 500L, 500L))
-        if (running.get()) send(MqttCodec.pingreq)
+        // a send on a dropped connection is survivable: the reader is
+        // already reconnecting, and pings resume on the new session
+        if (running.get())
+          try send(MqttCodec.pingreq)
+          catch { case _: java.io.IOException => () }
       }
-    } catch { case _: InterruptedException | _: java.io.IOException => () }
+    } catch { case _: InterruptedException => () }
   }, "graft-mqtt-ping")
   pinger.setDaemon(true)
   pinger.start()
@@ -247,8 +299,9 @@ final class MqttLineClient(
   def stop(): Unit = {
     running.set(false)
     pinger.interrupt()
+    reader.interrupt() // a reconnect backoff sleep ends immediately
     try send(MqttCodec.disconnect) catch { case _: java.io.IOException => () }
-    socket.close()
+    try socket.close() catch { case _: java.io.IOException => () }
     plainBatcher.stop(); lineBatcher.stop()
   }
 }

@@ -81,10 +81,10 @@ object Dedup {
     * inside one doc).
     *
     * Scale shape: explode to one row per window position (|tokens| rows),
-    * map-side-combined count per window text, join back — the same
-    * exchange pattern as [[ngramJaccardPairs]]'s shingle counting, and
-    * like there the shuffle carries hashes of windows, never quadratic
-    * pair work.
+    * then IMMEDIATELY reduce each window to its xxhash64 — the count
+    * aggregation and the join back shuffle 8-byte longs, never 50-100
+    * byte window strings (the [[shingleHashes]] lesson; collisions
+    * ~|windows|²/2⁶⁴ are negligible). No quadratic pair work anywhere.
     */
   def dupWindowStats(docs: DataFrame, w: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -95,7 +95,8 @@ object Dedup {
     // every position kept (no per-doc distinct): in-doc repetition counts
     val win = docs
       .filter(size(toks) >= w)
-      .select(col(idCol).cast("long").as("id"), explode(grams).as("g"))
+      .select(col(idCol).cast("long").as("id"), explode(grams).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
     val counts = win.groupBy("g").agg(count(lit(1)).as("c"))
     win.join(counts, "g")
       .groupBy("id")

@@ -365,6 +365,7 @@ object TextAnalysis {
     */
   def wordpiece(docs: DataFrame, vocab: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "wordpiece vocabulary must not be empty")
     val spark = docs.sparkSession
     import spark.implicits._
     val maxPiece = vocab.map(v => v.stripPrefix("##").length).max

@@ -221,9 +221,10 @@ final class Store(spark: SparkSession, root: String,
       // aggregate instead of re-scanning the whole batch for distinct
       // skeys — one fewer full-batch pass per ingest
       val (days, slices) = updateSliceState(keyed)
-      updateSeriesIndex(slices)
-      updateRollup(keyed, days)
-      slices.unpersist()
+      try {
+        updateSeriesIndex(slices)
+        updateRollup(keyed, days)
+      } finally slices.unpersist()
       maybeCompact(days)
     } finally keyed.unpersist()
   }

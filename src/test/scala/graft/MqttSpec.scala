@@ -16,9 +16,10 @@ import graft.store.Store
 private final class MiniMqttBroker(
     // delivered between SUBSCRIBE and SUBACK, the way a compliant broker
     // may push retained messages (MQTT 3.1.1 §3.8.4)
-    retained: Seq[(String, String)] = Nil) {
+    retained: Seq[(String, String)] = Nil,
+    fixedPort: Int = 0) { // restart-on-same-port (reconnect test)
   private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  server.bind(new InetSocketAddress("127.0.0.1", fixedPort))
   def port: Int = server.getLocalPort
 
   @volatile private var out: DataOutputStream = _
@@ -137,6 +138,30 @@ class MqttSpec extends SparkSpec {
       val resp = awaitContains(store, client, "mqtt.ret", "4.5")
       assert(resp.contains(s""""$T0s":4.5"""))
     } finally { client.stop(); broker.close() }
+  }
+
+  test("broker restart: client re-subscribes and keeps ingesting") {
+    val broker1 = new MiniMqttBroker
+    val store = freshStore()
+    val client = new MqttLineClient(spark, store, "127.0.0.1", broker1.port,
+      topics = Seq("tele/plain" -> "plain"), keepAliveSec = 1,
+      seqs = new SeqWindows(() => Now))
+    try {
+      assert(broker1.subscribed.take() === "tele/plain")
+      broker1.publish("tele/plain", s"put mqtt.rc $T0s 1.0 host=a", qos = 0)
+      awaitContains(store, client, "mqtt.rc", "1.0")
+      val p = broker1.port
+      broker1.close() // connection drops; client reconnects to the same port
+      val broker2 = new MiniMqttBroker(fixedPort = p)
+      try {
+        // re-subscription proves the full re-handshake ran
+        assert(broker2.subscribed.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+          === "tele/plain")
+        broker2.publish("tele/plain", s"put mqtt.rc ${T0s + 60} 2.0 host=a", qos = 0)
+        val resp = awaitContains(store, client, "mqtt.rc", "2.0")
+        assert(resp.contains(s""""$T0s":1.0""")) // pre-restart point intact
+      } finally broker2.close()
+    } finally client.stop()
   }
 
   test("line-topic publishes parse as Influx; string payloads skipped") {
