@@ -297,9 +297,15 @@ object Similarity {
     * O(|corpus|), and candidate generation shuffles on `cid`, never on
     * query × corpus.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      centStep: Int = 16, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Build the IVF index: deterministic centroids (every `centStep`-th
+    * vector) and the corpus assigned to its nearest centroid — the two
+    * tables a production deployment PERSISTS (partitioned by `cid`, so a
+    * search's probe join reads only the probed lists) and reuses across
+    * queries instead of re-assigning the corpus per search.
+    */
+  def ivfIndex(corpus: DataFrame, centStep: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
     val cent = prep(corpus.filter(pmod(col(idCol), lit(centStep)) === 0),
       idCol, vecCol, "cid", "cv", "cn")
     // nearest centroid per corpus vector; ties break to the smallest cid
@@ -312,6 +318,15 @@ object Similarity {
         struct(col("cid"), col("nv"), col("nn")),
         struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
       .select(col("best.cid"), col("nid"), col("best.nv"), col("best.nn"))
+    (cent, assigned)
+  }
+
+  /** Search a built (or reloaded) IVF index: probe the `nProbe` nearest
+    * inverted lists per query, exact-score only those lists' members.
+    */
+  def ivfSearch(cent: DataFrame, assigned: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qw = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
     val probes = prep(queries, idCol, vecCol, "qid", "qv", "qn")
       .crossJoin(broadcast(cent))
@@ -327,6 +342,13 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      centStep: Int = 16, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cent, assigned) = ivfIndex(corpus, centStep, idCol, vecCol)
+    ivfSearch(cent, assigned, queries, k, nProbe, idCol, vecCol)
   }
 
   /** ANN top-k restricted to candidates sharing a bucket in ≥1 of

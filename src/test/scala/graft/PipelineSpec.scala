@@ -229,6 +229,22 @@ class PipelineSpec extends SparkSpec {
     assert(r8 > 0.4, s"r8=$r8")
   }
 
+  test("IVF index persists to parquet and searches identically") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val (cent, assigned) = Similarity.ivfIndex(emb)
+    cent.write.parquet(s"$root/centroids")
+    assigned.write.parquet(s"$root/lists")
+    val queries = emb.filter($"vec_id" < 10)
+    val fromIndex = Similarity.ivfSearch(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/lists"), queries, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Similarity.ivfKnn(emb, queries, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex === inline)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("ivf knn: k results per query, self excluded, decent recall") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteKnn(emb, queries, 5)
