@@ -82,9 +82,13 @@ object Dedup {
     *
     * Scale shape: explode to one row per window position (|tokens| rows),
     * then IMMEDIATELY reduce each window to its xxhash64 — the count
-    * aggregation and the join back shuffle 8-byte longs, never 50-100
-    * byte window strings (the [[shingleHashes]] lesson; collisions
-    * ~|windows|²/2⁶⁴ are negligible). No quadratic pair work anywhere.
+    * aggregation shuffles 8-byte longs, never 50-100 byte window strings
+    * (the [[shingleHashes]] lesson; collisions ~|windows|²/2⁶⁴ are
+    * negligible). `n_windows` is pure per-row arithmetic (`tokens−w+1`),
+    * so the only join carries the DUPLICATED grams (count ≥ 2) — in a
+    * mostly-unique corpus that's a sliver of the gram table and AQE
+    * broadcasts it, leaving one map-side-combined exchange as the whole
+    * shuffle footprint. No quadratic pair work anywhere.
     */
   def dupWindowStats(docs: DataFrame, w: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -92,17 +96,20 @@ object Dedup {
     val grams = transform(
       sequence(lit(0), size(toks) - w),
       i => array_join(slice(toks, i + 1, lit(w)), " "))
+    val base = docs.filter(size(toks) >= w)
+    // window-position count needs no explode: T tokens ⇒ T−w+1 positions
+    val nWin = base.select(col(idCol).cast("long").as("id"),
+      (size(toks) - (w - 1)).cast("long").as("n_windows"))
     // every position kept (no per-doc distinct): in-doc repetition counts
-    val win = docs
-      .filter(size(toks) >= w)
+    val win = base
       .select(col(idCol).cast("long").as("id"), explode(grams).as("gs"))
       .select(col("id"), xxhash64(col("gs")).as("g"))
-    val counts = win.groupBy("g").agg(count(lit(1)).as("c"))
-    win.join(counts, "g")
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_windows"),
-        count(when(col("c") >= 2, lit(1))).as("n_dup_windows"))
+    val dup = win.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val nDup = win.join(dup, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    nWin.join(nDup, Seq("id"), "left")
+      .na.fill(0L, Seq("n_dup_windows"))
       .withColumn("dup_frac",
         col("n_dup_windows") / col("n_windows").cast("double"))
       .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
