@@ -54,6 +54,12 @@ object Bench {
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(3))
     val results = picked.map { case (name, fn) =>
+      // let the ContextCleaner reclaim the previous queries' shuffle
+      // files/broadcasts before timing: 98 queries × 3 runs accumulate
+      // thousands of stale shuffle stages whose disk + heap pressure
+      // otherwise bleeds into later queries' medians (measured: a 1.1 s
+      // query reported 4.7 s mid-sweep). Outside the timed region.
+      System.gc()
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
