@@ -73,10 +73,29 @@ object Bench {
         else (times(mid - 1) + times(mid)) / 2.0
       name -> median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double) = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    // Full per-query map goes to a file; the stdout line is kept under
+    // ~1800 bytes (headline = slowest entries that fit) because the
+    // harness capturing it keeps only the last 2000 characters of the
+    // run's output — a 98-query map with full double precision blows
+    // that window and the line arrives head-truncated, i.e. unparseable.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
+    val budget = 1500 // bytes for the headline "queries" map body
+    val bySlowest = results.sortBy(-_._2)
+    val headline = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + fmt(v)
+      if (used + ent.length + 1 <= budget) { headline += ent; used += ent.length + 1 }
+    }
+    val qs = headline.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$qs,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
