@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g: the full 98-query bench sweep accumulates enough shuffle/cache
+  // state that a 16g heap spends multi-second GC pauses inside timed
+  // regions (measured: pl_dedup_clusters 10.8s at 16g vs 1.9s at 48g on
+  // the same plans); the machine has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
