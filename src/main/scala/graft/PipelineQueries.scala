@@ -372,7 +372,52 @@ object PipelineQueries {
         .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
           col("frame_md5"))
         .orderBy("id", "frame_idx")
+    },
+
+    // perceptual-hash (aHash) image near-dup with the pixel source
+    // stubbed: 60 sampled "pixels" → mean-threshold bits → 60-bit hash,
+    // then near-dup grouping on the hash (keep_id = group min). Pixels
+    // projected once per row (px_), read by mean + fold
+    "pl_mm_phash" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("px_", Multimodal.pixels60(col("text")))
+        .select(col("doc_id"), Multimodal.aHash60Of(col("px_")).as("ahash"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))))
+        .orderBy("doc_id")
+    },
+
+    // packed training sequences: packBins assignment materialized — each
+    // bin's docs concatenated in id order into the sequence a trainer
+    // reads, with doc/token totals
+    "pl_pack_concat" -> { (s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id", "text",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 512, nBuckets = 8)
+        .orderBy("bin")
+    },
+
+    // URL host extraction + normalization (the step before per-host caps
+    // and blocklists); inline fixture — the synthetic corpus carries no
+    // URLs. Counts per host: total references and distinct docs
+    "pl_url_hosts" -> { (s, dir) =>
+      import s.implicits._
+      UrlFixture.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(TextAnalysis.urlHosts(col("text"))).as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy("host")
     })
+
+  /** Inline fixture for [[queries]]' `pl_url_hosts` — shared with its
+    * oracle so gate and oracle can never drift.
+    */
+  private val UrlFixture: Seq[(Long, String)] = Seq(
+    1L -> "see https://www.Example.com/a?x=1 then http://foo.org/path deep",
+    2L -> "dup https://example.com/b plus https://Bar.net/z and http://foo.org",
+    3L -> "no urls in this document at all",
+    4L -> "tail ref http://www.foo.org ends here")
 
   // ------------------------------------------------------------- oracles
 
@@ -1117,6 +1162,65 @@ object PipelineQueries {
         |WHERE length(substring(text, i * 64 + 1, 64)) > 0
         |ORDER BY id, frame_idx""".stripMargin
 
+    // aHash: 60 sampled pixels (ascii of evenly-spaced chars), mean
+    // threshold, MSB-first bit fold — bit-identical to Multimodal.aHash60Of
+    val mmPhash =
+      """WITH t AS (
+        |  SELECT doc_id, text, greatest(length(text), 1) - 1 AS li FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 60),
+        |      k -> ascii(substr(text, 1 + CAST(floor(k * li / 59.0) AS INT), 1))) AS px
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(px,
+        |          x -> CASE WHEN x > list_sum(px) / 60.0
+        |               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a * 2 + b) AS ahash
+        |  FROM p)
+        |SELECT doc_id, ahash,
+        |       min(doc_id) OVER (PARTITION BY ahash) AS keep_id
+        |FROM h ORDER BY doc_id""".stripMargin
+
+    // same bin derivation as `pack`, materialized: per-bin concat in doc
+    // order + doc/token totals
+    val packConcat =
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_pack'), 1, 15)) AS BIGINT) % 8 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, ntok, bucket,
+        |         coalesce(SUM(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, text, ntok,
+        |         CAST(bucket AS VARCHAR) || '_' || CAST(cum // 512 AS VARCHAR) AS bin
+        |  FROM c)
+        |SELECT bin, count(*) AS n_docs, sum(ntok) AS n_tokens,
+        |       string_agg(text, ' ' ORDER BY doc_id) AS packed
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+    // fixture interpolated from the shared UrlFixture constant
+    val urlValues = UrlFixture
+      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    val urlHosts =
+      s"""WITH d(doc_id, text) AS (VALUES $urlValues),
+         |u AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      regexp_extract_all(text, 'https?://([^/\\s]+)', 1),
+         |      h -> regexp_replace(lower(h), '^www\\.', ''))) AS host
+         |  FROM d)
+         |SELECT host, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY host ORDER BY host""".stripMargin
+
     Map(
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,
@@ -1156,6 +1260,9 @@ object PipelineQueries {
       "pl_span_dedup" -> spanDedup,
       "pl_neardup_cos" -> nearDup,
       "pl_mm_meta" -> mmMeta,
-      "pl_mm_frames" -> mmFrames)
+      "pl_mm_frames" -> mmFrames,
+      "pl_mm_phash" -> mmPhash,
+      "pl_pack_concat" -> packConcat,
+      "pl_url_hosts" -> urlHosts)
   }
 }

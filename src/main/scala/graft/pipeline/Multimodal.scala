@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -66,6 +66,37 @@ object Multimodal {
       // per-partition codec init would go here
       it.map { case (id, payload) => MediaRow(id, payload, fakeDecode(payload)) }
     }
+  }
+
+  /** 60 evenly-spaced "pixel" samples from the stub decode: byte k of 60
+    * reads position `1 + floor(k·(L−1)/59)` of the payload (both ends
+    * included). The payload bytes here are utf8 text, so `ascii(char)`
+    * IS the byte value — a real image pipeline swaps this for the
+    * decoded grayscale plane ([[decodePartitions]]'s slot) and keeps
+    * everything downstream. Project the result ONCE per row (see
+    * [[TextAnalysis.withTokens]]'s codegen note) — [[aHash60Of]] reads
+    * it twice (mean + threshold fold).
+    */
+  def pixels60(text: Column): Column = {
+    val lastIdx = greatest(length(text), lit(1)) - 1
+    transform(sequence(lit(0), lit(59)),
+      k => ascii(text.substr(
+        lit(1) + floor(k * lastIdx / lit(59.0)).cast("int"), lit(1))))
+  }
+
+  /** 60-bit average-hash ("aHash") over a sampled-pixel array: threshold
+    * every pixel against the sample mean, fold the bits MSB-first into a
+    * long — the perceptual-hash shape of image near-dup pipelines
+    * (aHash/pHash/dHash), 60 bits so checked-arithmetic engines never
+    * overflow. Identical images hash identically; small perturbations
+    * flip few bits. Pure per-row array math — embarrassingly parallel;
+    * dedup then groups on the hash (one shuffle of 8-byte keys), with an
+    * optional in-bucket Hamming refine at tighter thresholds.
+    */
+  def aHash60Of(px: Column): Column = {
+    val mean = aggregate(px, lit(0L), (a, x) => a + x).cast("double") / size(px)
+    aggregate(px, lit(0L),
+      (acc, x) => acc * 2 + when(x.cast("double") > mean, 1L).otherwise(0L))
   }
 
   /** Frame sampling stand-in: slice the payload into `n` fixed-offset

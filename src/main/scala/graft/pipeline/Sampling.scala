@@ -115,6 +115,30 @@ object Sampling {
         least(lit(size.toLong), n - col("chunk_id") * stride).as("n_tokens"))
   }
 
+  /** Materialize the packed training sequences from [[packBins]]'s
+    * assignment: concatenate each bin's documents in id order — the step
+    * that turns bin membership into the actual fixed-budget sequences a
+    * trainer reads. One map-side-combined aggregation on the bin key;
+    * each group holds ~`budgetTokens` tokens of text by construction, so
+    * no group can blow a task (the window in [[packBins]] already
+    * bounded it). Output: one row per bin with the packed text, its doc
+    * count and token total.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      tokens: Column, budgetTokens: Long, nBuckets: Int = 256,
+      salt: String = "pack", joiner: String = " "): DataFrame =
+    packBins(df, idCol, tokens, budgetTokens, nBuckets, salt)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(idCol).cast("long").as("id"), col(textCol).as("t")))),
+            s => s("t")),
+          joiner).as("packed"))
+
   /** Deterministic corpus shuffle into training shards: each doc hashes
     * to one of `nShards` shards, ordered within its shard by a salted
     * md5 key — the reproducible global-shuffle pass that breaks source

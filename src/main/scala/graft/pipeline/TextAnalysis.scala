@@ -380,6 +380,17 @@ object TextAnalysis {
       .toDF(idCol, "pieces", "n_pieces")
   }
 
+  /** URL hosts referenced by a document, normalized (lowercased, one
+    * leading `www.` stripped) — the extraction step in front of per-host
+    * document caps ([[Sampling.capPerKey]]) and host-level blocklists.
+    * Pure per-row regex work (codegen'd, no UDF); the pattern is
+    * lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  def urlHosts(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1)),
+      h => regexp_replace(lower(h), "^www\\.", ""))
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:

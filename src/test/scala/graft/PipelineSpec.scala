@@ -551,4 +551,50 @@ class PipelineSpec extends SparkSpec {
     }
     assert(pairs.map(p => (p._1, p._2)).toSet === crossFromFull)
   }
+
+  test("aHash60: identical pixels hash equal, perturbations flip few bits") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (4L, "completely different content with other words entirely here"))
+      .toDF("doc_id", "text")
+    val h = d.withColumn("px_", Multimodal.pixels60($"text"))
+      .select($"doc_id", Multimodal.aHash60Of($"px_").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L)) // identical payload → identical hash
+    assert(h.values.forall(v => v >= 0L && v < (1L << 60)))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // small perturbation: near hash; different doc: far hash
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("packSequences: bins reassemble every doc in id order") {
+    val packed = Sampling.packSequences(docs, "doc_id", "text",
+      TextAnalysis.tokenCount($"text"), budgetTokens = 512, nBuckets = 8)
+      .select("bin", "n_docs", "n_tokens", "packed")
+      .as[(String, Long, Long, String)].collect()
+    val bins = Sampling.packBins(docs, "doc_id",
+      TextAnalysis.tokenCount($"text"), 512, 8)
+      .select($"doc_id", $"bin", $"text").as[(Long, String, String)]
+      .collect().groupBy(_._2)
+    assert(packed.length === bins.size)
+    packed.foreach { case (bin, nDocs, nTokens, text) =>
+      val members = bins(bin).sortBy(_._1)
+      assert(nDocs === members.length)
+      assert(text === members.map(_._3).mkString(" "))
+      assert(nTokens === members.map(_._3.split(" ").length.toLong).sum)
+    }
+  }
+
+  test("urlHosts: extraction, lowercasing, www-strip; no-url docs empty") {
+    val d = Seq(
+      (1L, "x https://WWW.Example.COM/path?q=1 y http://foo.org z"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val hosts = d.select($"doc_id",
+      TextAnalysis.urlHosts($"text").as("h")).as[(Long, Seq[String])]
+      .collect().toMap
+    assert(hosts(1L) === Seq("example.com", "foo.org"))
+    assert(hosts(2L) === Seq.empty)
+  }
 }
