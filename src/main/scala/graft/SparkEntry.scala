@@ -75,8 +75,13 @@ object SparkEntry {
     val late = d.filter(col("seq") % 5 === 0)
       .withColumn("value", col("value") + 0.5)
       .withColumn("seq", col("seq") + 10000000L)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_store_gate").toString
+    // throwaway fixture: prefer tmpfs so the benched ingest prices the
+    // machinery (Spark jobs + manifest commits), not /tmp's disk — the
+    // gate's numbers otherwise swing multi-second with page-cache state
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root = (if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_store_gate")
+    else java.nio.file.Files.createTempDirectory("graft_store_gate")).toString
     val st = new graft.store.Store(s, root)
     st.ingest(d)
     st.ingest(late)
