@@ -239,6 +239,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences: docs and tokens conserved for any corpus") {
+    import graft.pipeline.{Sampling, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val wordGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      texts <- Gen.listOfN(n, Gen.choose(1, 30)
+        .flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (corpus <- samples(corpusGen)) {
+      val df = corpus.toDF("doc_id", "text")
+      val packed = Sampling.packSequences(df, "doc_id", "text",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 64, nBuckets = 4)
+        .select("bin", "n_docs", "n_tokens", "packed")
+        .as[(String, Long, Long, String)].collect()
+      assert(packed.map(_._2).sum === corpus.size) // every doc exactly once
+      assert(packed.map(_._3).sum ===
+        corpus.map(_._2.split(" ").length.toLong).sum) // token conservation
+      // concatenation conserves the words too (bins partition the corpus)
+      assert(packed.flatMap(_._4.split(" ")).sorted.toSeq ===
+        corpus.flatMap(_._2.split(" ")).sorted.toSeq)
+    }
+  }
+
+  test("aHash60: in range, deterministic, constant input hashes to 0") {
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.functions.col
+    val textGen = Gen.choose(1, 200)
+      .flatMap(k => Gen.listOfN(k, Gen.asciiPrintableChar).map(_.mkString))
+    val texts = samples(Gen.listOfN(20, textGen)).flatten.distinct
+    val df = (texts ++ texts).zipWithIndex // every text twice
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashes = df.withColumn("px_", Multimodal.pixels60(col("text")))
+      .select(col("text"), Multimodal.aHash60Of(col("px_")).as("h"))
+      .as[(String, Long)].collect()
+    hashes.foreach { case (_, h) => assert(h >= 0L && h < (1L << 60)) }
+    // identical text → identical hash across rows
+    hashes.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.size === 1))
+    // all pixels equal ⇒ no pixel strictly above the mean ⇒ hash 0
+    val const = Seq((0L, "aaaaaaaaaa")).toDF("doc_id", "text")
+      .withColumn("px_", Multimodal.pixels60(col("text")))
+      .select(Multimodal.aHash60Of(col("px_"))).as[Long].head()
+    assert(const === 0L)
+  }
+
   test("SeqWindows: windows are strictly increasing under concurrent claims") {
     val seqs = new graft.ingest.SeqWindows(() => 1704412800000L) // frozen clock
     val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
