@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression net over the gate queries, using the same
+  * fingerprint parser as `Explain --plans-md`: asserts the properties
+  * that make these plans right at 100 TB — filter pushdown reaching the
+  * parquet scan, bounded shuffle counts, no cartesian products or
+  * nested-loop joins outside the deliberate broadcast-centroid/query
+  * designs, hash (not sort) aggregation on the hot paths. A refactor
+  * that silently loses one of these fails here, not in a 100× run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fp(name: String): (Explain.Fingerprint, String) = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.count() // AQE-final plan
+    val plan = df.queryExecution.explainString(FormattedMode)
+    (Explain.fingerprint(plan), plan)
+  }
+
+  test("downsample scan: pushdown, no joins, hash-agg only, few shuffles") {
+    val (f, plan) = fp("q_ds_avg")
+    assert(f.pushedFilters, "ts/metric bounds must reach the parquet scan")
+    assert(f.exchanges <= 3, s"q_ds_avg shuffles: ${f.exchanges}\n$plan")
+    assert(f.sortMergeJoins == 0 && f.nestedLoopJoins == 0)
+    assert(f.sortAggregates == 0, "downsample must stay hash-aggregated")
+  }
+
+  test("cross-series aggregation stays hash-aggregated with pushdown") {
+    val (f, _) = fp("q_agg_sum")
+    assert(f.pushedFilters)
+    assert(f.sortAggregates == 0)
+    assert(f.exchanges <= 4)
+  }
+
+  test("near-dup blocked join: equi-join only — no cartesian, no BNLJ") {
+    val (f, plan) = fp("pl_neardup_cos")
+    assert(f.nestedLoopJoins == 0,
+      s"blocked triangle join degenerated to a cartesian/BNLJ\n$plan")
+  }
+
+  test("exact dedup is one hash exchange + window, no joins") {
+    val (f, _) = fp("pl_dedup_exact")
+    assert(f.exchanges <= 2)
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0)
+  }
+
+  test("per-row operators never shuffle beyond the output sort") {
+    Seq("pl_lang_id", "pl_redact", "pl_fingerprint", "pl_text_stats",
+      "pl_quality_lr", "pl_repetition", "pl_mixture", "pl_split",
+      "pl_sample", "pl_embed_prep", "pl_mm_meta", "pl_mm_frames").foreach { q =>
+      val (f, plan) = fp(q)
+      assert(f.exchanges <= 1, s"$q should be per-row (+output sort): $plan")
+      assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+        s"$q grew a join")
+    }
+  }
+
+  test("decontamination broadcasts the eval side (train never shuffles first)") {
+    val (f, plan) = fp("pl_decontam")
+    assert(f.pushedFilters)
+    assert(f.sortMergeJoins == 0,
+      s"eval grams must broadcast, not sort-merge\n$plan")
+  }
+
+  test("IVF search: centroid joins broadcast, candidate work never " +
+    "query-cross-corpus") {
+    val (f, plan) = fp("pl_knn_ivf")
+    // broadcast nested-loop against the (tiny) centroid table is the
+    // design; a SortMergeJoin on cid for candidates is acceptable — what
+    // must never appear is an unpartitioned cartesian over the corpus
+    assert(!plan.contains("CartesianProduct"), s"corpus cartesian\n$plan")
+  }
+}
