@@ -151,6 +151,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // substring-dedup removal: the globally first occurrence of every
+    // 8-token window survives; later verbatim occurrences are cut from
+    // their docs (Lee et al. direction, fixed-window approximation)
+    "pl_window_dedup" -> { (s, dir) =>
+      Dedup.dropDupWindows(docs(s, dir), w = 8)
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ---------------------------------------------------------
     "pl_dedup_exact" -> { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
@@ -1162,6 +1170,39 @@ object PipelineQueries {
         |WHERE length(substring(text, i * 64 + 1, 64)) > 0
         |ORDER BY id, frame_idx""".stripMargin
 
+    // window-dedup removal: first occurrence per 8-token window text
+    // survives (the Spark side ranks by xxhash64 of the window — same
+    // partition up to negligible 64-bit collisions); later occurrences'
+    // covered tokens are cut. Parallel unnests zip (i, window) together
+    val windowDedup =
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) - 6)) AS i,
+        |    unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+        |  FROM t WHERE len(w) >= 8),
+        |r AS (SELECT doc_id, i,
+        |        row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |      FROM win),
+        |cuts AS (SELECT doc_id, list_sort(list(i)) AS cuts
+        |         FROM r WHERE rn > 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN cuts.cuts IS NULL THEN array_to_string(w, ' ')
+        |       -- coalesce: DuckDB's array_to_string of an EMPTY list is
+        |       -- NULL; a fully-cut doc must come back '' like Spark's
+        |       ELSE coalesce(array_to_string(list_transform(
+        |         list_filter(range(1, len(w) + 1),
+        |           p -> len(list_filter(cuts.cuts, s -> s <= p AND p < s + 8)) = 0),
+        |         p -> w[p]), ' '), '') END AS clean_text,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CASE WHEN cuts.cuts IS NULL THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(len(list_filter(range(1, len(w) + 1),
+        |         p -> len(list_filter(cuts.cuts, s -> s <= p AND p < s + 8)) > 0)) AS BIGINT)
+        |  END AS n_removed
+        |FROM t LEFT JOIN cuts USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
     // aHash: 60 sampled pixels (ascii of evenly-spaced chars), mean
     // threshold, MSB-first bit fold — bit-identical to Multimodal.aHash60Of
     val mmPhash =
@@ -1235,6 +1276,7 @@ object PipelineQueries {
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_incr" -> dedupIncr,
       "pl_dup_windows" -> dupWindows,
+      "pl_window_dedup" -> windowDedup,
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,

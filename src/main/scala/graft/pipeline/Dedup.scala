@@ -116,6 +116,66 @@ object Dedup {
         col("dup_frac"))
   }
 
+  /** Substring-dedup REMOVAL at window granularity (the direction of
+    * suffix-array exact-substring dedup, Lee et al. 2022, approximated on
+    * fixed w-token windows): every w-token window is hashed corpus-wide;
+    * the globally FIRST occurrence of each window (smallest (doc, pos))
+    * survives, and tokens covered by any LATER occurrence are cut from
+    * their document. Catches verbatim reuse that crosses sentence/span
+    * boundaries — the case [[spanDedup]]'s span key misses. Boundary
+    * behavior is the standard window approximation: a duplicated region
+    * shorter than w tokens is never cut, and a cut region's edges are
+    * trimmed at window resolution.
+    *
+    * Scale shape ([[dupWindowStats]]' lesson): the first-occurrence
+    * choice is one shuffle keyed by the 60-bit window hash (8-byte keys,
+    * never window text; the window over it ranks within each hash group),
+    * the cut-start lists aggregate per doc (second shuffle, map-side
+    * combined), and the reassembly joins docs once on id (third). The
+    * per-row cut itself is array math over (positions × cut-starts) —
+    * bounded by document length times its duplicated-window count.
+    *
+    * Returns every doc: (id, clean_text, n_tokens, n_removed); untouched
+    * docs come back verbatim.
+    */
+  def dropDupWindows(docs: DataFrame, w: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // (id, pos, h): one row per window position, reduced immediately to
+    // xxhash64 — the shuffle carries 8-byte keys, never window text (the
+    // [[dupWindowStats]] lesson; the oracle partitions by the window
+    // text itself, identical up to negligible 64-bit collisions)
+    val win = docs
+      .filter(size(toks) >= w)
+      .select(col(idCol).cast("long").as("id"), toks.as("w_"))
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("w_")) - (w - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("w_"), i, lit(w)))))))
+      .select(col("id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val firstW = Window.partitionBy(col("h")).orderBy(col("id"), col("i"))
+    val cutStarts = win
+      .withColumn("rn", row_number().over(firstW))
+      .filter(col("rn") > 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("i"))).as("cuts"))
+    docs
+      .select(col(idCol).cast("long").as("id"), toks.as("w_"))
+      .join(cutStarts, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        when(col("cuts").isNull, array_join(col("w_"), " "))
+          .otherwise(array_join(transform(
+            filter(sequence(lit(1), size(col("w_"))), p =>
+              !exists(col("cuts"), s => s <= p && p < s + w)),
+            p => element_at(col("w_"), p)), " "))
+          .as("clean_text"),
+        size(col("w_")).cast("long").as("n_tokens"),
+        when(col("cuts").isNull, lit(0L))
+          .otherwise(size(filter(sequence(lit(1), size(col("w_"))), p =>
+            exists(col("cuts"), s => s <= p && p < s + w))).cast("long"))
+          .as("n_removed"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). Rows are
     * unique per (id, shingle) already — `array_distinct` dedupes within
     * the doc and ids are unique — so no shuffle happens here.

@@ -552,6 +552,35 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet === crossFromFull)
   }
 
+  test("dropDupWindows: first occurrence survives, later reuse is cut") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // exactly one window
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"other text here $boiler trailing words again"),
+      (3L, "short doc"), // < w tokens: untouched
+      (4L, s"$boiler")) // the whole doc is a later occurrence
+      .toDF("doc_id", "text")
+    val res = Dedup.dropDupWindows(d, w = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 holds the first occurrence: fully intact
+    assert(res(1L)._2 === s"alpha beta $boiler gamma delta")
+    assert(res(1L)._4 === 0L)
+    // doc 2's copy is cut, surrounding text survives
+    assert(res(2L)._2 === "other text here trailing words again")
+    assert(res(2L)._4 === 8L)
+    // doc 3 too short for any window: verbatim
+    assert(res(3L)._2 === "short doc" && res(3L)._4 === 0L)
+    // doc 4 is nothing but a later occurrence: cut to empty
+    assert(res(4L)._2 === "" && res(4L)._4 === 8L)
+    // corpus-level: clean texts contain no duplicated window anymore
+    // (w-grams of the cleaned docs are globally unique)
+    val cleaned = res.values.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    val still = Dedup.dupWindowStats(cleaned, w = 8)
+      .agg(sum("n_dup_windows")).as[Long].head()
+    assert(still === 0L)
+  }
+
   test("aHash60: identical pixels hash equal, perturbations flip few bits") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
