@@ -284,6 +284,48 @@ class PropertySpec extends SparkSpec {
     assert(const === 0L)
   }
 
+  test("dropDupWindows: token accounting holds and first copies survive") {
+    import graft.pipeline.Dedup
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val corpusGen = for {
+      n <- Gen.choose(2, 20)
+      texts <- Gen.listOfN(n, Gen.choose(4, 40)
+        .flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" "))))
+      // plant verbatim reuse: doc n+i repeats doc i's text with a prefix
+      reused <- Gen.choose(1, math.max(1, n / 2))
+    } yield {
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val copies = base.take(reused).map { case (i, t) =>
+        (n + i, s"prefix$i $t")
+      }
+      base ++ copies
+    }
+    for (corpus <- samples(corpusGen)) {
+      val res = Dedup.dropDupWindows(corpus.toDF("doc_id", "text"), w = 4)
+        .as[(Long, String, Long, Long)].collect()
+      assert(res.length === corpus.size)
+      val byId = corpus.toMap
+      res.foreach { case (id, clean, nTok, nRemoved) =>
+        val orig = byId(id).split(" ")
+        assert(nTok === orig.length.toLong, s"doc $id token count")
+        val keptLen = if (clean.isEmpty) 0 else clean.split(" ").length
+        assert(keptLen + nRemoved === nTok, s"doc $id accounting")
+        // kept tokens are a subsequence of the original doc
+        val it = orig.iterator
+        assert(clean.isEmpty || clean.split(" ").forall(t => it.contains(t)),
+          s"doc $id order")
+      }
+      // the globally first doc of every duplicated text is intact
+      // (its windows rank first by (id, pos))
+      val firstIds = corpus.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      res.filter(r => firstIds.contains(r._1) && r._1 < corpus.size / 2)
+        .foreach { case (id, clean, _, removed) =>
+          if (removed == 0) assert(clean === byId(id))
+        }
+    }
+  }
+
   test("SeqWindows: windows are strictly increasing under concurrent claims") {
     val seqs = new graft.ingest.SeqWindows(() => 1704412800000L) // frozen clock
     val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
