@@ -79,9 +79,18 @@ object SparkEntry {
     // machinery (Spark jobs + manifest commits), not /tmp's disk — the
     // gate's numbers otherwise swing multi-second with page-cache state
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val root = (if (java.nio.file.Files.isWritable(shm))
+    val rootPath = if (java.nio.file.Files.isWritable(shm))
       java.nio.file.Files.createTempDirectory(shm, "graft_store_gate")
-    else java.nio.file.Files.createTempDirectory("graft_store_gate")).toString
+    else java.nio.file.Files.createTempDirectory("graft_store_gate")
+    sys.addShutdownHook { // throwaway fixture: reclaim the tmpfs at exit
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(rootPath) catch { case _: java.io.IOException => () }
+    }
+    val root = rootPath.toString
     val st = new graft.store.Store(s, root)
     st.ingest(d)
     st.ingest(late)
