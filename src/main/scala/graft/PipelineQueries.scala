@@ -405,6 +405,26 @@ object PipelineQueries {
         .orderBy("bin")
     },
 
+    // HTML → text cleanup (extraction-adjacent pass); inline fixture —
+    // the synthetic corpus is already plain text
+    "pl_strip_html" -> { (s, dir) =>
+      import s.implicits._
+      HtmlFixture.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), TextAnalysis.stripHtml(col("text")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // lexicon blocklist filter over the corpus: whole-token hits against
+    // a (tiny here, broadcast-sized in production) term list
+    "pl_blocklist" -> { (s, dir) =>
+      val terms = Seq("spark", "slow", "hash")
+      TextAnalysis.withTokens(docs(s, dir))
+        .select(col("doc_id"),
+          TextAnalysis.blocklistHitsOf(col("w_"), terms).cast("long").as("n_hits"))
+        .withColumn("flagged", col("n_hits") > 0)
+        .orderBy("doc_id")
+    },
+
     // URL host extraction + normalization (the step before per-host caps
     // and blocklists); inline fixture — the synthetic corpus carries no
     // URLs. Counts per host: total references and distinct docs
@@ -417,6 +437,17 @@ object PipelineQueries {
           count_distinct(col("doc_id")).as("n_docs"))
         .orderBy("host")
     })
+
+  /** Inline fixture for [[queries]]' `pl_strip_html` — shared with its
+    * oracle so gate and oracle can never drift.
+    */
+  private val HtmlFixture: Seq[(Long, String)] = Seq(
+    1L -> ("<html><head><style>p {color: red}</style></head><body>" +
+      "<p>Hello <b>world</b></p><script>var x = \"<p>\";</script>" +
+      " Tom &amp; Jerry &lt;3 &quot;quotes&quot; &#39;s and &amp;lt;raw" +
+      "</body></html>"),
+    2L -> "plain text stays as-is",
+    3L -> "<div>multi\nline<br/>doc</div>")
 
   /** Inline fixture for [[queries]]' `pl_url_hosts` — shared with its
     * oracle so gate and oracle can never drift.
@@ -1247,6 +1278,41 @@ object PipelineQueries {
         |       string_agg(text, ' ' ORDER BY doc_id) AS packed
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+    // fixture interpolated from the shared HtmlFixture constant; same
+    // regex chain as TextAnalysis.stripHtml (RE2-compatible patterns,
+    // DuckDB needs the explicit 'g' flag where Spark is global)
+    val htmlValues = HtmlFixture
+      .map { case (id, t) =>
+        s"($id, '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')"
+      }
+      .mkString(", ")
+    val stripHtml =
+      s"""WITH d(doc_id, text) AS (VALUES $htmlValues)
+         |SELECT doc_id, trim(regexp_replace(
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(
+         |            regexp_replace(
+         |              regexp_replace(text,
+         |                '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+         |              '<[^>]*>', ' ', 'g'),
+         |            '&lt;', '<', 'g'),
+         |          '&gt;', '>', 'g'),
+         |        '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'),
+         |    '&amp;', '&', 'g'),
+         |  '\\s+', ' ', 'g')) AS clean
+         |FROM d ORDER BY doc_id""".stripMargin
+
+    val blocklist =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> lower(x) IN ('spark', 'slow', 'hash'))) AS BIGINT) AS n_hits,
+         |  len(list_filter(w, x -> lower(x) IN ('spark', 'slow', 'hash'))) > 0 AS flagged
+         |FROM t ORDER BY doc_id""".stripMargin
+
     // fixture interpolated from the shared UrlFixture constant
     val urlValues = UrlFixture
       .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
@@ -1305,6 +1371,8 @@ object PipelineQueries {
       "pl_mm_frames" -> mmFrames,
       "pl_mm_phash" -> mmPhash,
       "pl_pack_concat" -> packConcat,
+      "pl_strip_html" -> stripHtml,
+      "pl_blocklist" -> blocklist,
       "pl_url_hosts" -> urlHosts)
   }
 }

@@ -380,6 +380,43 @@ object TextAnalysis {
       .toDF(idCol, "pieces", "n_pieces")
   }
 
+  /** HTML → text cleanup (the extraction-adjacent pass of web-corpus
+    * pipelines): drop script/style blocks wholesale, strip remaining
+    * tags, unescape the five predefined entities, collapse whitespace.
+    * Pure per-row regex chain (codegen'd, no UDF); patterns are
+    * RE2-compatible (`(?s)` dot-matches-newline, no lookaround) so the
+    * DuckDB oracle replays them byte-for-byte.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val unescaped =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&amp;", "&") // last: "&amp;lt;" must yield "&lt;", not "<"
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Count of token occurrences that appear in a blocklist — the
+    * lexicon-based content filter every web pipeline runs (obscenity /
+    * spam term lists). Whole-token matching (no substring surprises);
+    * per-row array math against a literal array, no shuffle. Real
+    * deployments pass lists of thousands of terms — still a broadcast-
+    * sized literal (or a broadcast join for very large lexicons).
+    */
+  def blocklistHitsOf(toks: Column, terms: Seq[String]): Column =
+    size(filter(toks, t => lower(t).isin(terms.map(_.toLowerCase): _*)))
+
+  def blocklistHits(text: Column, terms: Seq[String]): Column =
+    blocklistHitsOf(tokens(text), terms)
+
   /** URL hosts referenced by a document, normalized (lowercased, one
     * leading `www.` stripped) — the extraction step in front of per-host
     * document caps ([[Sampling.capPerKey]]) and host-level blocklists.

@@ -616,6 +616,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("stripHtml: blocks dropped, tags stripped, entities unescaped") {
+    val d = Seq(
+      (1L, "<p>Hi <b>there</b></p><script>x = \"<i>\";</script> A &amp; B"),
+      (2L, "no markup"),
+      (3L, "&amp;lt; stays escaped-once")).toDF("doc_id", "text")
+    val r = d.select($"doc_id", TextAnalysis.stripHtml($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) === "Hi there A & B")
+    assert(r(2L) === "no markup")
+    assert(r(3L) === "&lt; stays escaped-once") // double-escape unescapes ONE level
+  }
+
+  test("blocklistHits: whole-token, case-insensitive, zero when clean") {
+    val d = Seq(
+      (1L, "the Spark engine is sparkly"), // 'sparkly' must NOT match
+      (2L, "totally clean text")).toDF("doc_id", "text")
+    val r = d.select($"doc_id",
+      TextAnalysis.blocklistHits($"text", Seq("spark", "slow")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(r(1L) === 1 && r(2L) === 0)
+  }
+
   test("urlHosts: extraction, lowercasing, www-strip; no-url docs empty") {
     val d = Seq(
       (1L, "x https://WWW.Example.COM/path?q=1 y http://foo.org z"),
