@@ -481,6 +481,50 @@ object SparkEntry {
           SubQuery(metric = "error", aggregator = "none")))
       },
 
+      // §2.10 replication checkpoints (`_cp` bookkeeping,
+      // reference cp.cpp): a deterministic checkpoint stream derived from
+      // the events table — dc tag as leader, host tag as channel, ts.seq
+      // as the opaque checkpoint string, malformed token counts mixed
+      // in — runs add → snapshot → persist → boot-reload → re-persist;
+      // the oracle recomputes the surviving last-wins state per channel
+      "q_checkpoints" -> { (s, dir) =>
+        import s.implicits._
+        val rows = DpView.dp(s, dir)
+          .filter(col("metric") === "click" && col("ts").between(T0, T1))
+          .select(
+            element_at(col("tags"), "dc").as("leader"),
+            element_at(col("tags"), "host").as("channel"),
+            col("ts"), col("seq"))
+          .orderBy("seq")
+          .collect()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cp_gate")
+        try {
+          val mgr = new graft.store.CheckPoints(s, tmp.toString)
+          rows.foreach { r =>
+            val (l, c) = (r.getString(0), r.getString(1))
+            val cp = s"${r.getLong(2)}.${r.getLong(3)}"
+            val seq = r.getLong(3)
+            mgr.add(
+              if (seq % 7 == 0) s"$l:$c" // 2 tokens: ignored
+              else if (seq % 11 == 0) s"$l:$c:$cp:x" // 4 tokens: ignored
+              else s"$l:$c:$cp")
+          }
+          mgr.takeSnapshot(); mgr.persist()
+          // a fresh manager boot-replays the newest .cp into its live map
+          // (cp.cpp:40-65); the next flush cycle (close) serves it
+          val rebooted = new graft.store.CheckPoints(s, tmp.toString)
+          rebooted.close()
+          rebooted.persistedMap.toSeq
+            .flatMap { case (l, chans) => chans.toSeq.map { case (c, v) => (l, c, v) } }
+            .toDF("leader", "channel", "checkpoint")
+            .orderBy("leader", "channel")
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+
       // §2.1 InfluxDB line protocol: field explode, _field tag, escapes,
       // ns/s/ms timestamps, string fields skipped, missing ts → now
       "q_ingest_influx" -> { (s, dir) =>
@@ -990,6 +1034,20 @@ object SparkEntry {
            |FROM dedup
            |WHERE ts BETWEEN $T0 AND $T1
            |ORDER BY skey, ts, value""".stripMargin),
+
+      // last-wins per (leader, channel) over the well-formed checkpoint
+      // stream — seq order is application order, so arg_max by seq
+      "q_checkpoints" -> (dpCte + ",\n" +
+        s"""src AS (
+           |  SELECT dc AS leader, host AS channel,
+           |         CAST(ts AS VARCHAR) || '.' || CAST(seq AS VARCHAR) AS cp,
+           |         seq
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |    AND seq % 7 <> 0 AND seq % 11 <> 0)
+           |SELECT leader, channel, arg_max(cp, seq) AS checkpoint
+           |FROM src GROUP BY leader, channel
+           |ORDER BY leader, channel""".stripMargin),
 
       "q_ingest_influx" ->
         """SELECT * FROM (VALUES

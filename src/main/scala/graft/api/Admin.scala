@@ -5,10 +5,11 @@ import graft.store.Maintenance
 import org.apache.spark.sql.SparkSession
 
 /** `POST /api/admin?cmd=...` dispatcher (reference
-  * `src/admin.cpp:52-156`) mapped onto Spark-side jobs. Commands without
-  * a Spark analogue (append-log toggles, replication checkpoints, gc,
-  * log-level, stop) are acknowledged as no-ops or rejected exactly like
-  * the reference rejects unknown commands.
+  * `src/admin.cpp:52-156`) mapped onto Spark-side jobs. `cmd=cp` serves
+  * the store's persisted replication checkpoints ([[graft.store.CheckPoints]]).
+  * Commands without a Spark analogue (append-log toggles, gc, log-level,
+  * stop) are acknowledged as no-ops or rejected exactly like the
+  * reference rejects unknown commands.
   *
   * Returns `Right(body)` for HTTP 200 or `Left(error)` for 400.
   */
@@ -43,7 +44,10 @@ object Admin {
           params.get("cutoff").toRight("cutoff missing")
             .map(c => s"purged ${s.purgeBefore(c).size}")
         }
-      case Some(noop @ ("append" | "cfg" | "cp" | "gc" | "log" | "stop")) =>
+      case Some("cp") => // last persisted replication checkpoints
+        // (Admin::cmd_cp, src/admin.cpp) — JSON in the reference's shape
+        st.map(_.checkpoints.persistedJson(params.get("leader")))
+      case Some(noop @ ("append" | "cfg" | "gc" | "log" | "stop")) =>
         Right(s"$noop: no-op under Spark storage") // durable files/checkpoints
       case Some(other) => Left(s"unrecognized cmd: $other")
     }

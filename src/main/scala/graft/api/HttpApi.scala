@@ -138,8 +138,12 @@ final class HttpApi(
       val lines = t.linesIterator.toSeq
       val dps = lines.flatMap(LineParsers.parsePlain)
       ingest(dps)
-      // non-put inline commands (version, …) are tolerated like the
-      // reference's socket loop; only malformed put lines fail the request
+      // inline replication checkpoints (tsdb.cpp:2440-2450), credited
+      // after the request's own data committed; other non-put commands
+      // (version, …) are tolerated like the reference's socket loop —
+      // only malformed put lines fail the request
+      lines.map(_.trim).filter(_.startsWith("_cp "))
+        .foreach(l => store.checkpoints.add(l.stripPrefix("_cp ").trim))
       val attempted = lines.count(_.trim.startsWith("put "))
       ((if (dps.size == attempted) 200 else 400), "", Plain)
     }

@@ -78,11 +78,18 @@ private[graft] final class LineBatcher(
     // one store batch per maxBatch chunk: a fat WAL segment (or queue
     // burst) becomes several scheduler-friendly jobs, not one huge one
     lines.grouped(maxBatch).foreach { chunk =>
-      val dps = seqs.stamp(chunk.flatMap(parse))
+      // the plain protocol's inline replication checkpoints
+      // (`_cp <leader>:<channel>:<cp>`, tsdb.cpp:2440-2450) ride the same
+      // queue/WAL as data so they stay ordered with it; crediting them
+      // AFTER the chunk's commit keeps the invariant that a checkpoint is
+      // only ever persisted once its preceding data is durable
+      val (cps, data) = chunk.partition(_.startsWith("_cp "))
+      val dps = seqs.stamp(data.flatMap(parse))
       if (dps.nonEmpty) {
         import spark.implicits._
         store.ingest(spark.createDataset(dps).toDF())
       }
+      cps.foreach(l => store.checkpoints.add(l.stripPrefix("_cp ").trim))
     }
   }
 

@@ -202,11 +202,22 @@ final class Store(spark: SparkSession, root: String,
   // serializes ingest per shard the same way; queries never take it.
   private val writeLock = new Object
 
+  /** Replication-checkpoint bookkeeping tied to this store's flush cycle
+    * (see [[CheckPoints]]): ingest edges `add()` checkpoint strings, and
+    * every [[ingest]] commit snapshots-then-persists them in the
+    * reference's order (`tsdb.cpp:3297,3341`), so a persisted checkpoint
+    * implies its preceding data is durably committed.
+    */
+  val checkpoints = new CheckPoints(spark, root)
+
   /** Ingest one batch: append the data, then update the three metadata
     * tables incrementally. Thread-safe: batches from concurrent edges
     * are serialized on [[writeLock]].
     */
   def ingest(batch: DataFrame): Unit = writeLock.synchronized {
+    // snapshot BEFORE the flush: checkpoints that arrive mid-commit wait
+    // for the next cycle, exactly the reference's rotate-task ordering
+    checkpoints.takeSnapshot()
     val keyed = Dp.withSeriesKey(batch.select(Dp.columns.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -227,6 +238,9 @@ final class Store(spark: SparkSession, root: String,
       } finally slices.unpersist()
       maybeCompact(days)
     } finally keyed.unpersist()
+    // the batch (and everything before it) is committed: the snapshot's
+    // checkpoints are now safe to serve to replication followers
+    checkpoints.persist()
   }
 
   /** Append the batch's files under their date partitions and commit
