@@ -65,14 +65,22 @@ object PipelineQueries {
     // per source, one map-side-combined groupBy
     "pl_corpus_stats" -> { (s, dir) =>
       val w = col("w_")
+      // Cross-engine-deterministic means: quantize each per-doc score to an
+      // exact 1e-4 integer FIRST (per-row fp math is engine-stable, summation
+      // order is not), sum the longs exactly, then one double division.
+      def q4(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6).cast("long")
       TextAnalysis.withTokens(docs(s, dir))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(size(w).cast("long")).as("n_tokens"),
-          sround(avg(TextAnalysis.qualityScoreOf(col("text"), w))).as("avg_quality"),
-          sround(avg(TextAnalysis.qualityLrScoreOf(col("text"), w))).as("avg_lr"),
+          sum(q4(TextAnalysis.qualityScoreOf(col("text"), w))).as("sq_"),
+          sum(q4(TextAnalysis.qualityLrScoreOf(col("text"), w))).as("sl_"),
           count(when(TextAnalysis.langIdOf(w) === "en", lit(1))).as("n_en"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("sq_") / (col("n_docs") * 10000.0)).as("avg_quality"),
+          (col("sl_") / (col("n_docs") * 10000.0)).as("avg_lr"),
+          col("n_en"))
         .orderBy("source")
     },
 
@@ -658,9 +666,12 @@ object PipelineQueries {
          |  SELECT source, ntok, q, lr,
          |    CASE $fcLangCase ELSE 'und' END AS lang
          |  FROM b)
-         |SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens,
-         |  ${sroundSql("avg(q)")} AS avg_quality,
-         |  ${sroundSql("avg(lr)")} AS avg_lr,
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(floor(q * 10000 + 0.5 + 1e-6) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 10000.0) AS avg_quality,
+         |  CAST(sum(CAST(floor(lr * 10000 + 0.5 + 1e-6) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 10000.0) AS avg_lr,
          |  count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
          |FROM r GROUP BY source ORDER BY source""".stripMargin
 
@@ -1274,7 +1285,8 @@ object PipelineQueries {
         |  SELECT doc_id, text, ntok,
         |         CAST(bucket AS VARCHAR) || '_' || CAST(cum // 512 AS VARCHAR) AS bin
         |  FROM c)
-        |SELECT bin, count(*) AS n_docs, sum(ntok) AS n_tokens,
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
         |       string_agg(text, ' ' ORDER BY doc_id) AS packed
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 

@@ -54,6 +54,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         ok = True
+        # dtype parity matters beyond value equality: the driver hashes
+        # FORMATTED values, so int64 3365 vs float64 3365.0 (e.g. a DuckDB
+        # HUGEINT sum() surfacing as float in pandas) hash-mismatches even
+        # when every value compares equal numerically.
+        for c in got.columns:
+            gk = got[c].dtype.kind
+            wk = want[c].dtype.kind
+            if gk != wk and not (len(got) == 0):
+                print(f"FAIL {name}: col {c} dtype kind {got[c].dtype}"
+                      f" != {want[c].dtype} (driver hash would diverge)")
+                ok = False
         for c in got.columns:
             g, w = got[c], want[c]
             try:
