@@ -60,10 +60,27 @@ object Bench {
       // otherwise bleeds into later queries' medians (measured: a 1.1 s
       // query reported 4.7 s mid-sweep). Outside the timed region.
       System.gc()
+      // one UNTIMED warmup run per query: the first execution pays the
+      // query's codegen/JIT bring-up and absorbs the async cleaner churn
+      // the GC above schedules — with only 3 timed runs, one such
+      // inflated sample (measured 4.2 s vs 1.8 s warm on pl_collapse)
+      // otherwise lands in the median. Each run's result frame is
+      // unpersisted (no-op when not cached) AFTER its count so the
+      // operators that return persisted frames don't stack one leaked
+      // cache entry per run for the cleaner to churn through mid-sweep.
+      try { val w = fn(spark, sfDir); w.count(); w.unpersist(true) }
+      catch { case _: Throwable => () }
       val times = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          // fn() is timed too: operators that materialize eagerly do
+          // their real work during construction, not at count()
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          df.count()
+          val el = (System.nanoTime() - t0) / 1e9
+          df.unpersist(true)
+          el
+        } catch { case _: Throwable => -1.0 }
       }.sorted
       // true median: for even n average the two middle samples — taking
       // times(n/2) alone would report the WORSE of the middle pair

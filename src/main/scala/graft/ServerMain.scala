@@ -61,8 +61,11 @@ object ServerMain {
     def wal(name: String) = walDir.map(d => s"$d/$name")
     // SPARK_GRAFT_BIND=0.0.0.0 serves remote collectors; loopback default
     val bind = sys.env.getOrElse("SPARK_GRAFT_BIND", "127.0.0.1")
+    // diediedie on the put socket = full-process shutdown, like the
+    // reference's admin stop task (admin.cpp:317-331)
     val tcp = new TcpLineServer(spark, store, proto = "plain",
-      port = tcpPort, seqs = seqs, walDir = wal("tcp-plain"), bindAddr = bind)
+      port = tcpPort, seqs = seqs, walDir = wal("tcp-plain"), bindAddr = bind,
+      recorder = Some(recorder), onShutdownCmd = Some(() => sys.exit(0)))
     val influx = new TcpLineServer(spark, store, proto = "influx",
       port = influxPort, seqs = seqs, walDir = wal("tcp-influx"), bindAddr = bind)
     val udp = new UdpLineServer(spark, store, port = udpPort, seqs = seqs,

@@ -159,7 +159,13 @@ final class HttpApi(
     val lines = content.linesIterator.toSeq
     val dps = lines.flatMap(l => LineParsers.parseInflux(l, now))
     ingest(dps)
-    ((if (lines.forall(LineParsers.influxWellFormed)) 200 else 400), "", Plain)
+    // inline replication checkpoints ride the influx stream too
+    // (tsdb.cpp:2522-2540) — credited after the data committed, excluded
+    // from the well-formed check like any other non-data command
+    lines.map(_.trim).filter(_.startsWith("_cp "))
+      .foreach(l => store.checkpoints.add(l.stripPrefix("_cp ").trim))
+    ((if (lines.filterNot(_.trim.startsWith("_cp "))
+      .forall(LineParsers.influxWellFormed)) 200 else 400), "", Plain)
   }
 
   private def ingest(dps: Seq[Dp]): Unit = if (dps.nonEmpty) {

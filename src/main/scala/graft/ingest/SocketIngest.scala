@@ -85,11 +85,16 @@ private[graft] final class LineBatcher(
       // only ever persisted once its preceding data is durable
       val (cps, data) = chunk.partition(_.startsWith("_cp "))
       val dps = seqs.stamp(data.flatMap(parse))
-      if (dps.nonEmpty) {
-        import spark.implicits._
-        store.ingest(spark.createDataset(dps).toDF())
-      }
-      cps.foreach(l => store.checkpoints.add(l.stripPrefix("_cp ").trim))
+      // credit the chunk's checkpoints even when the data batch throws
+      // (the finally): the reference adds checkpoints in stream order
+      // regardless of data-point failures (tsdb.cpp:2440-2450) — a data
+      // error must not silently drop replication progress markers
+      try {
+        if (dps.nonEmpty) {
+          import spark.implicits._
+          store.ingest(spark.createDataset(dps).toDF())
+        }
+      } finally cps.foreach(l => store.checkpoints.add(l.stripPrefix("_cp ").trim))
     }
   }
 
@@ -173,7 +178,15 @@ final class TcpLineServer(
     // next boot after a crash). None = in-memory hand-off.
     walDir: Option[String] = None,
     // loopback by default (tests, embedded); "0.0.0.0" to serve remotely
-    bindAddr: String = "127.0.0.1") {
+    bindAddr: String = "127.0.0.1",
+    // feeds the inline `stats` command (drain → self-ingest → put lines,
+    // the same loop as HttpApi's /api/stats); None answers empty
+    recorder: Option[graft.api.SelfMetrics.Recorder] = None,
+    // what `diediedie` runs (host shutdown hook); default stops this
+    // server only. Invoked from a fresh thread like the reference's
+    // timer task (admin.cpp:317-331) — a conn thread must not join the
+    // flusher it is itself feeding.
+    onShutdownCmd: Option[() => Unit] = None) {
 
   private val parse: String => Seq[Dp] = proto match {
     case "plain" => l => LineParsers.parsePlain(l).toSeq
@@ -190,13 +203,35 @@ final class TcpLineServer(
 
   private val running = new AtomicBoolean(true)
 
+  // inline commands answered on-socket in the plain-put stream only —
+  // the reference's put handler dispatches them (tsdb.cpp:2397-2417);
+  // its influx write handler does not (tsdb.cpp:2498+)
   private def serve(sock: Socket): Unit = {
     val out = sock.getOutputStream
+    def reply(s: String): Unit = { out.write((s + "\n").getBytes(UTF_8)); out.flush() }
     try Source.fromInputStream(sock.getInputStream, "UTF-8").getLines().foreach { line =>
-      val t = line.trim
-      if (t == "version") { // tsdb.cpp answers inline commands on-socket
-        out.write((graft.api.Info.versionJson + "\n").getBytes(UTF_8)); out.flush()
-      } else if (t.nonEmpty) batcher.enqueue(line)
+      line.trim match {
+        case "version" if proto == "plain" =>
+          reply(graft.api.Info.versionJson)
+        case "stats" if proto == "plain" =>
+          // drain → self-ingest → answer as put lines, the same loop as
+          // HttpApi's /api/stats (tsdb.cpp:2403-2406 → stats handler)
+          val samples = recorder.map(_.drain()).getOrElse(Nil)
+          if (samples.nonEmpty)
+            store.ingest(graft.api.SelfMetrics.toDp(spark, samples, seqs.next()))
+          reply(graft.api.Info.statsLines(samples))
+        case "help" if proto == "plain" =>
+          reply("available commands: put stats version help diediedie")
+        case "diediedie" if proto == "plain" =>
+          reply("exiting now.")
+          val stopper = new Thread(
+            () => onShutdownCmd.getOrElse(() => stop()).apply(),
+            "graft-tcp-stop")
+          stopper.setDaemon(true)
+          stopper.start()
+        case t if t.nonEmpty => batcher.enqueue(line)
+        case _ => ()
+      }
     } catch { case _: java.io.IOException => () } // peer reset mid-stream
     finally sock.close()
   }

@@ -78,10 +78,12 @@ object Multimodal {
     * it twice (mean + threshold fold).
     */
   def pixels60(text: Column): Column = {
-    val lastIdx = greatest(length(text), lit(1)) - 1
+    // long multiply: length() is int, and k·lastIdx overflows 32 bits for
+    // payloads past ~36M chars — the oracle computes it in BIGINT
+    val lastIdx = (greatest(length(text), lit(1)) - 1).cast("long")
     transform(sequence(lit(0), lit(59)),
       k => ascii(text.substr(
-        lit(1) + floor(k * lastIdx / lit(59.0)).cast("int"), lit(1))))
+        lit(1) + floor(k.cast("long") * lastIdx / lit(59.0)).cast("int"), lit(1))))
   }
 
   /** 60-bit average-hash ("aHash") over a sampled-pixel array: threshold

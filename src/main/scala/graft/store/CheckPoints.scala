@@ -50,11 +50,14 @@ final class CheckPoints(spark: SparkSession, root: String, keepFiles: Int = 10) 
 
   /** Record a checkpoint string. Exactly three `:`-separated tokens
     * (`cp.cpp:71-99`); anything else is ignored with a false return.
-    * Later adds override earlier ones per (leader, channel).
+    * Empty tokens are accepted — the reference's tokenize only counts
+    * separators (utils.cpp:723-740), so `l::cp` is a valid checkpoint
+    * for leader `l`, channel `""`. Later adds override earlier ones per
+    * (leader, channel).
     */
   def add(cp: String): Boolean = {
     val tokens = cp.split(":", -1)
-    if (tokens.length != 3 || tokens.exists(_.isEmpty)) false
+    if (tokens.length != 3) false
     else lock.synchronized {
       live = live.updated(tokens(0),
         live.getOrElse(tokens(0), Map.empty).updated(tokens(1), tokens(2)))

@@ -1,5 +1,8 @@
 package graft.store
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import graft.model.Dp
 import graft.query.Planner
 import graft.rollup.Rollup
@@ -202,6 +205,20 @@ final class Store(spark: SparkSession, root: String,
   // serializes ingest per shard the same way; queries never take it.
   private val writeLock = new Object
 
+  // submits the batch's independent commit jobs (data append + the three
+  // metadata tables) concurrently — Spark job submission is thread-safe,
+  // and each job alone underfills the cluster. Daemon threads: an
+  // abandoned store must not pin the JVM.
+  // 6 threads: up to 3 top-level metadata futures, of which the rollup
+  // one blocks while fanning out 2 level commits of its own — sized so
+  // nested Awaits always leave runnable threads (no pool starvation)
+  private val ingestPool = ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+      val t = new Thread(r, "graft-store-commit")
+      t.setDaemon(true)
+      t
+    }))
+
   /** Replication-checkpoint bookkeeping tied to this store's flush cycle
     * (see [[CheckPoints]]): ingest edges `add()` checkpoint strings, and
     * every [[ingest]] commit snapshots-then-persists them in the
@@ -226,21 +243,43 @@ final class Store(spark: SparkSession, root: String,
       // densifying per write would pay a shuffle per batch for nothing —
       // auto-compaction rewrites partitions densely on a batch cadence,
       // exactly the reference's compaction split of responsibilities
-      appendData(keyed)
+      // the data append and the slice aggregation race on materializing
+      // the SAME cached `keyed` blocks (the block manager serializes
+      // per-partition computes), so the append's write overlaps the
+      // metadata window pass instead of following it
+      val dataCommit = Future(appendData(keyed))(ingestPool)
       // slice aggregation first: its cached (skey, day) frame also feeds
       // the series-index update, so the index pass reads the tiny slice
       // aggregate instead of re-scanning the whole batch for distinct
       // skeys — one fewer full-batch pass per ingest
-      val (days, slices) = updateSliceState(keyed)
+      val (days, slices, mergedState) = computeSliceState(keyed)
       try {
-        updateSeriesIndex(slices)
-        updateRollup(keyed, days)
+        // metadata must not commit before the data it describes: a crash
+        // window may lose metadata for committed data (queries then see
+        // raw-only, still correct) but never the reverse
+        Await.result(dataCommit, Duration.Inf)
+        // the three metadata tables have independent manifests and
+        // disjoint paths — commit them CONCURRENTLY: each is a small
+        // write job that leaves most of the cluster idle, and the batch
+        // pays the slowest of the three instead of their sum
+        Seq(
+          Future(mergedState.foreach(m => commitDays(statePath, m, days)))(ingestPool),
+          Future(updateSeriesIndex(slices))(ingestPool),
+          Future(updateRollup(keyed, days))(ingestPool))
+          .foreach(Await.result(_, Duration.Inf))
       } finally slices.unpersist()
       maybeCompact(days)
     } finally keyed.unpersist()
     // the batch (and everything before it) is committed: the snapshot's
-    // checkpoints are now safe to serve to replication followers
-    checkpoints.persist()
+    // checkpoints are now safe to serve to replication followers. A
+    // checkpoint-file failure must NOT fail the ingest that already
+    // committed — the reference logs and keeps the prior persisted map
+    // (cp.cpp:187-194); the live map still carries the state forward
+    try checkpoints.persist()
+    catch { case e: Exception =>
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"checkpoint persist failed (data batch already committed): $e")
+    }
   }
 
   /** Append the batch's files under their date partitions and commit
@@ -336,14 +375,16 @@ final class Store(spark: SparkSession, root: String,
     newOnly.write.mode(SaveMode.Append).parquet(indexPath)
   }
 
-  /** Merge the batch into `slice_state`; returns the touched days AND
+  /** Compute the batch's slice-state merge; returns the touched days,
     * the still-cached slice aggregate (caller releases it after the
-    * series-index update reads it). Within-batch OOO is detected with a
-    * window over the BATCH's rows (bounded by batch size — the
-    * reference's in-memory page state); cross-batch OOO compares the
-    * batch's min ts against the stored hwm.
+    * series-index update reads it), and the merged state frame for the
+    * caller to commit (None when the batch is empty). Within-batch OOO
+    * is detected with a window over the BATCH's rows (bounded by batch
+    * size — the reference's in-memory page state); cross-batch OOO
+    * compares the batch's min ts against the stored hwm.
     */
-  private def updateSliceState(keyed: DataFrame): (Seq[Long], DataFrame) = {
+  private def computeSliceState(
+      keyed: DataFrame): (Seq[Long], DataFrame, Option[DataFrame]) = {
     val w = Window.partitionBy(col("skey"), col("day")).orderBy(col("seq"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val slices = keyed
@@ -364,7 +405,7 @@ final class Store(spark: SparkSession, root: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val days = slices.select("day").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    if (days.isEmpty) return (Nil, slices)
+    if (days.isEmpty) return (Nil, slices, None)
     val prev = readManifested(statePath, stateSchema)
       .filter(col("day").isin(days: _*))
     val merged = prev.as("p")
@@ -376,8 +417,7 @@ final class Store(spark: SparkSession, root: String,
           coalesce(col("b.booo"), lit(false)) ||
           coalesce(col("b.bmin") <= col("p.hwm"), lit(false))).as("ooo"),
         col("day"))
-    commitDays(statePath, merged, days)
-    (days, slices)
+    (days, slices, Some(merged))
   }
 
   /** Merge the batch's hourly rollup into the touched days' generations,
@@ -385,7 +425,10 @@ final class Store(spark: SparkSession, root: String,
     * hourly rows — each touched day's 1d entry is always the aggregate
     * of its full, fresh 1h set, so both levels stay consistent per
     * commit (sum of sums, min of mins — the same composition rule the
-    * reference's level-2 build uses).
+    * reference's level-2 build uses). The two level commits run
+    * concurrently: both read the cached merged-1h frame (the block
+    * manager serializes its first materialization), write disjoint
+    * tables, and each alone underfills the cluster.
     */
   private def updateRollup(keyed: DataFrame, days: Seq[Long]): Unit = {
     if (days.isEmpty) return
@@ -403,7 +446,6 @@ final class Store(spark: SparkSession, root: String,
       .select("skey", "cnt", "min", "max", "sum", "wts", "day")
       // consumed by both level commits; tiny (touched days' rollup rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    commitDays(rollupPath, merged, days)
     val merged1d = merged
       .groupBy(col("skey"), col("day"))
       .agg(
@@ -413,7 +455,10 @@ final class Store(spark: SparkSession, root: String,
         sum(col("sum")).as("sum"))
       .withColumn("wts", col("day"))
       .select("skey", "cnt", "min", "max", "sum", "wts", "day")
-    commitDays(rollup1dPath, merged1d, days)
+    Seq(
+      Future(commitDays(rollupPath, merged, days))(ingestPool),
+      Future(commitDays(rollup1dPath, merged1d, days))(ingestPool))
+      .foreach(Await.result(_, Duration.Inf))
     merged.unpersist()
   }
 

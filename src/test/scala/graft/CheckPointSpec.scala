@@ -22,10 +22,15 @@ class CheckPointSpec extends SparkSpec {
     assert(cp.add("l2:ch1:3"))
     assert(!cp.add("l1:ch1")) // 2 tokens (cp.cpp:76-80)
     assert(!cp.add("l1:ch1:5:x")) // 4 tokens
-    assert(!cp.add("")) // empty
+    assert(!cp.add("")) // empty (one token)
+    // empty MIDDLE tokens are valid: the reference's tokenize counts
+    // separators only (utils.cpp:723-740), so `l3::42` is leader l3,
+    // channel "", cp 42
+    assert(cp.add("l3::42"))
     assert(cp.liveMap === Map(
       "l1" -> Map("ch1" -> "9", "ch2" -> "7"),
-      "l2" -> Map("ch1" -> "3")))
+      "l2" -> Map("ch1" -> "3"),
+      "l3" -> Map("" -> "42")))
     assert(cp.persistedMap.isEmpty) // nothing served before a flush cycle
   }
 

