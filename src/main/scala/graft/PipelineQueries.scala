@@ -413,6 +413,18 @@ object PipelineQueries {
         .orderBy("bin")
     },
 
+    // WordPiece tokenizer application: greedy longest-match subword
+    // split per word against the shared broadcast vocabulary ('q' words
+    // land on [UNK]); pieces re-joined to one string so the compare
+    // stays scalar
+    "pl_wordpiece" -> { (s, dir) =>
+      TextAnalysis.wordpiece(docs(s, dir), WordpieceVocab)
+        .select(col("doc_id"),
+          concat_ws(" ", col("pieces")).as("pieces_str"),
+          col("n_pieces").cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    },
+
     // HTML → text cleanup (extraction-adjacent pass); inline fixture —
     // the synthetic corpus is already plain text
     "pl_strip_html" -> { (s, dir) =>
@@ -456,6 +468,20 @@ object PipelineQueries {
       "</body></html>"),
     2L -> "plain text stays as-is",
     3L -> "<div>multi\nline<br/>doc</div>")
+
+  /** Inline subword vocabulary for [[queries]]' `pl_wordpiece` — shared
+    * with its oracle so gate and oracle can never drift. Single-letter
+    * starts and continuations guarantee the lowercase corpus tokenizes
+    * fully; the multi-char pieces force real greedy longest-match
+    * decisions; 'q' is deliberately absent as a word start so q-words
+    * exercise the [UNK] path.
+    */
+  private[graft] val WordpieceVocab: Seq[String] =
+    ('a' to 'z').filterNot(_ == 'q').map(_.toString) ++
+      ('a' to 'z').map(c => s"##$c") ++
+      Seq("sc", "tab", "val", "wind", "cust", "str", "fast", "the", "fi",
+        "##an", "##ble", "##ue", "##ow", "##le", "##omer", "##eam",
+        "##ast", "##lter", "##er", "##ing")
 
   /** Inline fixture for [[queries]]' `pl_url_hosts` — shared with its
     * oracle so gate and oracle can never drift.
@@ -1325,6 +1351,58 @@ object PipelineQueries {
          |  len(list_filter(w, x -> lower(x) IN ('spark', 'slow', 'hash'))) > 0 AS flagged
          |FROM t ORDER BY doc_id""".stripMargin
 
+    // greedy longest-match WordPiece as a recursive CTE: `best` holds the
+    // longest vocabulary hit per (distinct word, char position); `walk`
+    // follows exactly one chain per word (one best per position ⇒ no
+    // branching); a chain that dies before position len(w)+1 means some
+    // position had no hit — the whole word becomes [UNK], matching the
+    // Scala loop's early return
+    val wpValues = WordpieceVocab.map(p => s"('$p')").mkString(", ")
+    val wordpieceSql =
+      s"""WITH RECURSIVE
+         |v(piece) AS (VALUES $wpValues),
+         |vp AS (
+         |  SELECT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS bare,
+         |    (piece LIKE '##%') AS cont
+         |  FROM v),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |words AS (
+         |  SELECT doc_id, unnest(ws) AS w,
+         |         unnest(generate_series(1, len(ws))) AS wi
+         |  FROM t),
+         |fw AS (SELECT * FROM words WHERE w != ''),
+         |dw AS (SELECT DISTINCT w FROM fw),
+         |wpos AS (SELECT w, unnest(generate_series(1, length(w))) AS p FROM dw),
+         |best AS (
+         |  SELECT wpos.w, wpos.p, max_by(vp.piece, length(vp.bare)) AS piece,
+         |         max(length(vp.bare)) AS blen
+         |  FROM wpos JOIN vp
+         |    ON substr(wpos.w, wpos.p, length(vp.bare)) = vp.bare
+         |   AND vp.cont = (wpos.p > 1)
+         |  GROUP BY wpos.w, wpos.p),
+         |walk AS (
+         |  SELECT w, 1 AS p, CAST([] AS VARCHAR[]) AS pieces FROM dw
+         |  UNION ALL
+         |  SELECT k.w, k.p + b.blen, list_append(k.pieces, b.piece)
+         |  FROM walk k JOIN best b ON b.w = k.w AND b.p = k.p
+         |  WHERE k.p <= length(k.w)),
+         |fin AS (SELECT w, max(p) AS mp FROM walk GROUP BY w),
+         |done AS (
+         |  SELECT walk.w,
+         |    CASE WHEN fin.mp = length(walk.w) + 1 THEN walk.pieces
+         |         ELSE ['[UNK]'] END AS pieces
+         |  FROM walk JOIN fin ON fin.w = walk.w AND fin.mp = walk.p),
+         |per_doc AS (
+         |  SELECT fw.doc_id, flatten(list(done.pieces ORDER BY fw.wi)) AS pl
+         |  FROM fw JOIN done ON done.w = fw.w
+         |  GROUP BY fw.doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(array_to_string(pd.pl, ' '), '') AS pieces_str,
+         |  CAST(coalesce(len(pd.pl), 0) AS BIGINT) AS n_pieces
+         |FROM t LEFT JOIN per_doc pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
     // fixture interpolated from the shared UrlFixture constant
     val urlValues = UrlFixture
       .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
@@ -1358,6 +1436,7 @@ object PipelineQueries {
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,
+      "pl_wordpiece" -> wordpieceSql,
       "pl_corpus_stats" -> corpusStats,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,
