@@ -46,7 +46,10 @@ final class HttpApi(
     // break cross-transport last-wins ordering
     sharedSeqs: Option[graft.ingest.SeqWindows] = None,
     // loopback by default (tests, embedded); "0.0.0.0" to serve remotely
-    bindAddr: String = "127.0.0.1") {
+    bindAddr: String = "127.0.0.1",
+    // the loaded engine config: /api/config serves its entries (the
+    // reference returns the loaded property map, http.cpp:864-872)
+    config: Option[graft.GraftConfig] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(bindAddr, port), 0)
 
@@ -76,7 +79,7 @@ final class HttpApi(
     server.createContext("/api/config", ex => handle(ex) {
       case "GET" if ex.getRequestURI.getPath.endsWith("/filters") =>
         (200, Info.configFiltersJson, Json)
-      case "GET" => (200, Info.configJson(spark), Json)
+      case "GET" => (200, Info.configJson(spark, config), Json)
     })
     server.createContext("/api/stats", ex => handle(ex) { case "GET" => stats() })
     server.createContext("/api/version", ex => handle(ex) {

@@ -17,11 +17,15 @@ object Info {
   def versionJson: String =
     s"""{"version":"$Version","engine":"graft-spark"}"""
 
-  /** `GET /api/config` — the effective engine configuration (reference
-    * returns its config map). Fixed engine facts plus the live Spark
-    * session knobs that shape query execution.
+  /** `GET /api/config` — the effective engine configuration. The
+    * reference returns its loaded property map (`http.cpp:864-872`,
+    * `config.cpp:621-651`); when a [[graft.GraftConfig]] was loaded its
+    * entries come first, then the fixed engine facts and the live Spark
+    * session knobs that shape query execution (later keys win in every
+    * JSON client, and the engine facts are authoritative).
     */
-  def configJson(spark: SparkSession): String = {
+  def configJson(spark: SparkSession,
+      cfg: Option[graft.GraftConfig] = None): String = {
     def conf(k: String, dflt: String): String =
       try spark.conf.get(k) catch { case _: Exception => dflt }
     val entries = Seq(
@@ -30,7 +34,12 @@ object Info {
       "spark.sql.shuffle.partitions" -> conf("spark.sql.shuffle.partitions", "200"),
       "spark.sql.session.timeZone" -> conf("spark.sql.session.timeZone", "UTC"),
       "spark.sql.adaptive.enabled" -> conf("spark.sql.adaptive.enabled", "true"))
-    entries.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val fixed = entries.map { case (k, v) => s""""$k":"$v"""" }
+    val loaded = cfg.toSeq.flatMap(_.loaded.keys).map { k =>
+      val v = cfg.get.loaded(k).replace("\\", "\\\\").replace("\"", "\\\"")
+      s""""$k":"$v""""
+    }
+    (loaded ++ fixed).mkString("{", ",", "}")
   }
 
   /** `GET /api/config/filters` — the filter-capability listing OpenTSDB
