@@ -47,6 +47,10 @@ object Bench {
       .select("skey", "tags", "ts", "value")
       .collect()
 
+    // the input caches' RDD ids, snapshotted after materialization:
+    // everything cached beyond these is a query's leaked intermediate
+    val inputRddIds = spark.sparkContext.getPersistentRDDs.keySet
+
     // optional substring filter over query names (dev iteration aid);
     // driver invokes with no args = full run
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -88,6 +92,16 @@ object Bench {
       val median =
         if (times.size % 2 == 1) times(mid)
         else (times(mid - 1) + times(mid)) / 2.0
+      // sweep this query's leaked caches: `df.unpersist(true)` above is
+      // a no-op when a gate returns a frame DERIVED from its persisted
+      // intermediate, so without this each query strands cache entries
+      // that stack across the sweep (at sf1: 46 queries' shingle/pair
+      // caches → spill churn that inflated later medians up to 6×).
+      // Freeing the RDD keeps the CacheManager entry valid — a rerun
+      // would just lazily recompute into cache.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!inputRddIds.contains(id)) rdd.unpersist(blocking = false)
+      }
       name -> median
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -269,10 +269,16 @@ object TextAnalysis {
     * `ln((N+1)/(df+1)) + 1`. Ranking uses the 1e-4-quantized score
     * (token-ascending tie-break) so the ordering is reproducible across
     * engines despite last-ulp `ln` differences. Shuffle shape at scale:
-    * explode → map-side-combined (doc, token) counts → broadcast join
-    * against the vocabulary-sized document-frequency table → one window
-    * shuffle on doc id. `N` is a columnless parquet count (metadata
-    * scan), not a second data pass.
+    * explode → map-side-combined (doc, token) counts, persisted so the
+    * corpus tokenize pass runs ONCE (the df branch and the join probe
+    * prune it differently, so exchange reuse never fires and an
+    * unpersisted plan re-tokenizes the corpus) → join against the
+    * document-frequency table (no broadcast hint: AQE broadcasts it
+    * while it fits, and a 100 TB corpus' vocabulary — 10⁸⁺ tokens under
+    * Heaps' law — must shuffle instead) → one window shuffle on doc id.
+    * `N` is a columnless parquet count (metadata scan), not a second
+    * data pass. Returns the materialized top-k frame (cached; callers
+    * may unpersist) so the tf cache can be released here.
     */
   def tfidfKeywords(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -280,16 +286,21 @@ object TextAnalysis {
     val tf = withTokens(docs, textCol)
       .select(col(idCol), explode(col("w_")).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val idf = log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .withColumn("score",
         floor(col("tf") * idf * 10000 + 0.5 + 1e-6) / 10000.0)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token"))
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("score"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist()
+    out
   }
 
   /** Fixed weights for [[qualityLrScore]] — a frozen linear model over
