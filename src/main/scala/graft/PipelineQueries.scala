@@ -425,6 +425,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // BPE tokenizer TRAINING: the learned merge table — one distributed
+    // word-frequency pass, then the merge loop on the vocabulary-sized
+    // aggregate (the shape of real trainers: only the corpus pass scales
+    // with data). Hash-checked against an unrolled iterative oracle that
+    // replays pair-count → argmax → merge per rank in SQL
+    "pl_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.bpeTrain(docs(s, dir), BpeMergeCount)
+        .zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b, a + b) }
+        .toDF("merge_rank", "lhs", "rhs", "merged")
+        .orderBy("merge_rank")
+    },
+
+    // BPE tokenizer APPLICATION, end-to-end: train on the corpus, then
+    // the distributed encode pass (broadcast merges, per-partition word
+    // cache); pieces re-joined to one string so the compare stays scalar
+    "pl_bpe" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, BpeMergeCount)
+      TextAnalysis.bpeEncode(d, merges)
+        .select(col("doc_id"),
+          concat_ws(" ", col("pieces")).as("pieces_str"),
+          col("n_pieces").cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    },
+
     // HTML → text cleanup (extraction-adjacent pass); inline fixture —
     // the synthetic corpus is already plain text
     "pl_strip_html" -> { (s, dir) =>
@@ -482,6 +509,37 @@ object PipelineQueries {
       Seq("sc", "tab", "val", "wind", "cust", "str", "fast", "the", "fi",
         "##an", "##ble", "##ue", "##ow", "##le", "##omer", "##eam",
         "##ast", "##lter", "##er", "##ing")
+
+  /** Merge-rule count for the BPE gates — small enough that the unrolled
+    * oracle stays a readable ~65-CTE query, large enough that the learned
+    * rules include multi-step compositions (the sf corpus yields e.g.
+    * jo+in→join and h+ash→hash inside 16 ranks).
+    */
+  private[graft] val BpeMergeCount = 16
+
+  /** Unrolled BPE training chain shared by the `pl_bpe_train` and
+    * `pl_bpe` oracles: one (pairs → weighted counts → argmax → merge)
+    * CTE stage per rank, generated by a loop. Words travel as
+    * `<sym><sym>…` bracketed strings so a merge is a plain non-overlapping
+    * left-to-right `replace` — the exact contract of
+    * [[graft.pipeline.TextAnalysis.bpeMergePair]]. Stages that are
+    * referenced twice are MATERIALIZED: DuckDB inlines CTEs by default,
+    * which would expand the plan to 2^N copies of the base scan.
+    */
+  private def bpeChainSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    sb ++= "w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f, " +
+      "regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM words WHERE w != '' GROUP BY w)"
+    for (k <- 1 to n) {
+      sb ++= s""",
+p$k AS (SELECT f, unnest(l[1:len(l)-1]) AS a, unnest(l[2:len(l)]) AS b FROM (SELECT f, regexp_extract_all(s, '<([^>]*)>', 1) AS l FROM w${k - 1})),
+c$k AS (SELECT a, b, sum(f) AS cnt FROM p$k GROUP BY a, b),
+b$k AS MATERIALIZED (SELECT a, b FROM c$k ORDER BY cnt DESC, a, b LIMIT 1),
+w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'||b.a||b.b||'>') AS s FROM w${k - 1} w CROSS JOIN b$k b)"""
+    }
+    sb.result()
+  }
 
   /** Inline fixture for [[queries]]' `pl_url_hosts` — shared with its
     * oracle so gate and oracle can never drift.
@@ -1403,6 +1461,27 @@ object PipelineQueries {
          |FROM t LEFT JOIN per_doc pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin
 
+    // BPE training: the unrolled chain, then each rank's argmax row
+    val bpeTrainSql = bpeChainSql(BpeMergeCount) + "\n" +
+      (1 to BpeMergeCount)
+        .map(k => s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, a||b AS merged FROM b$k")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_rank")
+
+    // BPE application: sequential replay of the learned merges on a
+    // corpus word IS its end-of-training state, so the encode of every
+    // distinct word is just w{N} parsed back into pieces; the tail then
+    // mirrors the wordpiece oracle (per-doc flatten in word order)
+    val bpeSql = bpeChainSql(BpeMergeCount) + s""",
+enc AS (SELECT w, regexp_extract_all(s, '<([^>]*)>', 1) AS pieces FROM w$BpeMergeCount),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wd AS (SELECT doc_id, unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS wi FROM t),
+fw AS (SELECT * FROM wd WHERE w != ''),
+per_doc AS (SELECT fw.doc_id, flatten(list(e.pieces ORDER BY fw.wi)) AS pl
+            FROM fw JOIN enc e ON e.w = fw.w GROUP BY fw.doc_id)
+SELECT t.doc_id, coalesce(array_to_string(pd.pl, ' '), '') AS pieces_str,
+       CAST(coalesce(len(pd.pl), 0) AS BIGINT) AS n_pieces
+FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
+
     // fixture interpolated from the shared UrlFixture constant
     val urlValues = UrlFixture
       .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
@@ -1437,6 +1516,8 @@ object PipelineQueries {
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,
       "pl_wordpiece" -> wordpieceSql,
+      "pl_bpe_train" -> bpeTrainSql,
+      "pl_bpe" -> bpeSql,
       "pl_corpus_stats" -> corpusStats,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,

@@ -439,6 +439,113 @@ object TextAnalysis {
       regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1)),
       h => regexp_replace(lower(h), "^www\\.", ""))
 
+  /** Merge every non-overlapping left-to-right occurrence of the adjacent
+    * pair `(a, b)` in a symbol sequence — the single-step primitive shared
+    * by the BPE trainer and encoder. The scan resumes AFTER a merged
+    * symbol, so `[a,a,a]` under `(a,a)` becomes `[aa,a]` (and the DuckDB
+    * oracle's plain `replace` over bracketed symbols matches exactly).
+    */
+  def bpeMergePair(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Byte-pair-encoding trainer (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `nMerges`
+    * merge rules from the corpus. Returns the merges in learned order.
+    *
+    * Shape at 100 TB: ONE distributed pass aggregates the token stream to
+    * (distinct word, frequency) — vocabulary-sized under Heaps' law, and
+    * capped at the `maxWords` most frequent words (freq desc, word asc;
+    * frequency-rank truncation is the standard trainer option) — then the
+    * merge loop runs on that bounded aggregate, never the corpus. This is
+    * exactly how production tokenizer trainers work: the corpus pass is
+    * the only data-scale stage. Pair counting is overlapping (`aaa`
+    * counts `(a,a)` twice); merging is non-overlapping left-to-right;
+    * ties break by count desc, then pair lexicographic — all deterministic
+    * and replayed verbatim by the unrolled oracle SQL.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    var words: Array[(IndexedSeq[String], Long)] =
+      wf.map { case (w, f) => (w.map(_.toString).toVector: IndexedSeq[String], f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        words = words.map { case (syms, f) => (bpeMergePair(syms, a, b), f) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode one word by replaying the merge list in learned order (each
+    * merge applied to all its non-overlapping occurrences). For a merge
+    * list PRODUCED BY TRAINING this matches the min-rank-first loop of
+    * published encoders: a pair's component symbols are created by
+    * strictly earlier merges, so when rank k is replayed every pair it
+    * could form already exists. (The one theoretical exception — a later
+    * merge re-creating a string some earlier rule names as a component —
+    * requires duplicate symbol spellings; PipelineSpec property-checks
+    * the equivalence over the corpus.) Replay is O(nMerges · |word|)
+    * with no heap.
+    */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString).toVector: IndexedSeq[String]) {
+      case (syms, (a, b)) => bpeMergePair(syms, a, b)
+    }
+
+  /** Distributed BPE application: pieces per document against a broadcast
+    * merge list — same plumbing as [[wordpiece]] (typed map,
+    * embarrassingly parallel, no shuffle at any scale; real merge lists
+    * are ~32k rules ≈ 1 MB broadcast). A per-partition word→pieces cache
+    * makes the cost per partition `O(distinct words)`, not
+    * `O(token stream)` — Zipf's law gives it a near-total hit rate, and
+    * its size is bounded by the partition's vocabulary.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toVector)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val pieces = text.split(" ", -1).iterator.filter(_.nonEmpty)
+            .flatMap(w => cache.getOrElseUpdate(w, bpeEncodeWord(w, bc.value)))
+            .toSeq
+          (id, pieces, pieces.size)
+        }
+      }
+      .toDF(idCol, "pieces", "n_pieces")
+  }
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:

@@ -498,6 +498,88 @@ class PipelineSpec extends SparkSpec {
     assert(r(1) === ((2L, Seq("[UNK]"), 1)))
   }
 
+  test("bpe: hand-computed merges and encode on a tiny corpus") {
+    // freqs: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    val d = (1 to 5).map(i => (i.toLong, "low")) ++
+      (6 to 7).map(i => (i.toLong, "lower")) ++
+      (8 to 13).map(i => (i.toLong, "newest")) ++
+      (14 to 16).map(i => (i.toLong, "widest"))
+    val df = d.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (w,e)=8, (l,o)=7, (o,w)=7,
+    // (n,e)=6, (e,w)=6, (d,e)=3, (i,d)=3, (w,i)=3, (e,r)=2
+    // count-desc then lexicographic: (e,s) beats (s,t) at 9
+    assert(merges(0) === ("e", "s"))
+    // round 2: "es"+"t"=9 wins (l,o)=7/(o,w)=7
+    assert(merges(1) === ("es", "t"))
+    // round 3: (l,o)=7 and (o,w)=7 tie — lexicographic picks (l,o)
+    assert(merges(2) === ("l", "o"))
+    // round 4: (lo,w)=7 beats (n,e)=6/(w,e)=6
+    assert(merges(3) === ("lo", "w"))
+    assert(TextAnalysis.bpeEncodeWord("lowest", merges) ===
+      Seq("low", "est"))
+    assert(TextAnalysis.bpeEncodeWord("newest", merges) ===
+      Seq("n", "e", "w", "est"))
+  }
+
+  test("bpe: merge is non-overlapping left-to-right") {
+    assert(TextAnalysis.bpeMergePair(Vector("a", "a", "a"), "a", "a") ===
+      Vector("aa", "a"))
+    assert(TextAnalysis.bpeMergePair(Vector("a", "a", "a", "a"), "a", "a") ===
+      Vector("aa", "aa"))
+    assert(TextAnalysis.bpeMergePair(Vector("x"), "a", "a") === Vector("x"))
+  }
+
+  test("bpe: sequential replay equals min-rank-first on trained merges") {
+    // the published-encoder loop: repeatedly merge the lowest-rank
+    // adjacent pair present anywhere in the word
+    def minRankEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms: IndexedSeq[String] = word.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val present = syms.zip(syms.tail).flatMap(p => rank.get(p).map(p -> _))
+        if (present.isEmpty) done = true
+        else {
+          val (a, b) = present.minBy(_._2)._1
+          syms = TextAnalysis.bpeMergePair(syms, a, b)
+        }
+      }
+      syms
+    }
+    val merges = TextAnalysis.bpeTrain(docs, 24)
+    assert(merges.size === 24)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().as[String].collect()
+    for (w <- words)
+      assert(TextAnalysis.bpeEncodeWord(w, merges) === minRankEncode(w, merges),
+        s"divergence on '$w'")
+  }
+
+  test("bpe: distributed encode matches driver encode and compresses") {
+    val merges = TextAnalysis.bpeTrain(docs, 16)
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+      .as[(Long, Seq[String], Int)].collect()
+    val txt = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toMap
+    for ((id, pieces, n) <- enc) {
+      val expect = txt(id).split(" ").iterator.filter(_.nonEmpty)
+        .flatMap(w => TextAnalysis.bpeEncodeWord(w, merges)).toSeq
+      assert(pieces === expect)
+      assert(n === expect.size)
+      // merging can only shorten: piece count ≤ char count, ≥ word count
+      val nw = txt(id).split(" ").count(_.nonEmpty)
+      assert(n >= nw && n <= txt(id).count(_ != ' '))
+    }
+    // more merges never lengthen any encoding
+    val merges8 = merges.take(8)
+    val total16 = enc.map(_._3.toLong).sum
+    val total8 = txt.valuesIterator
+      .flatMap(_.split(" ").iterator.filter(_.nonEmpty))
+      .map(w => TextAnalysis.bpeEncodeWord(w, merges8).size.toLong).sum
+    assert(total16 <= total8)
+  }
+
   test("bigram NLL: seen continuations score lower than unseen ones") {
     val d = Seq(
       (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
