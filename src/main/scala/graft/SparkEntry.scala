@@ -438,6 +438,37 @@ object SparkEntry {
           SubQuery(metric = "error", aggregator = "none", downsample = Some("1h-avg"))))
       },
 
+      // BEYOND-REFERENCE series alignment: as-of join — each click event
+      // picks up the latest at-or-before error sample of the same user;
+      // one keyed shuffle + running-last window, never a range join
+      // (SeriesJoin.asofJoin; oracle = DuckDB's native ASOF LEFT JOIN)
+      "q_asof_join" -> { (s, dir) =>
+        val ev = DpView.events(s, dir).select(
+          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value").as("err_value"))
+        graft.query.SeriesJoin.asofJoin(clicks, errors, Seq("user_id"))
+          .orderBy("event_id")
+      },
+
+      // same join under a 2h tolerance: stale matches (err older than
+      // ts - 2h) fall back to null, the merge_asof tolerance contract
+      "q_asof_tolerance" -> { (s, dir) =>
+        val ev = DpView.events(s, dir).select(
+          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value").as("err_value"))
+        graft.query.SeriesJoin.asofJoin(clicks, errors, Seq("user_id"),
+          tolerance = Some(2L * 3600 * 1000))
+          .orderBy("event_id")
+      },
+
       // §2.10 maintained metadata end-to-end: ingest batches update
       // series_index + slice_state (write-time OOO marks, reference
       // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
@@ -976,6 +1007,32 @@ object SparkEntry {
            |FROM dedup
            |GROUP BY skey, ts - ts % $HOUR
            |ORDER BY skey, ts, value""".stripMargin),
+
+      // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+      // implementation (inclusive <=, per-user)
+      "q_asof_join" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
+           |  FROM events),
+           |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+           |e AS (SELECT user_id, ts AS asof_ts, value AS err_value FROM ev WHERE event_type = 'error')
+           |SELECT c.event_id, c.user_id, c.ts, c.value, e.asof_ts, e.err_value
+           |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.asof_ts
+           |ORDER BY c.event_id""".stripMargin,
+
+      "q_asof_tolerance" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
+           |  FROM events),
+           |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+           |e AS (SELECT user_id, ts AS asof_ts, value AS err_value FROM ev WHERE event_type = 'error'),
+           |j AS (
+           |  SELECT c.event_id, c.user_id, c.ts, c.value, e.asof_ts, e.err_value
+           |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.asof_ts)
+           |SELECT event_id, user_id, ts, value,
+           |  CASE WHEN asof_ts >= ts - ${2L * 3600 * 1000} THEN asof_ts END AS asof_ts,
+           |  CASE WHEN asof_ts >= ts - ${2L * 3600 * 1000} THEN err_value END AS err_value
+           |FROM j ORDER BY event_id""".stripMargin,
 
       // identical truth to q_rollup_fallback: last-wins dedup over the
       // base + late duplicates, then 6h averages

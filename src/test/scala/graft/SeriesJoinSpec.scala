@@ -1,0 +1,85 @@
+package graft
+
+import graft.query.SeriesJoin
+import org.apache.spark.sql.functions._
+
+class SeriesJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    // (id, key, ts, payload)
+    (1L, "a", 100L, 1.0),
+    (2L, "a", 200L, 2.0),
+    (3L, "a", 50L, 3.0), // before any right row
+    (4L, "b", 500L, 4.0),
+    (5L, "c", 10L, 5.0) // key with no right rows at all
+  ).toDF("id", "k", "ts", "x")
+
+  private def right = Seq(
+    ("a", 100L, 10.0), // equal ts → inclusive match for left id=1
+    ("a", 150L, 15.0),
+    ("b", 90L, 9.0)
+  ).toDF("k", "ts", "y")
+
+  test("asof: latest at-or-before right row per key, inclusive, else null") {
+    val r = SeriesJoin.asofJoin(left, right, Seq("k"))
+      .select("id", "asof_ts", "y")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (id, ats, y) => id -> ((ats, y)) }.toMap
+    assert(r(1L) === ((Some(100L), Some(10.0)))) // equal ts matches
+    assert(r(2L) === ((Some(150L), Some(15.0)))) // latest of the two
+    assert(r(3L) === ((None, None))) // nothing at-or-before
+    assert(r(4L) === ((Some(90L), Some(9.0)))) // old but eligible
+    assert(r(5L) === ((None, None))) // key absent on the right
+  }
+
+  test("asof: tolerance nulls out stale matches") {
+    val r = SeriesJoin.asofJoin(left, right, Seq("k"), tolerance = Some(100L))
+      .select("id", "asof_ts", "y")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(2L) === ((Some(150L), Some(15.0)))) // within 100
+    assert(r(4L) === ((None, None))) // 500 - 90 > 100 → stale
+  }
+
+  test("asof: all right columns resolve from the same right row") {
+    // right row at ts=20 holds a null in one column; a per-column
+    // running-last would pull u from ts=20 and v from ts=10 — the struct
+    // transport must keep them together
+    val l = Seq((1L, "a", 30L)).toDF("id", "k", "ts")
+    val r = Seq(
+      ("a", 10L, Some(1.0), Some(100.0)),
+      ("a", 20L, None: Option[Double], Some(200.0))
+    ).toDF("k", "ts", "u", "v")
+    val out = SeriesJoin.asofJoin(l, r, Seq("k"))
+      .select("asof_ts", "u", "v")
+      .as[(Option[Long], Option[Double], Option[Double])].collect().head
+    assert(out === ((Some(20L), None, Some(200.0))))
+  }
+
+  test("asof: left payload columns pass through untouched") {
+    val r = SeriesJoin.asofJoin(left, right, Seq("k"))
+    assert(r.columns.toSeq === Seq("id", "k", "ts", "x", "asof_ts", "y"))
+    assert(r.select(sum(col("x"))).as[Double].head() === 15.0)
+    assert(r.count() === 5)
+  }
+
+  test("asof: colliding right column names are rejected") {
+    intercept[IllegalArgumentException] {
+      SeriesJoin.asofJoin(left, right.withColumnRenamed("y", "x"), Seq("k"))
+    }
+  }
+
+  test("asof plan: one exchange, no join operator") {
+    val plan = SeriesJoin.asofJoin(left, right, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // union + window, hash-partitioned once by the key — a range/cross
+    // join anywhere here would be the quadratic shape this operator exists
+    // to avoid
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one shuffle, plan:\n$plan")
+  }
+}
