@@ -469,6 +469,24 @@ object SparkEntry {
           .orderBy("event_id")
       },
 
+      // BEYOND-REFERENCE interval join: all (click, error) pairs of the
+      // same user with the error in the 2h before the click — bucketed
+      // equi-join on (key, window-wide bucket), never a per-key range
+      // scan (SeriesJoin.intervalJoin)
+      "q_interval_join" -> { (s, dir) =>
+        val ev = DpView.events(s, dir).select(
+          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts"), col("value").as("err_value"))
+        graft.query.SeriesJoin.intervalJoin(clicks, errors, Seq("user_id"),
+          lower = -2L * 3600 * 1000, upper = 0L)
+          .orderBy("event_id", "err_id")
+      },
+
       // §2.10 maintained metadata end-to-end: ingest batches update
       // series_index + slice_state (write-time OOO marks, reference
       // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
@@ -1033,6 +1051,19 @@ object SparkEntry {
            |  CASE WHEN asof_ts >= ts - ${2L * 3600 * 1000} THEN asof_ts END AS asof_ts,
            |  CASE WHEN asof_ts >= ts - ${2L * 3600 * 1000} THEN err_value END AS err_value
            |FROM j ORDER BY event_id""".stripMargin,
+
+      // plain inequality join is the oracle for the bucketed equi-join
+      "q_interval_join" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
+           |  FROM events),
+           |c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |e AS (SELECT event_id AS err_id, user_id, ts AS err_ts, value AS err_value
+           |      FROM ev WHERE event_type = 'error')
+           |SELECT c.event_id, c.user_id, c.ts, e.err_ts AS right_ts, e.err_id, e.err_value
+           |FROM c JOIN e ON c.user_id = e.user_id
+           |  AND e.err_ts BETWEEN c.ts - ${2L * 3600 * 1000} AND c.ts
+           |ORDER BY c.event_id, e.err_id""".stripMargin,
 
       // identical truth to q_rollup_fallback: last-wins dedup over the
       // base + late duplicates, then 6h averages

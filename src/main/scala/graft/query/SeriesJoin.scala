@@ -82,4 +82,66 @@ object SeriesJoin {
         rightVals.map(v => when(ok, col(s"_m.$v")).as(v)))
     matched.select(outCols: _*)
   }
+
+  /** Floor division kept in long arithmetic end-to-end: subtracting the
+    * non-negative `pmod` makes the numerator an exact multiple, so SQL
+    * `div`'s truncate-toward-zero equals floor even for negative
+    * timestamps, and (unlike `/`, which is double division) nanosecond
+    * magnitudes past 2^53 stay exact.
+    */
+  private def withFloorDiv(df: DataFrame, out: String,
+      a: org.apache.spark.sql.Column, w: Long): DataFrame =
+    df.withColumn(s"__q_$out", a - pmod(a, lit(w)))
+      .withColumn(out, expr(s"__q_$out div $w"))
+      .drop(s"__q_$out")
+
+  /** Interval (range) join: every (left, right) pair on the same key with
+    * `right.ts ∈ [left.ts + lower, left.ts + upper]` — the Flink
+    * interval-join contract (e.g. `lower = -2h, upper = 0` pairs each
+    * event with same-key events from the preceding two hours).
+    *
+    * Shape at scale: a raw `ON key = key AND ts BETWEEN …` join gives
+    * Spark an equi-join on key with a residual range predicate — fine
+    * until one key holds millions of rows, when the per-key match becomes
+    * a quadratic scan. Instead both sides bucket time into
+    * `max(upper - lower, 1)`-wide buckets: a right row lands in exactly
+    * one bucket, a left row's window spans AT MOST TWO, so the left side
+    * explodes ≤2× and the join is a plain equi-join on (key, bucket)
+    * with the exact range as a post-filter. Work is proportional to true
+    * bucket co-occupancy — the standard interval-join layout — and every
+    * pair is produced exactly once (a right row's single bucket can match
+    * a given left row through only one of its ≤2 candidates).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lower: Long, upper: Long,
+      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+    require(upper >= lower, s"empty interval [$lower, $upper]")
+    val rightVals =
+      right.columns.toSeq.filterNot(keyCols.contains).filterNot(_ == rightTs)
+    val collisions = rightVals.toSet.intersect(
+      left.columns.toSet + "right_ts")
+    require(collisions.isEmpty,
+      s"right value columns collide with left/output columns: $collisions")
+    val reserved = (left.columns.toSet ++ rightVals ++ keyCols)
+      .filter(c => c.startsWith("__q_") ||
+        Set("_b", "_b0", "_b1", "_lts", "_rts").contains(c))
+    require(reserved.isEmpty, s"reserved column names in inputs: $reserved")
+    val w = math.max(upper - lower, 1L)
+
+    val l1 = left.withColumn("_lts", col(leftTs).cast("long"))
+    val l2 = withFloorDiv(
+      withFloorDiv(l1, "_b0", col("_lts") + lower, w),
+      "_b1", col("_lts") + upper, w)
+      .withColumn("_b", explode(sequence(col("_b0"), col("_b1"))))
+      .drop("_b0", "_b1")
+    val r1 = right.select(
+      keyCols.map(col) ++ Seq(col(rightTs).cast("long").as("_rts")) ++
+        rightVals.map(col): _*)
+    val r2 = withFloorDiv(r1, "_b", col("_rts"), w)
+
+    l2.join(r2, keyCols :+ "_b")
+      .filter(col("_rts").between(col("_lts") + lower, col("_lts") + upper))
+      .select(left.columns.toSeq.map(col) ++
+        (col("_rts").as("right_ts") +: rightVals.map(col)): _*)
+  }
 }

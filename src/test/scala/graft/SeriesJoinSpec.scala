@@ -70,6 +70,42 @@ class SeriesJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval: exact window membership, inclusive both ends") {
+    val l = Seq((1L, "a", 1000L), (2L, "a", 5000L), (3L, "b", 1000L))
+      .toDF("id", "k", "ts")
+    val r = Seq(
+      ("a", 400L, 40.0), // 1000-600 → in for id=1
+      ("a", 399L, 39.9), // just below id=1's lower bound
+      ("a", 1000L, 100.0), // equal ts → in (upper inclusive)
+      ("a", 1001L, 100.1), // above upper
+      ("b", 900L, 90.0)
+    ).toDF("k", "ts", "y")
+    val out = SeriesJoin.intervalJoin(l, r, Seq("k"), lower = -600L, upper = 0L)
+      .select("id", "right_ts", "y")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 400L, 40.0), (1L, 1000L, 100.0), (3L, 900L, 90.0)))
+  }
+
+  test("interval: each qualifying pair is produced exactly once") {
+    // windows spanning two buckets must not duplicate pairs through both
+    // candidate buckets
+    val l = Seq((1L, "a", 100L)).toDF("id", "k", "ts")
+    val r = (0L to 120L by 10L).map(t => ("a", t, t.toDouble)).toDF("k", "ts", "y")
+    val out = SeriesJoin.intervalJoin(l, r, Seq("k"), lower = -50L, upper = 0L)
+      .select("right_ts").as[Long].collect().toSeq
+    assert(out.sorted === Seq(50L, 60L, 70L, 80L, 90L, 100L))
+    assert(out.size === out.distinct.size)
+  }
+
+  test("interval: negative-timestamp bucketing stays floor-aligned") {
+    val l = Seq((1L, "a", 0L)).toDF("id", "k", "ts")
+    val r = Seq(("a", -100L, 1.0), ("a", -101L, 2.0), ("a", 0L, 3.0))
+      .toDF("k", "ts", "y")
+    val out = SeriesJoin.intervalJoin(l, r, Seq("k"), lower = -100L, upper = 0L)
+      .select("right_ts").as[Long].collect().toSet
+    assert(out === Set(-100L, 0L))
+  }
+
   test("asof plan: one exchange, no join operator") {
     val plan = SeriesJoin.asofJoin(left, right, Seq("k"))
       .queryExecution.executedPlan.toString
