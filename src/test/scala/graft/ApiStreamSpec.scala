@@ -353,6 +353,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval join matches the batch operator, state watermark-bounded") {
+    import graft.query.SeriesJoin
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600L * 1000
+    val base = 1700000000000L
+    // (key, ts, payload); right errors land before/inside/after the
+    // 2h-lookback windows of the left clicks
+    val leftRows = Seq(
+      ("u1", base + 3 * H, 1.0), // window [base+1h, base+3h]
+      ("u2", base + 5 * H, 2.0)) // window [base+3h, base+5h]
+    val rightRows = Seq(
+      ("u1", base + 2 * H, 10.0), // inside u1's window
+      ("u1", base + 3 * H, 11.0), // boundary: equal ts is inclusive
+      ("u1", base + 0 * H, 12.0), // too old for u1
+      ("u2", base + 4 * H, 20.0), // inside u2's window
+      ("u3", base + 4 * H, 30.0)) // key with no left rows
+    val lMem = MemoryStream[(String, Long, Double)]
+    val rMem = MemoryStream[(String, Long, Double)]
+    val joined = StreamJoin.intervalJoinStream(
+      lMem.toDS().toDF("k", "ts", "x"),
+      rMem.toDS().toDF("k", "ts", "y"),
+      Seq("k"), lower = -2 * H, upper = 0L)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory")
+      .queryName("sj_interval").outputMode("append").start()
+    try {
+      // feed across two triggers so pairing spans micro-batches (the
+      // u1 right rows arrive before their matching left row)
+      rMem.addData(rightRows.take(3): _*)
+      q.processAllAvailable()
+      lMem.addData(leftRows: _*)
+      rMem.addData(rightRows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sj_interval")
+        .select("k", "ts", "x", "right_ts", "y")
+        .as[(String, Long, Double, Long, Double)].collect().toSet
+      val batch = SeriesJoin.intervalJoin(
+        leftRows.toDF("k", "ts", "x"), rightRows.toDF("k", "ts", "y"),
+        Seq("k"), lower = -2 * H, upper = 0L)
+        .select("k", "ts", "x", "right_ts", "y")
+        .as[(String, Long, Double, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        ("u1", base + 3 * H, 1.0, base + 2 * H, 10.0),
+        ("u1", base + 3 * H, 1.0, base + 3 * H, 11.0),
+        ("u2", base + 5 * H, 2.0, base + 4 * H, 20.0)))
+      // the range predicate must have produced a state watermark (the
+      // eviction guarantee that bounds state at ingest scale)
+      val progress = q.lastProgress
+      assert(progress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming seq: in-batch duplicates resolve deterministically, last wins") {
     import graft.model.{SubQuery, TsQuery}
     import graft.query.Planner

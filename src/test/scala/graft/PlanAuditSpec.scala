@@ -67,6 +67,27 @@ class PlanAuditSpec extends SparkSpec {
       s"eval grams must broadcast, not sort-merge\n$plan")
   }
 
+  test("as-of join: one data shuffle, window-only — no join operator at all") {
+    val (f, plan) = fp("q_asof_join")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"as-of must stay union+window, not become a range join\n$plan")
+    // one hash exchange for the keyed window + the output range sort
+    assert(f.exchanges <= 2, s"q_asof_join shuffles: ${f.exchanges}\n$plan")
+  }
+
+  test("interval join: equi-join on (key, bucket) — no cartesian, no BNLJ") {
+    val (f, plan) = fp("q_interval_join")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"bucketed interval join degenerated to a range scan\n$plan")
+  }
+
+  test("bpe encode: broadcast-merge map, no shuffle beyond the output sort") {
+    val (f, plan) = fp("pl_bpe")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"pl_bpe grew a join\n$plan")
+    assert(f.exchanges <= 1, s"encode is per-row (+output sort): $plan")
+  }
+
   test("IVF search: centroid joins broadcast, candidate work never " +
     "query-cross-corpus") {
     val (f, plan) = fp("pl_knn_ivf")
