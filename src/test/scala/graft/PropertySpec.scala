@@ -263,6 +263,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join matches a naive per-row reference on any series pair") {
+    import graft.query.SeriesJoin
+    // duplicate timestamps ON THE LEFT are fine (each left row matches
+    // independently); right ts are distinct per key so the reference's
+    // argmax is unique
+    val caseGen = for {
+      nl <- Gen.choose(0, 25)
+      nr <- Gen.choose(0, 25)
+      lks <- Gen.listOfN(nl, Gen.oneOf("a", "b", "c"))
+      lts <- Gen.listOfN(nl, Gen.choose(0L, 2000L))
+      rks <- Gen.listOfN(nr, Gen.oneOf("a", "b", "c"))
+      rts <- Gen.listOfN(nr, Gen.choose(0L, 2000L))
+      tol <- Gen.option(Gen.choose(1L, 500L))
+    } yield (lks.zip(lts), rks.zip(rts).distinct.groupBy(identity).keys.toSeq, tol)
+    samples(caseGen).zipWithIndex.foreach { case ((lraw, rraw, tol), ci) =>
+      val l = lraw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val r = rraw.groupBy { case (k, t) => (k, t) }.keys.toSeq
+        .map { case (k, t) => (k, t, (t * 31 + k.hashCode).toDouble) }
+      val got = SeriesJoin.asofJoin(
+        l.toDF("id", "k", "ts"), r.toDF("k", "ts", "y"), Seq("k"),
+        tolerance = tol)
+        .select("id", "asof_ts", "y")
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      l.foreach { case (id, k, t) =>
+        val eligible = r.filter { case (rk, rt, _) =>
+          rk == k && rt <= t && tol.forall(tt => rt >= t - tt)
+        }
+        val expect =
+          if (eligible.isEmpty) (None, None)
+          else {
+            val (_, bt, by) = eligible.maxBy(_._2)
+            (Some(bt), Some(by))
+          }
+        assert(got(id) === expect, s"case $ci left=$id key=$k ts=$t tol=$tol")
+      }
+    }
+  }
+
+  test("interval join matches a naive cross-filter reference for any window") {
+    import graft.query.SeriesJoin
+    val caseGen = for {
+      nl <- Gen.choose(0, 20)
+      nr <- Gen.choose(0, 20)
+      lks <- Gen.listOfN(nl, Gen.oneOf("a", "b"))
+      lts <- Gen.listOfN(nl, Gen.choose(-500L, 1500L))
+      rks <- Gen.listOfN(nr, Gen.oneOf("a", "b"))
+      rts <- Gen.listOfN(nr, Gen.choose(-500L, 1500L))
+      lo <- Gen.choose(-400L, 100L)
+      width <- Gen.choose(0L, 600L)
+    } yield (lks.zip(lts), rks.zip(rts), lo, lo + width)
+    samples(caseGen).zipWithIndex.foreach { case ((lraw, rraw, lo, hi), ci) =>
+      val l = lraw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val r = rraw.zipWithIndex.map { case ((k, t), j) => (k, t, j.toDouble) }
+      val got = SeriesJoin.intervalJoin(
+        l.toDF("id", "k", "ts"), r.toDF("k", "ts", "y"), Seq("k"),
+        lower = lo, upper = hi)
+        .select("id", "right_ts", "y")
+        .as[(Long, Long, Double)].collect().toSeq
+      val expect = for {
+        (id, k, t) <- l
+        (rk, rt, y) <- r
+        if rk == k && rt >= t + lo && rt <= t + hi
+      } yield (id, rt, y)
+      assert(got.sorted === expect.sorted, s"case $ci window=[$lo,$hi]")
+      assert(got.size === got.distinct.size, s"case $ci produced duplicates")
+    }
+  }
+
   test("aHash60: in range, deterministic, constant input hashes to 0") {
     import graft.pipeline.Multimodal
     import org.apache.spark.sql.functions.col
