@@ -407,6 +407,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment finalizes exactly the batch as-of result") {
+    import graft.query.SeriesJoin
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = Seq( // (k, ts, v)
+      ("u1", 500L, 3.0), // before any right → no match
+      ("u1", 3000L, 1.0), // → right@1000
+      ("u1", 6000L, 2.0), // → right@5000 (arrives a batch later)
+      ("u2", 7000L, 4.0)) // equal-ts right is an inclusive match
+    val rights = Seq(
+      ("u1", 1000L, 10.0),
+      ("u1", 5000L, 50.0),
+      ("u2", 7000L, 70.0))
+    val lMem = MemoryStream[(String, Long, Double)]
+    val rMem = MemoryStream[(String, Long, Double)]
+    val out = StreamJoin.asofEnrichStream(
+      lMem.toDS().toDF("k", "ts", "v"),
+      rMem.toDS().toDF("k", "ts", "v"), lateness = "10 seconds")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory")
+      .queryName("sj_asof").outputMode("append").start()
+    try {
+      // batch 1: all lefts, but one right arrives late (next batch) —
+      // nothing can finalize yet (watermark below every left)
+      lMem.addData(lefts: _*)
+      rMem.addData(rights.filterNot(_._2 == 5000L): _*)
+      q.processAllAvailable()
+      assert(spark.table("sj_asof").count() === 0)
+      // batch 2: the late right + a watermark-pushing flush row; batch 3:
+      // a second flush — watermarks take effect one batch late, and the
+      // per-key event-time timeout then wakes u1/u2 without new data
+      rMem.addData(("zz", 50000L, 0.0), ("u1", 5000L, 50.0))
+      q.processAllAvailable()
+      rMem.addData(("zz", 60000L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sj_asof")
+        .as[StreamJoin.AsofOut].collect()
+        .map(o => (o.k, o.ts, o.v, o.asofTs, o.y)).toSet
+      val batch = SeriesJoin.asofJoin(
+        lefts.toDF("k", "ts", "v"),
+        rights.map { case (k, t, y) => (k, t, y) }.toDF("k", "ts", "y"),
+        Seq("k"))
+        .select("k", "ts", "v", "asof_ts", "y")
+        .as[(String, Long, Double, Option[Long], Option[Double])]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        ("u1", 500L, 3.0, None, None),
+        ("u1", 3000L, 1.0, Some(1000L), Some(10.0)),
+        ("u1", 6000L, 2.0, Some(5000L), Some(50.0)),
+        ("u2", 7000L, 4.0, Some(7000L), Some(70.0))))
+    } finally q.stop()
+  }
+
   test("streaming seq: in-batch duplicates resolve deterministically, last wins") {
     import graft.model.{SubQuery, TsQuery}
     import graft.query.Planner
