@@ -425,6 +425,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // character-entropy quality signal (gibberish low / encoded-blob
+    // high); nano-nat integer terms summed order-free, bits derived at
+    // the end — cross-engine-deterministic by construction
+    "pl_char_entropy" -> { (s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir))
+        .select(col("doc_id"), col("n_chars"), col("n_unique_chars"),
+          (floor((col("entropyQ") / 1e9 / math.log(2.0)) * 10000 + 0.5 + 1e-6) / 10000.0)
+            .as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer TRAINING: the learned merge table — one distributed
     // word-frequency pass, then the merge loop on the vocabulary-sized
     // aggregate (the shape of real trainers: only the corpus pass scales
@@ -1461,6 +1472,23 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM t LEFT JOIN per_doc pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin
 
+    // per-char -p·ln(p) terms quantized to integer nano-nats before the
+    // sum (order-free), bits derived from the summed integer — mirrors
+    // the Spark gate exactly
+    val charEntropySql =
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents),
+         |cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY doc_id, c),
+         |tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t, count(*) AS uniq FROM cc GROUP BY doc_id),
+         |q AS (SELECT cc.doc_id, CAST(round(-((cc.n/tot.t) * ln(cc.n/tot.t)) * 1e9) AS BIGINT) AS tq
+         |      FROM cc JOIN tot USING (doc_id)),
+         |s AS (SELECT doc_id, sum(tq) AS sq FROM q GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |       CAST(tot.uniq AS BIGINT) AS n_unique_chars,
+         |       floor((((s.sq / 1e9) / ln(2)) * 10000 + 0.5 + 1e-6)) / 10000.0 AS entropy_bits
+         |FROM documents d JOIN tot USING (doc_id) JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
     // BPE training: the unrolled chain, then each rank's argmax row
     val bpeTrainSql = bpeChainSql(BpeMergeCount) + "\n" +
       (1 to BpeMergeCount)
@@ -1518,6 +1546,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_wordpiece" -> wordpieceSql,
       "pl_bpe_train" -> bpeTrainSql,
       "pl_bpe" -> bpeSql,
+      "pl_char_entropy" -> charEntropySql,
       "pl_corpus_stats" -> corpusStats,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,

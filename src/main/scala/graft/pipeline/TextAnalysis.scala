@@ -546,6 +546,42 @@ object TextAnalysis {
       .toDF(idCol, "pieces", "n_pieces")
   }
 
+  /** Character-level Shannon entropy per document — the
+    * gibberish/boilerplate signal of RefinedWeb/FineWeb-class pipelines
+    * (very low entropy = repeated padding, very high = binary junk or
+    * encoded blobs). Emits (id, n_chars, n_unique_chars, entropyQ) where
+    * `entropyQ` is the entropy in integer NANO-NATS: each character's
+    * term `-p·ln p` is quantized to 1e-9 before an order-free long sum —
+    * the cross-engine determinism pattern of the corpus-stats gate, so
+    * no summation order can flip a rounding boundary against the oracle.
+    * Callers convert to bits via `entropyQ / 1e9 / ln 2`. Typed per-row
+    * map, no shuffle at any scale (a Column form would walk the char
+    * array once per distinct char — the shingleHashes ~10× note).
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new java.util.HashMap[Char, Int]
+        var i = 0
+        while (i < text.length) {
+          counts.merge(text.charAt(i), 1, Integer.sum _); i += 1
+        }
+        val t = text.length.toDouble
+        var sumQ = 0L
+        val it = counts.values.iterator()
+        while (it.hasNext) {
+          val p = it.next() / t
+          sumQ += Math.round(-(p * Math.log(p)) * 1e9)
+        }
+        (id, text.length.toLong, counts.size.toLong, sumQ)
+      }
+      .toDF(idCol, "n_chars", "n_unique_chars", "entropyQ")
+  }
+
   private val FpMod = 1L << 40
 
   /** Rolling polynomial fingerprint over tokens:

@@ -498,6 +498,34 @@ class PipelineSpec extends SparkSpec {
     assert(r(1) === ((2L, Seq("[UNK]"), 1)))
   }
 
+  test("charEntropy: exact values on constructed distributions") {
+    val d = Seq(
+      (1L, "aaaa"), // one symbol → 0 bits
+      (2L, "abab"), // uniform over 2 → 1 bit
+      (3L, "aabb"), // same distribution, different order → same entropy
+      (4L, "abcd"), // uniform over 4 → 2 bits
+      (5L, "aab") // 2/3,1/3 → ~0.9183 bits
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4 / 1e9 / math.log(2.0)))).toMap
+    assert(r(1L)._1 === 4 && r(1L)._2 === 1)
+    assert(math.abs(r(1L)._3 - 0.0) < 1e-6)
+    assert(math.abs(r(2L)._3 - 1.0) < 1e-6)
+    assert(r(2L)._3 === r(3L)._3)
+    assert(math.abs(r(4L)._3 - 2.0) < 1e-6)
+    val expected5 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2.0)
+    assert(math.abs(r(5L)._3 - expected5) < 1e-6)
+    // entropy of n distinct chars is bounded by log2(n)
+    val corpus = TextAnalysis.charEntropy(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    corpus.foreach { case (id, _, uniq, q) =>
+      val bits = q / 1e9 / math.log(2.0)
+      assert(bits >= 0 && bits <= math.log(uniq.toDouble) / math.log(2.0) + 1e-9,
+        s"doc $id entropy $bits outside [0, log2($uniq)]")
+    }
+  }
+
   test("bpe: hand-computed merges and encode on a tiny corpus") {
     // freqs: "low" x5, "lower" x2, "newest" x6, "widest" x3
     val d = (1 to 5).map(i => (i.toLong, "low")) ++
