@@ -49,6 +49,8 @@ object SeriesJoin {
       left.columns.toSet ++ Set("asof_ts", "_ats", "_side", "_rv", "_m"))
     require(collisions.isEmpty,
       s"right value columns collide with left/output columns: $collisions")
+    require(!left.columns.contains("asof_ts"),
+      "left side may not carry a column named asof_ts (reserved for the match)")
 
     val rvStruct = struct(
       (col(rightTs).cast("long").as("asof_ts") +: rightVals.map(col)): _*)
@@ -122,6 +124,8 @@ object SeriesJoin {
       left.columns.toSet + "right_ts")
     require(collisions.isEmpty,
       s"right value columns collide with left/output columns: $collisions")
+    require(!left.columns.contains("right_ts"),
+      "left side may not carry a column named right_ts (reserved for the match)")
     val reserved = (left.columns.toSet ++ rightVals ++ keyCols)
       .filter(c => c.startsWith("__q_") ||
         Set("_b", "_b0", "_b1", "_lts", "_rts").contains(c))

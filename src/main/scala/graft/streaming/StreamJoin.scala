@@ -139,9 +139,10 @@ object StreamJoin {
           if (next.isEmpty) state.remove()
           else {
             state.update(AsofState(next))
-            // wake when the watermark passes the earliest buffered left
-            // (or keep a far-future timeout for a right-only buffer so
-            // the candidate survives without spurious wakeups)
+            // wake when the watermark passes the earliest buffered left;
+            // a right-only buffer sets no timeout — its single standing
+            // candidate persists like a series-index row (O(#keys)),
+            // ready for whenever the key's left stream resumes
             val firstLeft = next.collectFirst { case r if r.side == 1 => r.ts }
             firstLeft.foreach(t => state.setTimeoutTimestamp(t + 1))
           }

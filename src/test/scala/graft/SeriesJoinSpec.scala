@@ -68,6 +68,13 @@ class SeriesJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SeriesJoin.asofJoin(left, right.withColumnRenamed("y", "x"), Seq("k"))
     }
+    intercept[IllegalArgumentException] { // reserved output name on the left
+      SeriesJoin.asofJoin(left.withColumnRenamed("x", "asof_ts"), right, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      SeriesJoin.intervalJoin(left.withColumnRenamed("x", "right_ts"), right,
+        Seq("k"), lower = -1L, upper = 0L)
+    }
   }
 
   test("interval: exact window membership, inclusive both ends") {
