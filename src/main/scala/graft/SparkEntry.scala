@@ -454,6 +454,22 @@ object SparkEntry {
           .orderBy("event_id")
       },
 
+      // forward direction: each click picks up the EARLIEST error at or
+      // after it (merge_asof direction='forward'; DuckDB infers forward
+      // from the flipped inequality)
+      "q_asof_forward" -> { (s, dir) =>
+        val ev = DpView.events(s, dir).select(
+          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value").as("err_value"))
+        graft.query.SeriesJoin.asofJoin(clicks, errors, Seq("user_id"),
+          direction = "forward")
+          .orderBy("event_id")
+      },
+
       // same join under a 2h tolerance: stale matches (err older than
       // ts - 2h) fall back to null, the merge_asof tolerance contract
       "q_asof_tolerance" -> { (s, dir) =>
@@ -1036,6 +1052,16 @@ object SparkEntry {
            |e AS (SELECT user_id, ts AS asof_ts, value AS err_value FROM ev WHERE event_type = 'error')
            |SELECT c.event_id, c.user_id, c.ts, c.value, e.asof_ts, e.err_value
            |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.asof_ts
+           |ORDER BY c.event_id""".stripMargin,
+
+      "q_asof_forward" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
+           |  FROM events),
+           |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+           |e AS (SELECT user_id, ts AS asof_ts, value AS err_value FROM ev WHERE event_type = 'error')
+           |SELECT c.event_id, c.user_id, c.ts, c.value, e.asof_ts, e.err_value
+           |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts <= e.asof_ts
            |ORDER BY c.event_id""".stripMargin,
 
       "q_asof_tolerance" ->

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
 object SeriesJoin {
 
   /** As-of join: attach to each left row the LATEST right row with
-    * `right.ts <= left.ts` (inclusive) on the same key; left rows with no
-    * eligible right row keep nulls. `tolerance` additionally nulls out
-    * matches older than `left.ts - tolerance` (pandas `merge_asof`
-    * tolerance).
+    * `right.ts <= left.ts` on the same key (`direction = "backward"`,
+    * the default) or the EARLIEST with `right.ts >= left.ts`
+    * (`"forward"`); left rows with no eligible right row keep nulls.
+    * `inclusive = false` excludes the equal-timestamp match (pandas
+    * `allow_exact_matches = False`). `tolerance` additionally nulls out
+    * matches farther than that many ms from `left.ts` (pandas
+    * `merge_asof` tolerance). Both directions are the same single-shuffle
+    * plan — forward just walks the merged timeline in descending time,
+    * so the running `last` carries the nearest FOLLOWING right row.
     *
     * Shape at scale: deliberately NOT a range join — a range join's
     * bucket-overlap blowup is quadratic in series density, and Spark
@@ -42,7 +47,11 @@ object SeriesJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String = "ts", rightTs: String = "ts",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward",
+      inclusive: Boolean = true): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val rightVals =
       right.columns.toSeq.filterNot(keyCols.contains).filterNot(_ == rightTs)
     val collisions = rightVals.toSet.intersect(
@@ -67,16 +76,24 @@ object SeriesJoin {
     // (dropped by the _side filter)
     val u = l2.unionByName(r2, allowMissingColumns = true)
 
+    // backward walks ascending time; forward walks descending, so the
+    // running `last` right row is the nearest following one. Within an
+    // equal-timestamp group (either walk direction) rights sort before
+    // lefts exactly when the match is inclusive
+    val tsOrd = if (direction == "backward") col("_ats").asc else col("_ats").desc
+    val sideOrd = if (inclusive) col("_side").asc else col("_side").desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ats").asc, col("_side").asc, col("_rv").asc_nulls_last)
+      .orderBy(tsOrd, sideOrd, col("_rv").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u
       .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
     val ok = tolerance match {
-      case Some(t) =>
+      case Some(t) if direction == "backward" =>
         col("_m").isNotNull && col("_m.asof_ts") >= col("_ats") - t
+      case Some(t) =>
+        col("_m").isNotNull && col("_m.asof_ts") <= col("_ats") + t
       case None => col("_m").isNotNull
     }
     val outCols = left.columns.toSeq.map(col) ++

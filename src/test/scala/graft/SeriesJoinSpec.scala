@@ -64,6 +64,40 @@ class SeriesJoinSpec extends SparkSpec {
     assert(r.count() === 5)
   }
 
+  test("asof: forward direction picks the earliest at-or-after right row") {
+    val r = SeriesJoin.asofJoin(left, right, Seq("k"), direction = "forward")
+      .select("id", "asof_ts", "y")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) === ((Some(100L), Some(10.0)))) // equal ts, inclusive
+    assert(r(2L) === ((None, None))) // nothing at-or-after 200
+    assert(r(3L) === ((Some(100L), Some(10.0)))) // earliest following
+    assert(r(4L) === ((None, None))) // b@90 is before 500
+  }
+
+  test("asof: strict matching excludes the equal-timestamp right row") {
+    val strictBack = SeriesJoin.asofJoin(left, right, Seq("k"),
+      inclusive = false)
+      .select("id", "asof_ts")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(strictBack(1L) === None) // only right ≤ 100 was AT 100
+    assert(strictBack(2L) === Some(150L)) // unaffected
+    val strictFwd = SeriesJoin.asofJoin(left, right, Seq("k"),
+      direction = "forward", inclusive = false)
+      .select("id", "asof_ts")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(strictFwd(1L) === Some(150L)) // skips the equal-ts 100
+  }
+
+  test("asof: forward tolerance nulls out far-future matches") {
+    val r = SeriesJoin.asofJoin(left, right, Seq("k"),
+      direction = "forward", tolerance = Some(40L))
+      .select("id", "asof_ts")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(r(1L) === Some(100L)) // distance 0
+    assert(r(3L) === None) // 100 - 50 > 40 → too far ahead
+  }
+
   test("asof: colliding right column names are rejected") {
     intercept[IllegalArgumentException] {
       SeriesJoin.asofJoin(left, right.withColumnRenamed("y", "x"), Seq("k"))
