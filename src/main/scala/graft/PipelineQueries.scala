@@ -341,6 +341,33 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // product quantization: per-subspace Lloyd codebooks (m=4 × 16 dims,
+    // k=8, 2 iters — the kmeans gate's deterministic recipe per
+    // subspace), corpus encoded to 4 codes; codes ARE the check
+    "pl_pq_encode" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 8, iters = 2)
+      Similarity.pqEncode(e, books)
+        .select(col("id").as("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"))
+        .orderBy("vec_id")
+    },
+
+    // ADC search over the PQ codes: exact query vs m table lookups per
+    // corpus row (fixed left-to-right subspace sum so the oracle replays
+    // the association order)
+    "pl_knn_pq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 8, iters = 2)
+      val codes = Similarity.pqEncode(e, books)
+      Similarity.pqAdcKnn(codes, e.filter(col("vec_id") < 10), books, k = 5)
+        .select(col("qid"), col("nid"), sround(col("adc")).as("adc"))
+        .orderBy("qid", "nid")
+    },
+
     // embedding preprocessing: L2 norm + unit vector + symmetric int8
     // quantization, summarized as scalars (array columns don't hash)
     "pl_embed_prep" -> { (s, dir) =>
@@ -1248,6 +1275,84 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |${kmAssign("c2", "a3")}
          |SELECT id, cid FROM a3 ORDER BY id""".stripMargin
 
+    // PQ oracle: the kmeans replay per subspace over sliced vectors,
+    // then codes; the assignment/update generators mirror kmAssign/
+    // kmUpdate with the subspace's slice bounds and dims
+    val pqAssign = (s: Int, src: String, out: String) =>
+      s"""$out AS (SELECT id, v, cid FROM (
+         |  SELECT e_$s.id, e_$s.v, c.cid, row_number() OVER (PARTITION BY e_$s.id ORDER BY
+         |    list_dot_product(e_$s.v, e_$s.v) - 2 * list_dot_product(e_$s.v, c.cv)
+         |      + list_dot_product(c.cv, c.cv), c.cid) AS rk
+         |  FROM e_$s, $src c) WHERE rk = 1)""".stripMargin
+    val pqUpdate = (sub: Int, assign: String, prev: String, out: String) =>
+      s"""m_$out AS (
+         |  SELECT cid, d, ${sroundSql("avg(v[d])")} AS m
+         |  FROM $assign, (SELECT unnest(range(1, ${sub + 1})) AS d) dims
+         |  GROUP BY cid, d),
+         |n_$out AS (SELECT cid, list(m ORDER BY d) AS cv FROM m_$out GROUP BY cid),
+         |$out AS (
+         |  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN n_$out n ON p.cid = n.cid)""".stripMargin
+    def pqChainSql(m: Int, sub: Int, k: Int): String = {
+      val sb = new StringBuilder
+      sb ++= "WITH e AS (SELECT vec_id AS id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+      for (s <- 0 until m) {
+        val a = s * sub + 1
+        val b = (s + 1) * sub
+        sb ++= s""",
+e_$s AS (SELECT id, v[$a:$b] AS v FROM e),
+c0_$s AS (SELECT id AS cid, v AS cv FROM e_$s WHERE id < $k),
+${pqAssign(s, s"c0_$s", s"a1_$s")},
+${pqUpdate(sub, s"a1_$s", s"c0_$s", s"c1_$s")},
+${pqAssign(s, s"c1_$s", s"a2_$s")},
+${pqUpdate(sub, s"a2_$s", s"c1_$s", s"c2_$s")},
+code_$s AS MATERIALIZED (SELECT id, cid FROM (
+  SELECT e_$s.id, c.cid, row_number() OVER (PARTITION BY e_$s.id ORDER BY
+    list_dot_product(e_$s.v, e_$s.v) - 2 * list_dot_product(e_$s.v, c.cv)
+      + list_dot_product(c.cv, c.cv), c.cid) AS rk
+  FROM e_$s, c2_$s c) WHERE rk = 1)"""
+      }
+      sb.result()
+    }
+
+    val pqEncodeSql = pqChainSql(4, 16, 8) + s"""
+SELECT e.id AS vec_id, k0.cid AS c0, k1.cid AS c1, k2.cid AS c2, k3.cid AS c3
+FROM e JOIN code_0 k0 ON k0.id = e.id JOIN code_1 k1 ON k1.id = e.id
+  JOIN code_2 k2 ON k2.id = e.id JOIN code_3 k3 ON k3.id = e.id
+ORDER BY vec_id"""
+
+    // ADC: per-subspace (query, centroid) distance tables + the codes;
+    // the subspace sum keeps the gate's left-to-right association
+    val pqKnnSql = pqChainSql(4, 16, 8) +
+      (0 until 4).map { s =>
+        val a = s * 16 + 1
+        val b = (s + 1) * 16
+        s""",
+q_$s AS (SELECT id, v[$a:$b] AS v FROM e WHERE id < 10),
+t_$s AS MATERIALIZED (SELECT q.id AS qid, c.cid,
+  list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cv)
+    + list_dot_product(c.cv, c.cv) AS d
+  FROM q_$s q, c2_$s c)"""
+      }.mkString + s""",
+adc AS (
+  SELECT t0.qid, k0.id AS nid, ((t0.d + t1.d) + t2.d) + t3.d AS adc
+  FROM code_0 k0
+  JOIN code_1 k1 ON k1.id = k0.id
+  JOIN code_2 k2 ON k2.id = k0.id
+  JOIN code_3 k3 ON k3.id = k0.id
+  JOIN t_0 t0 ON t0.cid = k0.cid
+  JOIN t_1 t1 ON t1.cid = k1.cid AND t1.qid = t0.qid
+  JOIN t_2 t2 ON t2.cid = k2.cid AND t2.qid = t0.qid
+  JOIN t_3 t3 ON t3.cid = k3.cid AND t3.qid = t0.qid
+  WHERE k0.id != t0.qid),
+r AS (
+  SELECT qid, nid, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid) AS rk
+  FROM adc)
+SELECT qid, nid, ${sroundSql("adc")} AS adc FROM r WHERE rk <= 5
+ORDER BY qid, nid"""
+
     // SemDeDup oracle: the pl_kmeans replay, then pairs restricted to a
     // shared cluster, then the same recursive-reachability labeling as
     // pl_dedup_clusters (min reachable id = representative).
@@ -1565,6 +1670,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_knn_lsh" -> lshKnn,
       "pl_embed_prep" -> embedPrep,
       "pl_kmeans" -> kmeans,
+      "pl_pq_encode" -> pqEncodeSql,
+      "pl_knn_pq" -> pqKnnSql,
       "pl_semdedup" -> semDedup,
       "pl_span_dedup" -> spanDedup,
       "pl_neardup_cos" -> nearDup,

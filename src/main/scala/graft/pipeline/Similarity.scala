@@ -151,35 +151,43 @@ object Similarity {
     * window; the only shuffle per iteration carries k rows of partial
     * sums per partition. Returns (id, cid) under the final centroids.
     */
-  def kmeans(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
+  /** Nearest-centroid id over literal centroids: least() on (dist, cid)
+    * structs — struct ordering gives min distance, then min cid on ties.
+    * Shared by [[kmeans]] and the PQ encoder.
+    */
+  private def bestCidExpr(v: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      val cl = array(cv.map(lit): _*)
+      val d2 = dotp(v, v) - lit(2.0) * dotp(v, cl) +
+        lit(cv.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    // least() needs ≥2 args — k=1 degenerates to the single centroid
+    val best = if (scored.size == 1) scored.head else least(scored: _*)
+    best.getField("cid")
+  }
+
+  private def assignTo(pts: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    pts.withColumn("cid", bestCidExpr(col("v"), cents))
+      .select(col("id"), col("v"), col("cid"))
+
+  /** Lloyd centroid training on a prepared (id, v) frame — first-k-ids
+    * init, per-iteration 1e-4 rounding so the oracle iterates from
+    * bit-identical literals. Shared by [[kmeans]] and [[pqCodebooks]];
+    * centroid sums collect k·dim doubles per iteration (bounded).
+    */
+  private def lloydCentroids(pts: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    val spark = pts.sparkSession
     import spark.implicits._
-    val pts = emb.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Long, Seq[Double])] = pts.filter(col("id") < k)
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-    require(cents.nonEmpty, s"need at least one vector with $idCol < k")
+    require(cents.nonEmpty, s"need at least one vector with id < $k")
     val dim = cents.head._2.size
-
-    // argmin over literal centroids: least() on (dist, cid) structs —
-    // struct ordering gives min distance, then min cid on ties
-    def assigned() = {
-      val scored = cents.map { case (cid, cv) =>
-        val cl = array(cv.map(lit): _*)
-        val d2 = dotp(col("v"), col("v")) - lit(2.0) * dotp(col("v"), cl) +
-          lit(cv.map(x => x * x).sum)
-        struct(d2.as("d2"), lit(cid).as("cid"))
-      }
-      // least() needs ≥2 args — k=1 degenerates to the single centroid
-      val best = if (scored.size == 1) scored.head else least(scored: _*)
-      pts.withColumn("best", best)
-        .select(col("id"), col("v"), col("best.cid").as("cid"))
-    }
-
     for (_ <- 1 to iters) {
-      val sums = assigned()
+      val sums = assignTo(pts, cents)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i =>
@@ -190,11 +198,117 @@ object Similarity {
       }.toMap
       cents = cents.map { case (cid, cv) => cid -> updated.getOrElse(cid, cv) }
     }
-    val out = assigned().select(col("id"), col("cid"))
+    cents
+  }
+
+  def kmeans(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydCentroids(pts, k, iters)
+    val out = assignTo(pts, cents).select(col("id"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     pts.unpersist()
     out
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the `dim`-d space
+    * into `m` subspaces of dim/m and Lloyd-train an independent
+    * k-centroid codebook per subspace — a vector then stores as m small
+    * codes (m bytes at k ≤ 256) instead of dim floats, the memory step
+    * that makes billion-vector ANN fit a cluster. Same deterministic
+    * training as [[kmeans]] (first-k init, 1e-4-rounded updates), so the
+    * whole operator replays in the oracle. Returns one (cid, centroid)
+    * list per subspace; driver state is m·k·(dim/m) = k·dim doubles —
+    * the same bounded footprint the kmeans gate carries.
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Long, Seq[Double])]] = {
+    val full = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("fv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = full.select(size(col("fv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val books = (0 until m).map { s =>
+      val pts = full.select(col("id"), slice(col("fv"), s * sub + 1, sub).as("v"))
+      lloydCentroids(pts, k, iters)
+    }
+    full.unpersist()
+    books
+  }
+
+  /** PQ encoding: per subspace, the id of the nearest codebook centroid —
+    * the compressed representation an index stores. Pure per-row argmin
+    * over broadcast-literal centroids (the [[kmeans]] assignment
+    * expression per subspace), no shuffle at any scale. Output:
+    * (id, codes array<long>) with codes(s) = chosen cid in subspace s.
+    */
+  def pqEncode(emb: DataFrame, books: Seq[Seq[(Long, Seq[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.size
+    val full = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("fv"))
+    val sub = books.head.head._2.size
+    full.select(col("id"),
+      array((0 until m).map(s =>
+        bestCidExpr(slice(col("fv"), s * sub + 1, sub), books(s))): _*)
+        .as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes: the query
+    * stays exact, the corpus is its codes, and distance is the sum over
+    * subspaces of the PRECOMPUTED ||q_s − centroid(s, code_s)||² table —
+    * per corpus row the scan does m map lookups and adds, never touching
+    * the original vectors (the PQ read path at billion-vector scale; the
+    * codes frame here stands in for the stored index). Queries collect to
+    * the driver like centroids do (bounded — the query set of an ANN
+    * call is small by contract, as in [[bruteKnn]]'s broadcast side);
+    * their m·k distance tables ship as map literals. The subspace sum is
+    * a fixed left-to-right reduce so the oracle can replay the exact
+    * association order. Output: (qid, nid, adc) — squared-L2, ascending.
+    */
+  def pqAdcKnn(codes: DataFrame, queries: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val qRows = queries.select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val sub = books.head.head._2.size
+
+    def d2(q: Seq[Double], cv: Seq[Double]): Double = {
+      // ascending-index loops — the same order list_dot_product and the
+      // DotProduct expression add in, so the oracle reproduces each table
+      // entry bit-for-bit
+      var qq = 0.0; var qc = 0.0; var cc = 0.0
+      var i = 0
+      while (i < cv.size) {
+        qq += q(i) * q(i); qc += q(i) * cv(i); cc += cv(i) * cv(i); i += 1
+      }
+      qq - 2.0 * qc + cc
+    }
+
+    val perQuery = qRows.map { case (qid, qv) =>
+      val adc = (0 until m).map { s =>
+        val table = books(s).flatMap { case (cid, cv) =>
+          Seq(lit(cid), lit(d2(qv.slice(s * sub, (s + 1) * sub), cv)))
+        }
+        element_at(map(table: _*), element_at(col("codes"), s + 1))
+      }.reduce(_ + _) // fixed left-to-right association
+      codes.select(lit(qid).as("qid"), col("id").as("nid"), adc.as("adc"))
+        .filter(col("nid") =!= qid)
+    }
+    val scored = perQuery.reduce(_.union(_))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("adc"))
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023 shape):
