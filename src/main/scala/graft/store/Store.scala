@@ -205,15 +205,11 @@ final class Store(spark: SparkSession, root: String,
   // serializes ingest per shard the same way; queries never take it.
   private val writeLock = new Object
 
-  // submits the batch's independent commit jobs (data append + the three
-  // metadata tables) concurrently — Spark job submission is thread-safe,
-  // and each job alone underfills the cluster. Daemon threads: an
-  // abandoned store must not pin the JVM.
-  // 6 threads: up to 3 top-level metadata futures, of which the rollup
-  // one blocks while fanning out 2 level commits of its own — sized so
-  // nested Awaits always leave runnable threads (no pool starvation)
+  // overlaps the data append with the metadata window pass — Spark job
+  // submission is thread-safe, and each job alone underfills the
+  // cluster. Daemon threads: an abandoned store must not pin the JVM.
   private val ingestPool = ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+    java.util.concurrent.Executors.newFixedThreadPool(2, r => {
       val t = new Thread(r, "graft-store-commit")
       t.setDaemon(true)
       t
@@ -252,21 +248,18 @@ final class Store(spark: SparkSession, root: String,
       // the series-index update, so the index pass reads the tiny slice
       // aggregate instead of re-scanning the whole batch for distinct
       // skeys — one fewer full-batch pass per ingest
-      val (days, slices, mergedState) = computeSliceState(keyed)
-      try {
+      val (slices, mergedState) = computeSliceState(keyed)
+      val days = try {
         // metadata must not commit before the data it describes: a crash
         // window may lose metadata for committed data (queries then see
         // raw-only, still correct) but never the reverse
         Await.result(dataCommit, Duration.Inf)
-        // the three metadata tables have independent manifests and
-        // disjoint paths — commit them CONCURRENTLY: each is a small
-        // write job that leaves most of the cluster idle, and the batch
-        // pays the slowest of the three instead of their sum
-        Seq(
-          Future(mergedState.foreach(m => commitDays(statePath, m, days)))(ingestPool),
-          Future(updateSeriesIndex(slices))(ingestPool),
-          Future(updateRollup(keyed, days))(ingestPool))
-          .foreach(Await.result(_, Duration.Inf))
+        // all four metadata updates (slice state, both rollup levels,
+        // series index) commit as ONE Spark write job — each alone is a
+        // tiny write whose wall time is job-launch overhead, not data,
+        // so an ingest's latency is job-COUNT-bound: one unioned write
+        // beats four concurrent ones on a busy or cold driver
+        commitMetadata(keyed, slices, mergedState)
       } finally slices.unpersist()
       maybeCompact(days)
     } finally keyed.unpersist()
@@ -351,40 +344,39 @@ final class Store(spark: SparkSession, root: String,
       }
   }
 
-  /** Append series not yet in the index (no rewrite of existing rows).
-    * Input is the cached slice aggregate — one row per (skey, day), so
-    * the distinct runs over a frame the size of the batch's series set,
-    * never the batch itself. The distinct runs on the skey STRING and
-    * metric/tags re-derive from it afterwards — `first(tags)` would
-    * force a SortAggregate on every ingest batch (maps have no hash
-    * buffer). Meta.seriesTable's constraint-propagation caveat doesn't
-    * apply here: the index is materialized to parquet, so readers see
-    * real columns.
+  /** Series not yet in the index (append-only — no rewrite of existing
+    * rows). Input is the cached slice aggregate — one row per
+    * (skey, day), so the distinct runs over a frame the size of the
+    * batch's series set, never the batch itself. The distinct runs on
+    * the skey STRING and metric/tags re-derive from it afterwards —
+    * `first(tags)` would force a SortAggregate on every ingest batch
+    * (maps have no hash buffer). Meta.seriesTable's
+    * constraint-propagation caveat doesn't apply here: the index is
+    * materialized to parquet, so readers see real columns.
     */
-  private def updateSeriesIndex(slices: DataFrame): Unit = {
+  private def newSeries(slices: DataFrame): DataFrame = {
     val batchSeries = slices
       .select(col("skey")).distinct()
       .select(col("skey"),
         Dp.metricFromKey(col("skey")).as("metric"),
         Dp.tagsFromKey(col("skey")).as("tags"))
-    val newOnly =
-      if (!exists(indexPath)) batchSeries
-      else batchSeries.join(
-        spark.read.schema(indexSchema).parquet(indexPath).select("skey"),
-        Seq("skey"), "left_anti")
-    newOnly.write.mode(SaveMode.Append).parquet(indexPath)
+    if (!exists(indexPath)) batchSeries
+    else batchSeries.join(
+      spark.read.schema(indexSchema).parquet(indexPath).select("skey"),
+      Seq("skey"), "left_anti")
   }
 
-  /** Compute the batch's slice-state merge; returns the touched days,
-    * the still-cached slice aggregate (caller releases it after the
-    * series-index update reads it), and the merged state frame for the
-    * caller to commit (None when the batch is empty). Within-batch OOO
-    * is detected with a window over the BATCH's rows (bounded by batch
-    * size — the reference's in-memory page state); cross-batch OOO
-    * compares the batch's min ts against the stored hwm.
+  /** Compute the batch's slice-state merge; returns the still-cached
+    * slice aggregate (caller releases it after the commit job reads it)
+    * and the merged state frame for the caller to commit. Within-batch
+    * OOO is detected with a window over the BATCH's rows (bounded by
+    * batch size — the reference's in-memory page state); cross-batch
+    * OOO compares the batch's min ts against the stored hwm. NO action
+    * runs here: the prior state restricts to the batch's days via a
+    * broadcast semi-join (not a collected `isin` list), so the whole
+    * merge stays inside the single metadata commit job.
     */
-  private def computeSliceState(
-      keyed: DataFrame): (Seq[Long], DataFrame, Option[DataFrame]) = {
+  private def computeSliceState(keyed: DataFrame): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("skey"), col("day")).orderBy(col("seq"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val slices = keyed
@@ -400,14 +392,12 @@ final class Store(spark: SparkSession, root: String,
         min(col("ts")).as("bmin"),
         max(col("ts")).as("bmax"),
         max(col("bad")).as("booo"))
-      // consumed twice (day list + merge join); one row per touched
-      // slice, so the cache is tiny but saves a second window pass
+      // consumed by the state merge AND the series-index branch of the
+      // same commit job; one row per touched slice, so the cache is
+      // tiny but saves a second window pass over the batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val days = slices.select("day").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    if (days.isEmpty) return (Nil, slices, None)
     val prev = readManifested(statePath, stateSchema)
-      .filter(col("day").isin(days: _*))
+      .join(broadcast(slices.select("day").distinct()), Seq("day"), "left_semi")
     val merged = prev.as("p")
       .join(slices.as("b"), Seq("skey", "day"), "full_outer")
       .select(
@@ -417,25 +407,45 @@ final class Store(spark: SparkSession, root: String,
           coalesce(col("b.booo"), lit(false)) ||
           coalesce(col("b.bmin") <= col("p.hwm"), lit(false))).as("ooo"),
         col("day"))
-    (days, slices, Some(merged))
+    (slices, merged)
   }
 
-  /** Merge the batch's hourly rollup into the touched days' generations,
-    * then re-derive those days' level-2 (daily) rollup from the merged
-    * hourly rows — each touched day's 1d entry is always the aggregate
-    * of its full, fresh 1h set, so both levels stay consistent per
-    * commit (sum of sums, min of mins — the same composition rule the
-    * reference's level-2 build uses). The two level commits run
-    * concurrently: both read the cached merged-1h frame (the block
-    * manager serializes its first materialization), write disjoint
-    * tables, and each alone underfills the cluster.
+  // the unioned metadata frame's superset schema: every table's columns,
+  // null where a table doesn't carry them (parquet readers project by
+  // name, so the dead columns cost bytes in tiny files, not correctness)
+  private val metaUnionCols: Seq[(String, DataType)] = Seq(
+    "skey" -> StringType, "hwm" -> LongType, "ooo" -> BooleanType,
+    "cnt" -> LongType, "min" -> DoubleType, "max" -> DoubleType,
+    "sum" -> DoubleType, "wts" -> LongType,
+    "metric" -> StringType, "tags" -> MapType(StringType, StringType),
+    "day" -> LongType)
+
+  private def widen(df: DataFrame, tbl: String): DataFrame =
+    df.select(lit(tbl).as("tbl") +: metaUnionCols.map { case (c, t) =>
+      if (df.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
+    }: _*)
+
+  /** Merge and commit ALL the batch's metadata in one Spark write job:
+    * the slice-state merge, the touched days' merged hourly rollup, the
+    * daily rollup re-derived from it (each touched day's 1d entry is
+    * always the aggregate of its full, fresh 1h set — sum of sums, min
+    * of mins, the same composition rule the reference's level-2 build
+    * uses), and the batch's new series-index rows. The four frames
+    * union under a `tbl` discriminator and write once, partitioned by
+    * (tbl, day); each manifested table's day dirs then rename in and
+    * its manifest publishes. Rationale: each table's write alone is a
+    * tiny job whose wall time is scheduler/codegen launch overhead, so
+    * four concurrent jobs still pay 4× the fixed cost — on a cold or
+    * GC-pressured driver that fixed cost dominates the batch. One job
+    * bounds it once. The 1h merge is cached so the 1d branch reads the
+    * merge result instead of recomputing the batch aggregation.
     */
-  private def updateRollup(keyed: DataFrame, days: Seq[Long]): Unit = {
-    if (days.isEmpty) return
+  private def commitMetadata(keyed: DataFrame, slices: DataFrame,
+      mergedState: DataFrame): Seq[Long] = {
     val batchRollup = Rollup.rollup1hKeyed(keyed)
       .withColumn("day", col("wts") - pmod(col("wts"), lit(Rollup.DayMs)))
     val prev = readManifested(rollupPath, rollupDaySchema)
-      .filter(col("day").isin(days: _*))
+      .join(broadcast(slices.select("day").distinct()), Seq("day"), "left_semi")
     val merged = prev.unionByName(batchRollup)
       .groupBy(col("skey"), col("wts"), col("day"))
       .agg(
@@ -444,7 +454,9 @@ final class Store(spark: SparkSession, root: String,
         max(col("max")).as("max"),
         sum(col("sum")).as("sum"))
       .select("skey", "cnt", "min", "max", "sum", "wts", "day")
-      // consumed by both level commits; tiny (touched days' rollup rows)
+      // consumed by both level branches of the union; tiny (touched
+      // days' rollup rows). Both branches materialize inside the ONE
+      // write job — the block manager serializes per-partition computes.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merged1d = merged
       .groupBy(col("skey"), col("day"))
@@ -455,11 +467,78 @@ final class Store(spark: SparkSession, root: String,
         sum(col("sum")).as("sum"))
       .withColumn("wts", col("day"))
       .select("skey", "cnt", "min", "max", "sum", "wts", "day")
-    Seq(
-      Future(commitDays(rollupPath, merged, days))(ingestPool),
-      Future(commitDays(rollup1dPath, merged1d, days))(ingestPool))
-      .foreach(Await.result(_, Duration.Inf))
-    merged.unpersist()
+    // index rows carry day = -1: a real partition dir (not the Hive
+    // default-null one) that the per-table rename below can address
+    val index = newSeries(slices).withColumn("day", lit(-1L))
+    val union = Seq(
+      widen(mergedState, "slice_state"),
+      widen(merged, "rollup_1h"), widen(merged1d, "rollup_1d"),
+      widen(index, "series_index")).reduce(_ unionByName _)
+    try commitUnioned(union)
+    finally merged.unpersist()
+  }
+
+  /** Write the unioned metadata frame once, then per table: rename its
+    * generation dirs in and publish its manifest (series_index is
+    * append-only plain files — its parts just move in, no manifest).
+    * The `day_p` duplicate keeps `day` as a DATA column inside the
+    * files (partitionBy drops its own column), so manifest reads need
+    * no partition discovery. The batch's touched days come from the
+    * written partition dirs themselves (no driver-side collect), and
+    * are returned for the compaction cadence. Every touched day has
+    * rows in ALL three manifested tables by construction (a batch row
+    * in day d yields a slice row, an hourly row, and a daily row), so
+    * a day listed under one table but absent under another would be a
+    * bug — the defensive `entries.remove` keeps the manifest honest.
+    */
+  private def commitUnioned(union: DataFrame): Seq[Long] = {
+    val gen = System.nanoTime()
+    val tmp = s"$root/.meta_tmp_$gen"
+    union.withColumn("day_p", col("day"))
+      .repartition(col("tbl"), col("day_p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("tbl", "day_p").parquet(tmp)
+    def tmpDays(tbl: String): Seq[Long] = {
+      val d = new Path(s"$tmp/tbl=$tbl")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("day_p="))
+        .flatMap(_.stripPrefix("day_p=").toLongOption)
+    }
+    val days = Seq("slice_state", "rollup_1h", "rollup_1d")
+      .flatMap(tmpDays).distinct.sorted
+    Seq("slice_state" -> statePath, "rollup_1h" -> rollupPath,
+        "rollup_1d" -> rollup1dPath).foreach { case (tbl, live) =>
+      if (days.nonEmpty) {
+        fs.mkdirs(new Path(live))
+        val (prevSeq, prevEntries) = currentManifest(live)
+        val entries =
+          scala.collection.mutable.Map[Long, String](prevEntries.toSeq: _*)
+        days.foreach { d =>
+          val tmpPart = new Path(s"$tmp/tbl=$tbl/day_p=$d")
+          if (fs.exists(tmpPart)) {
+            val dirName = s"d_${d}_$gen"
+            fs.rename(tmpPart, new Path(s"$live/$dirName"))
+            entries(d) = dirName
+          } else entries.remove(d) // see scaladoc: defensive
+        }
+        publishManifestLines(live, prevSeq + 1,
+          entries.toSeq.sortBy(_._1).map { case (d, n) => (d.toString, n) })
+        gcGenerations(live)
+      }
+    }
+    val idxTmp = new Path(s"$tmp/tbl=series_index/day_p=-1")
+    if (fs.exists(idxTmp)) {
+      fs.mkdirs(new Path(indexPath))
+      var i = 0
+      fs.listStatus(idxTmp)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          fs.rename(f.getPath, new Path(indexPath, s"g${gen}_$i.parquet"))
+          i += 1
+        }
+    }
+    fs.delete(new Path(tmp), true)
+    days
   }
 
   // ---- data-table manifest (date -> file list) --------------------------
@@ -592,34 +671,6 @@ final class Store(spark: SparkSession, root: String,
 
   // ---- manifest commit protocol -----------------------------------------
 
-  /** Write `df` (carrying a `day` column) as new per-day generation dirs
-    * and publish a new manifest covering touched + carried-over days. The
-    * `day_p` duplicate keeps `day` as a DATA column inside the files
-    * (partitionBy drops its own column), so manifest reads need no
-    * partition discovery.
-    */
-  private def commitDays(live: String, df: DataFrame, days: Seq[Long]): Unit = {
-    fs.mkdirs(new Path(live))
-    val gen = System.nanoTime()
-    val tmp = s"$live/.tmp_$gen"
-    df.withColumn("day_p", col("day"))
-      .repartition(col("day_p"))
-      .write.mode(SaveMode.Overwrite).partitionBy("day_p").parquet(tmp)
-    val (prevSeq, prevEntries) = currentManifest(live)
-    val entries = scala.collection.mutable.Map[Long, String](prevEntries.toSeq: _*)
-    days.foreach { d =>
-      val tmpPart = new Path(s"$tmp/day_p=$d")
-      if (fs.exists(tmpPart)) {
-        val dirName = s"d_${d}_$gen"
-        fs.rename(tmpPart, new Path(s"$live/$dirName"))
-        entries(d) = dirName
-      } else entries.remove(d) // merged frame dropped the day entirely
-    }
-    publishManifestLines(live, prevSeq + 1,
-      entries.toSeq.sortBy(_._1).map { case (d, n) => (d.toString, n) })
-    fs.delete(new Path(tmp), true)
-    gcGenerations(live)
-  }
 
   /** Newest committed (seq, day → dir). (0, empty) before any commit. */
   private def currentManifest(live: String): (Long, Map[Long, String]) = {
