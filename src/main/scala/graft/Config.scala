@@ -38,10 +38,17 @@ final class GraftConfig(val loaded: ListMap[String, String]) {
 
   def exists(key: String): Boolean = loaded.contains(key)
 
-  /** Raw string value: loaded file/override, else the default table. */
+  // Every typed getter resolves with ONE precedence: loaded file/override
+  // > the shipped Defaults table > the caller-supplied fallback. The
+  // caller fallback therefore only matters for keys OUTSIDE the
+  // reference's surface (the Defaults table answers every reference
+  // key) — callers wanting a non-reference default for a reference key
+  // must decide explicitly (see ServerMain's UDP port).
+
+  /** Raw string value: loaded, else the default table, else `default`. */
   def str(key: String, default: String = null): String =
     loaded.getOrElse(key,
-      Option(default).orElse(Defaults.get(key)).getOrElse(
+      Defaults.get(key).orElse(Option(default)).getOrElse(
         throw new NoSuchElementException(s"no config or default for '$key'")))
 
   /** Reference bool grammar: leading `t`/`T` is true (config.h:187). */
@@ -56,7 +63,9 @@ final class GraftConfig(val loaded: ListMap[String, String]) {
       .getOrElse(default)
 
   def float(key: String, default: Double): Double =
-    loaded.get(key).flatMap(v => v.toDoubleOption).getOrElse(default)
+    loaded.get(key).flatMap(_.toDoubleOption)
+      .orElse(Defaults.get(key).flatMap(_.toDoubleOption))
+      .getOrElse(default)
 
   /** Duration in seconds via the reference time grammar; a bare number
     * is taken in `defaultUnit` seconds-per like the reference's
@@ -329,7 +338,10 @@ object GraftConfig {
     "log.retention.count" -> "log4j2 (Spark logging)",
     "log.rotation.size" -> "log4j2 (Spark logging)")
 
-  private def escape(s: String): String =
+  /** Strict-JSON string escape (backslash, quote, and every control
+    * char) — shared with the `/api/config` serializers.
+    */
+  def escape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

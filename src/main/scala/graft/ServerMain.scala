@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   *
   * args: storeDir [httpPort tcpPlainPort tcpInfluxPort udpPort
   * flushSeconds] — ports default to the reference's 6182/6181/6180,
-  * UDP shares 6180's number on its own protocol, flush every 30 s.
+  * UDP shares 6180's number on its own protocol (under a config file
+  * the reference's udp.server.port default 6181 applies instead),
+  * flush every 30 s.
   * `SPARK_GRAFT_CONFIG=<file>` loads a reference-grammar config file
   * ([[GraftConfig]], include/config.h key names): ports, enabled flags,
   * stats cadence, timezone, WAL arming, `mqtt.settings`, and retention
@@ -54,7 +56,11 @@ object ServerMain {
       port(1, cfg.firstPort("http.server.port", 6182)),
       port(2, tcpPorts.headOption.getOrElse(6181)),
       port(3, tcpPorts.lift(1).getOrElse(6180)),
-      port(4, cfg.firstPort("udp.server.port", 6180)))
+      // config-file mode honors the reference's udp.server.port default
+      // (6181, config.h:169); the bare-CLI contract keeps the documented
+      // 6180 — an explicit branch because the Defaults table would
+      // otherwise silently answer 6181 even with no file loaded
+      port(4, if (strict) cfg.firstPort("udp.server.port", 6181) else 6180))
     val flushSeconds = args.lift(5).flatMap(_.toIntOption)
       .getOrElse(cfg.timeSeconds("stats.frequency", "30s").toInt)
 

@@ -35,9 +35,10 @@ object Info {
       "spark.sql.session.timeZone" -> conf("spark.sql.session.timeZone", "UTC"),
       "spark.sql.adaptive.enabled" -> conf("spark.sql.adaptive.enabled", "true"))
     val fixed = entries.map { case (k, v) => s""""$k":"$v"""" }
+    // GraftConfig.escape handles control chars too — a tab inside a
+    // loaded value must not break strict-JSON clients
     val loaded = cfg.toSeq.flatMap(_.loaded.keys).map { k =>
-      val v = cfg.get.loaded(k).replace("\\", "\\\\").replace("\"", "\\\"")
-      s""""$k":"$v""""
+      s""""$k":"${graft.GraftConfig.escape(cfg.get.loaded(k))}""""
     }
     (loaded ++ fixed).mkString("{", ",", "}")
   }

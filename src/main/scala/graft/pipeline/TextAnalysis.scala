@@ -565,19 +565,26 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val counts = new java.util.HashMap[Char, Int]
+        // iterate CODEPOINTS, not UTF-16 units: the DuckDB oracle counts
+        // codepoints (regexp '(?s).', length()), so a non-BMP char
+        // (emoji, supplementary CJK) must be ONE char here too
+        val counts = new java.util.HashMap[Int, Int]
         var i = 0
+        var n = 0
         while (i < text.length) {
-          counts.merge(text.charAt(i), 1, Integer.sum _); i += 1
+          val cp = text.codePointAt(i)
+          counts.merge(cp, 1, Integer.sum _)
+          i += Character.charCount(cp)
+          n += 1
         }
-        val t = text.length.toDouble
+        val t = n.toDouble
         var sumQ = 0L
         val it = counts.values.iterator()
         while (it.hasNext) {
           val p = it.next() / t
           sumQ += Math.round(-(p * Math.log(p)) * 1e9)
         }
-        (id, text.length.toLong, counts.size.toLong, sumQ)
+        (id, n.toLong, counts.size.toLong, sumQ)
       }
       .toDF(idCol, "n_chars", "n_unique_chars", "entropyQ")
   }

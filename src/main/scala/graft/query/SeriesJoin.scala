@@ -58,8 +58,14 @@ object SeriesJoin {
       left.columns.toSet ++ Set("asof_ts", "_ats", "_side", "_rv", "_m"))
     require(collisions.isEmpty,
       s"right value columns collide with left/output columns: $collisions")
-    require(!left.columns.contains("asof_ts"),
-      "left side may not carry a column named asof_ts (reserved for the match)")
+    // guard BOTH sides against the internal working set (like
+    // intervalJoin): a left column named _ats/_side/_rv/_m would be
+    // silently overwritten by the withColumns below and the output
+    // select would return the cast timestamp instead of the user's data
+    val reservedLeft =
+      left.columns.toSet.intersect(Set("asof_ts", "_ats", "_side", "_rv", "_m"))
+    require(reservedLeft.isEmpty,
+      s"left columns use reserved asof-join names: $reservedLeft")
 
     val rvStruct = struct(
       (col(rightTs).cast("long").as("asof_ts") +: rightVals.map(col)): _*)

@@ -85,6 +85,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(over.str("tsdb.timezone") === "Asia/Tokyo")
   }
 
+  test("one precedence everywhere: loaded > Defaults > caller default") {
+    val cfg = GraftConfig.empty
+    // Defaults answer reference keys even when the caller passes its own
+    // fallback — uniformly, for every typed getter
+    assert(cfg.str("tsdb.timezone", "XXX") === "UTC")
+    assert(cfg.int("tsdb.compressor.precision", 99) === 8)
+    assert(cfg.float("ts.lock.probability", 0.5) === 0.01)
+    assert(cfg.timeSeconds("stats.frequency", "99s") === 30)
+    assert(cfg.firstPort("udp.server.port", 6180) === 6181)
+    // caller default only answers NON-reference keys
+    assert(cfg.str("custom.key", "fallback") === "fallback")
+    assert(cfg.int("custom.key", 7) === 7)
+  }
+
   test("loadedJson mirrors the reference /api/config (loaded keys only)") {
     val cfg = GraftConfig.parse(
       "tcp.server.port = 7181\nlog.level = DEBUG")

@@ -105,6 +105,9 @@ class SeriesJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // reserved output name on the left
       SeriesJoin.asofJoin(left.withColumnRenamed("x", "asof_ts"), right, Seq("k"))
     }
+    intercept[IllegalArgumentException] { // internal working name on the left
+      SeriesJoin.asofJoin(left.withColumnRenamed("x", "_ats"), right, Seq("k"))
+    }
     intercept[IllegalArgumentException] {
       SeriesJoin.intervalJoin(left.withColumnRenamed("x", "right_ts"), right,
         Seq("k"), lower = -1L, upper = 0L)
