@@ -126,4 +126,32 @@ object GraftFunctions {
     */
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Nearest-centroid id over a codebook — ONE [[NearestCentroid]] node
+    * carrying the centroids as data, so k=256 production codebooks
+    * compile where k literal structs would not. `book` must be sorted
+    * by ascending cid (ties resolve to the first = smallest cid, the
+    * `least()`-over-structs contract).
+    */
+  def nearestCid(v: Column, book: Seq[(Long, Seq[Double])]): Column = {
+    require(book.nonEmpty, "empty codebook")
+    val sub = book.head._2.size
+    org.apache.spark.sql.GraftSqlBridge.column(
+      NearestCentroid(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        book.map(_._1).toArray,
+        book.flatMap(_._2).toArray,
+        // same left-fold Σc² the literal form baked in — bit-identical
+        book.map(_._2.map(x => x * x).sum).toArray,
+        sub))
+  }
+
+  /** ADC distance over PQ codes for one query's flattened m×stride
+    * table (subspace s, code c at `s*stride + c`) — one [[PqAdc]] node
+    * per query instead of m map literals of k entries.
+    */
+  def pqAdc(codes: Column, table: Array[Double], stride: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqAdc(org.apache.spark.sql.GraftSqlBridge.expression(codes),
+        table, stride))
 }

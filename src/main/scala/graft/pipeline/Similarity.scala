@@ -151,22 +151,17 @@ object Similarity {
     * window; the only shuffle per iteration carries k rows of partial
     * sums per partition. Returns (id, cid) under the final centroids.
     */
-  /** Nearest-centroid id over literal centroids: least() on (dist, cid)
-    * structs — struct ordering gives min distance, then min cid on ties.
-    * Shared by [[kmeans]] and the PQ encoder.
+  /** Nearest-centroid id: min squared-euclidean distance, ties to the
+    * smaller cid. ONE native [[graft.functions.NearestCentroid]] node
+    * carrying the codebook as data — bit-identical arithmetic to the
+    * original `least()`-over-k-literal-structs form, but it compiles and
+    * codegens at production parameters (k=256) where k struct literals
+    * per row blow the 64KB method limit into interpreted mode. Shared by
+    * [[kmeans]], the PQ trainer, and the PQ encoder.
     */
   private def bestCidExpr(v: Column,
-      cents: Seq[(Long, Seq[Double])]): Column = {
-    val scored = cents.map { case (cid, cv) =>
-      val cl = array(cv.map(lit): _*)
-      val d2 = dotp(v, v) - lit(2.0) * dotp(v, cl) +
-        lit(cv.map(x => x * x).sum)
-      struct(d2.as("d2"), lit(cid).as("cid"))
-    }
-    // least() needs ≥2 args — k=1 degenerates to the single centroid
-    val best = if (scored.size == 1) scored.head else least(scored: _*)
-    best.getField("cid")
-  }
+      cents: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.GraftFunctions.nearestCid(v, cents)
 
   private def assignTo(pts: DataFrame,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
@@ -290,14 +285,17 @@ object Similarity {
   /** Asymmetric-distance (ADC) top-k search over PQ codes: the query
     * stays exact, the corpus is its codes, and distance is the sum over
     * subspaces of the PRECOMPUTED ||q_s − centroid(s, code_s)||² table —
-    * per corpus row the scan does m map lookups and adds, never touching
-    * the original vectors (the PQ read path at billion-vector scale; the
-    * codes frame here stands in for the stored index). Queries collect to
-    * the driver like centroids do (bounded — the query set of an ANN
-    * call is small by contract, as in [[bruteKnn]]'s broadcast side);
-    * their m·k distance tables ship as map literals. The subspace sum is
-    * a fixed left-to-right reduce so the oracle can replay the exact
-    * association order. Output: (qid, nid, adc) — squared-L2, ascending.
+    * per corpus row the scan does m table lookups and adds, never
+    * touching the original vectors (the PQ read path at billion-vector
+    * scale; the codes frame here stands in for the stored index).
+    * Queries collect to the driver like centroids do (bounded — the
+    * query set of an ANN call is small by contract, as in
+    * [[bruteKnn]]'s broadcast side); each query's m·k distance table
+    * ships as DATA inside one native [[graft.functions.PqAdc]] node —
+    * not as m map literals, which at k=256/m=16 would put 4,096 entries
+    * per query into the plan tree. The subspace sum is a fixed
+    * left-to-right loop so the oracle can replay the exact association
+    * order. Output: (qid, nid, adc) — squared-L2, ascending.
     */
   def pqAdcKnn(codes: DataFrame, queries: DataFrame,
       books: Seq[Seq[(Long, Seq[Double])]], k: Int,
@@ -323,17 +321,20 @@ object Similarity {
     }
 
     // ONE scan of the codes: each row explodes to its per-query
-    // (qid, adc) pairs — Q·m map lookups per row, the codes frame (and
-    // any encode expression feeding it) evaluated exactly once
+    // (qid, adc) pairs — Q·m table lookups per row, the codes frame
+    // (and any encode expression feeding it) evaluated exactly once.
+    // Unassigned cids (ids missing below k) keep NaN entries: encoding
+    // can never emit them, so a NaN surfacing means a codebook bug.
+    val stride = (books.flatMap(_.map(_._1)).max + 1).toInt
     val scored = codes.select(col("id").as("nid"),
         explode(array(qRows.map { case (qid, qv) =>
-          val adc = (0 until m).map { s =>
-            val table = books(s).flatMap { case (cid, cv) =>
-              Seq(lit(cid), lit(d2(qv.slice(s * sub, (s + 1) * sub), cv)))
-            }
-            element_at(map(table: _*), element_at(col("codes"), s + 1))
-          }.reduce(_ + _) // fixed left-to-right association
-          struct(lit(qid).as("qid"), adc.as("adc"))
+          val table = Array.fill(m * stride)(Double.NaN)
+          for (s <- 0 until m; (cid, cv) <- books(s))
+            table(s * stride + cid.toInt) =
+              d2(qv.slice(s * sub, (s + 1) * sub), cv)
+          struct(lit(qid).as("qid"),
+            graft.functions.GraftFunctions
+              .pqAdc(col("codes"), table, stride).as("adc"))
         }: _*)).as("x"))
       .select(col("x.qid").as("qid"), col("nid"), col("x.adc").as("adc"))
       .filter(col("nid") =!= col("qid"))
@@ -443,17 +444,41 @@ object Similarity {
     * O(|corpus|), and candidate generation shuffles on `cid`, never on
     * query × corpus.
     */
-  /** Build the IVF index: deterministic centroids (every `centStep`-th
-    * vector) and the corpus assigned to its nearest centroid — the two
-    * tables a production deployment PERSISTS (partitioned by `cid`, so a
-    * search's probe join reads only the probed lists) and reuses across
-    * queries instead of re-assigning the corpus per search.
+  /** Lloyd-trained IVF centroids as a (cid, cv, cn) frame [[ivfIndex]]
+    * accepts — the honest k-means coarse quantizer (same deterministic
+    * recipe as [[kmeans]]: first-k init, 1e-4-rounded updates), for
+    * deployments that want trained lists over the subsample stand-in.
+    * Driver state is k·dim doubles, the bounded kmeans footprint.
+    */
+  def trainedCentroids(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydCentroids(pts, k, iters)
+    pts.unpersist()
+    cents.toDF("cid", "cv")
+      .withColumn("cn", sqrt(dotp(col("cv"), col("cv"))))
+  }
+
+  /** Build the IVF index: centroids plus the corpus assigned to its
+    * nearest centroid — the two tables a production deployment PERSISTS
+    * (partitioned by `cid`, so a search's probe join reads only the
+    * probed lists) and reuses across queries instead of re-assigning
+    * the corpus per search. Centroids default to the deterministic
+    * subsample (every `centStep`-th vector — oracle-replayable); pass
+    * `centroids` (a (cid, cv, cn) frame, e.g. [[trainedCentroids]]) to
+    * use a trained coarse quantizer instead.
     */
   def ivfIndex(corpus: DataFrame, centStep: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    val cent = prep(corpus.filter(pmod(col(idCol), lit(centStep)) === 0),
-      idCol, vecCol, "cid", "cv", "cn")
+    val cent = centroids.getOrElse(
+      prep(corpus.filter(pmod(col(idCol), lit(centStep)) === 0),
+        idCol, vecCol, "cid", "cv", "cn"))
     // nearest centroid per corpus vector; ties break to the smallest cid
     // (max_by on (cos, -cid), mirrored by the oracle's ORDER BY cos DESC, cid)
     val assigned = spread(prep(corpus, idCol, vecCol, "nid", "nv", "nn"))

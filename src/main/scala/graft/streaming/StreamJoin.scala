@@ -63,12 +63,14 @@ object StreamJoin {
         (col("_rts").cast("long").as("right_ts") +: rightVals.map(col)): _*)
   }
 
-  /** One buffered row in [[AsofState]]: `side` 0 = right, 1 = left. */
-  case class AsofRow(side: Int, ts: Long, v: Double)
+  /** One buffered row in [[AsofState]]: `side` 0 = right, 1 = left;
+    * `payload` is the row's JSON-packed columns (full left row, or the
+    * right side's value columns).
+    */
+  case class AsofRow(side: Int, ts: Long, payload: String)
   case class AsofState(rows: Seq[AsofRow])
-  /** Enriched left row: `asofTs`/`y` empty when no right row preceded. */
-  case class AsofOut(k: String, ts: Long, v: Double,
-      asofTs: Option[Long], y: Option[Double])
+  private case class AsofOutRaw(ts: Long, payload: String,
+      asofTs: Option[Long], rpayload: Option[String])
 
   /** Streaming AS-OF enrichment — Spark has no native stream-stream
     * as-of join (the contract is an argmax, not a range predicate), so
@@ -79,6 +81,17 @@ object StreamJoin {
     * before its timestamp ([[graft.query.SeriesJoin.asofJoin]] semantics,
     * batch/stream parity spec-checked on in-watermark rows).
     *
+    * Arbitrary schemas, like the batch operator: any `keyCols`, any
+    * left/right columns (right value names must not collide with left's
+    * — the asofJoin contract). Rows travel through the typed state as
+    * (side, ts, JSON payload) — the streaming stand-in for the batch
+    * operator's `_rv` struct, with the grouping key the JSON of the key
+    * struct — and the output re-projects to the batch layout: all left
+    * columns, `asof_ts`, then the right value columns. JSON round-trips
+    * Spark's scalar types losslessly (Jackson emits shortest-round-trip
+    * doubles); NaN/Inf payload values are the one exclusion, as in
+    * `to_json` generally.
+    *
     * State per key stays O(lateness-window), not O(stream): emitted
     * lefts leave the buffer, and of the rights at or below the watermark
     * only the LATEST survives (any earlier one can never be the argmax
@@ -86,37 +99,55 @@ object StreamJoin {
     * event-time timeout set to the earliest buffered left row guarantees
     * emission even if the key goes quiet — the group wakes when the
     * watermark passes it, without waiting for new same-key data.
-    *
-    * Inputs are (k, ts, v) frames (ms epoch ts); output is the typed
-    * [[AsofOut]]. `lateness` is the shared out-of-order bound.
+    * `lateness` is the shared out-of-order bound.
     */
   def asofEnrichStream(left: DataFrame, right: DataFrame,
-      lateness: String = "1 hour"): org.apache.spark.sql.Dataset[AsofOut] = {
+      keyCols: Seq[String] = Seq("k"),
+      leftTs: String = "ts", rightTs: String = "ts",
+      lateness: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types.StructType
     val spark = left.sparkSession
     import spark.implicits._
 
+    val rightVals =
+      right.columns.toSeq.filterNot(keyCols.contains).filterNot(_ == rightTs)
+    val collisions = rightVals.toSet.intersect(left.columns.toSet + "asof_ts")
+    require(collisions.isEmpty,
+      s"right value columns collide with left/output columns: $collisions")
+    require(!left.columns.contains("asof_ts"),
+      "left side may not carry a column named asof_ts (reserved for the match)")
+    val leftSchema = left.schema
+    val rvSchema = StructType(
+      right.schema.fields.filter(f => rightVals.contains(f.name)))
+
+    def pack(df: DataFrame, side: Int, ts: String,
+        payloadCols: Seq[String]): DataFrame =
+      df.select(
+        to_json(struct(keyCols.map(col): _*)).as("_key"),
+        lit(side).as("_side"),
+        col(ts).cast("long").as("_ts"),
+        to_json(struct(payloadCols.map(col): _*)).as("_payload"))
     // the watermarked event-time column must survive into the grouped
     // Dataset (projecting it away fails the event-time-timeout check)
-    val u = left.select(col("k"), col("ts").cast("long"), col("v"), lit(1).as("side"))
-      .unionByName(
-        right.select(col("k"), col("ts").cast("long"), col("v"), lit(0).as("side")))
-      .withColumn("_evt", timestamp_millis(col("ts")))
+    val u = pack(left, 1, leftTs, left.columns.toSeq)
+      .unionByName(pack(right, 0, rightTs, rightVals))
+      .withColumn("_evt", timestamp_millis(col("_ts")))
       .withWatermark("_evt", lateness)
-      .select(col("k"), col("side"), col("ts"), col("v"), col("_evt"))
-      .as[(String, Int, Long, Double, java.sql.Timestamp)]
+      .select(col("_key"), col("_side"), col("_ts"), col("_payload"), col("_evt"))
+      .as[(String, Int, Long, String, java.sql.Timestamp)]
 
-    u.groupByKey(_._1)
-      .flatMapGroupsWithState[AsofState, AsofOut](
+    val raw = u.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOutRaw](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (k: String, it: Iterator[(String, Int, Long, Double, java.sql.Timestamp)],
+        (_: String, it: Iterator[(String, Int, Long, String, java.sql.Timestamp)],
             state: GroupState[AsofState]) =>
           val wm = state.getCurrentWatermarkMs()
           val buf = state.getOption.map(_.rows).getOrElse(Seq.empty) ++
-            it.map { case (_, side, ts, v, _) => AsofRow(side, ts, v) }
+            it.map { case (_, side, ts, p, _) => AsofRow(side, ts, p) }
           // sort once: rights before lefts at equal ts = inclusive <=
           val sorted = buf.sortBy(r => (r.ts, r.side))
-          val out = Seq.newBuilder[AsofOut]
+          val out = Seq.newBuilder[AsofOutRaw]
           var best: Option[AsofRow] = None // latest right seen so far
           val keep = Seq.newBuilder[AsofRow]
           sorted.foreach { r =>
@@ -127,7 +158,8 @@ object StreamJoin {
               // it is re-added after the loop
               if (r.ts > wm) keep += r
             } else if (r.ts <= wm) {
-              out += AsofOut(k, r.ts, r.v, best.map(_.ts), best.map(_.v))
+              out += AsofOutRaw(r.ts, r.payload,
+                best.map(_.ts), best.map(_.payload))
             } else {
               keep += r // left still inside the lateness window
             }
@@ -148,5 +180,14 @@ object StreamJoin {
           }
           out.result().iterator
       }
+
+    // unpack to the batch operator's layout: left columns, asof_ts,
+    // right value columns (null when no right row preceded)
+    raw.select(
+        from_json(col("payload"), leftSchema).as("_l"),
+        col("asofTs").as("asof_ts"),
+        from_json(col("rpayload"), rvSchema).as("_r"))
+      .select(leftSchema.fieldNames.toSeq.map(c => col(s"_l.$c").as(c)) ++
+        (col("asof_ts") +: rightVals.map(c => col(s"_r.$c").as(c))): _*)
   }
 }

@@ -185,6 +185,11 @@ class ApiSpec extends SparkSpec {
     val c = JsonMini.parseObject(Info.configJson(spark)).get
     assert(c("tsdb.timestamp.resolution") === "millisecond")
     assert(c.contains("spark.sql.shuffle.partitions"))
+    // a control char inside a loaded config VALUE must still yield
+    // strict JSON (GraftConfig.escape, not a two-replace escape)
+    val tabbed = GraftConfig.parse("log.file = a\tb")
+    val cj = JsonMini.parseObject(Info.configJson(spark, Some(tabbed))).get
+    assert(cj("log.file") === "a\tb")
     val f = JsonMini.parseObject(Info.configFiltersJson).get
     for (name <- Seq("literal_or", "iliteral_or", "not_literal_or",
         "not_iliteral_or", "wildcard", "iwildcard", "regexp")) {
@@ -424,7 +429,7 @@ class StreamingSpec extends SparkSpec {
     val rMem = MemoryStream[(String, Long, Double)]
     val out = StreamJoin.asofEnrichStream(
       lMem.toDS().toDF("k", "ts", "v"),
-      rMem.toDS().toDF("k", "ts", "v"), lateness = "10 seconds")
+      rMem.toDS().toDF("k", "ts", "y"), lateness = "10 seconds")
     assert(out.isStreaming)
     val q = out.writeStream.format("memory")
       .queryName("sj_asof").outputMode("append").start()
@@ -443,8 +448,9 @@ class StreamingSpec extends SparkSpec {
       rMem.addData(("zz", 60000L, 0.0))
       q.processAllAvailable()
       val streamed = spark.table("sj_asof")
-        .as[StreamJoin.AsofOut].collect()
-        .map(o => (o.k, o.ts, o.v, o.asofTs, o.y)).toSet
+        .select("k", "ts", "v", "asof_ts", "y")
+        .as[(String, Long, Double, Option[Long], Option[Double])]
+        .collect().toSet
       val batch = SeriesJoin.asofJoin(
         lefts.toDF("k", "ts", "v"),
         rights.map { case (k, t, y) => (k, t, y) }.toDF("k", "ts", "y"),
@@ -458,6 +464,54 @@ class StreamingSpec extends SparkSpec {
         ("u1", 3000L, 1.0, Some(1000L), Some(10.0)),
         ("u1", 6000L, 2.0, Some(5000L), Some(50.0)),
         ("u2", 7000L, 4.0, Some(7000L), Some(70.0))))
+    } finally q.stop()
+  }
+
+  test("streaming as-of enrichment: arbitrary schemas match batch asofJoin") {
+    import graft.query.SeriesJoin
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+    // two key columns; multi-column payloads on both sides (a string
+    // label + a double on the right — the batch operator's struct trick)
+    val lefts = Seq( // (dc, host, ts, x, note)
+      ("east", "h1", 1000L, 1.5, "a"),
+      ("east", "h1", 4000L, 2.5, "b"),
+      ("west", "h2", 4000L, 3.5, "c"))
+    val rights = Seq( // (dc, host, ts, y, label)
+      ("east", "h1", 500L, 10.0, "r1"),
+      ("east", "h1", 3000L, 30.0, "r2"),
+      ("west", "h2", 9000L, 90.0, "r3")) // after the left → no match
+    val lMem = MemoryStream[(String, String, Long, Double, String)]
+    val rMem = MemoryStream[(String, String, Long, Double, String)]
+    val out = StreamJoin.asofEnrichStream(
+      lMem.toDS().toDF("dc", "host", "ts", "x", "note"),
+      rMem.toDS().toDF("dc", "host", "ts", "y", "label"),
+      keyCols = Seq("dc", "host"), lateness = "10 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("sj_asof_g").outputMode("append").start()
+    try {
+      lMem.addData(lefts: _*)
+      rMem.addData(rights: _*)
+      q.processAllAvailable()
+      rMem.addData(("zz", "zz", 50000L, 0.0, "w")) // watermark push
+      q.processAllAvailable()
+      rMem.addData(("zz", "zz", 60000L, 0.0, "w")) // timeout wake
+      q.processAllAvailable()
+      val cols = Seq("dc", "host", "ts", "x", "note", "asof_ts", "y", "label")
+      val streamed = spark.table("sj_asof_g").select(cols.map(col): _*)
+        .as[(String, String, Long, Double, String,
+          Option[Long], Option[Double], Option[String])].collect().toSet
+      val batch = SeriesJoin.asofJoin(
+        lefts.toDF("dc", "host", "ts", "x", "note"),
+        rights.toDF("dc", "host", "ts", "y", "label"),
+        Seq("dc", "host")).select(cols.map(col): _*)
+        .as[(String, String, Long, Double, String,
+          Option[Long], Option[Double], Option[String])].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.contains(
+        ("east", "h1", 4000L, 2.5, "b", Some(3000L), Some(30.0), Some("r2"))))
+      assert(streamed.contains(
+        ("west", "h2", 4000L, 3.5, "c", None, None, None)))
     } finally q.stop()
   }
 

@@ -307,6 +307,32 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"pq recall collapsed: $recall")
   }
 
+  test("pq at production parameters: k=256 m=16 trains, encodes, searches") {
+    // the literal-expression form died here (4,096 struct literals per
+    // row → 64KB-method interpreted fallback + minutes of plan build);
+    // the native NearestCentroid/PqAdc nodes must handle it in bounded
+    // time on the 500-vector sf0.01 fixture
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val t0 = System.nanoTime()
+    val books = Similarity.pqCodebooks(emb01, m = 16, k = 256, iters = 2)
+    assert(books.size === 16 && books.forall(_.size === 256))
+    assert(books.forall(_.forall(_._2.size === 4))) // 64/16 dims each
+    val codes = Similarity.pqEncode(emb01, books)
+      .as[(Long, Seq[Long])].collect()
+    assert(codes.length === 500 && codes.forall(_._2.size === 16))
+    val q = emb01.filter($"vec_id" < 5)
+    val pq = Similarity.pqAdcKnn(codes = Similarity.pqEncode(emb01, books),
+      queries = q, books = books, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(pq.length === 50) // 5 queries × 10 neighbors
+    assert(pq.forall(r => !r._3.isNaN), "NaN ADC = codebook lookup bug")
+    // at k=256 on 500 vectors the codebook nearly memorizes the corpus —
+    // ADC distances must be small and the search must finish fast
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"k=256 m=16 train+encode+search took $secs s")
+    assert(secs < 120, s"production-parameter PQ too slow: $secs s")
+  }
+
   test("pinned ANN recall bounds: lsh ≥ 0.7 and ivf ≥ 0.9 at recall@10") {
     // quantitative floor so a silent recall collapse fails CI instead of
     // drifting; the sf0.01 fixture (5k vectors) gives stable statistics
@@ -326,6 +352,28 @@ class PipelineSpec extends SparkSpec {
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
     assert(ivfRecall >= 0.9, s"ivf recall@10=$ivfRecall < 0.9")
+  }
+
+  test("ivf: trained centroids match or beat the subsample stand-in") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb01.filter($"vec_id" < 30)
+    val brute = Similarity.bruteKnn(emb01, queries, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
+      // ~16 lists, 4 probed — deliberately unsaturated so quantizer
+      // quality shows up in recall instead of both paths hitting 1.0
+      val (c, assigned) =
+        Similarity.ivfIndex(emb01, centStep = 32, centroids = cent)
+      val got = Similarity.ivfSearch(c, assigned, queries, 10, nProbe = 4)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val sub = recall(None)
+    val trained = recall(Some(
+      Similarity.trainedCentroids(emb01, k = 16, iters = 3)))
+    info(s"ivf recall@10: subsample=$sub trained=$trained")
+    assert(trained >= sub,
+      s"trained coarse quantizer lost to the subsample: $trained < $sub")
   }
 
   test("ivf knn: k results per query, self excluded, decent recall") {
@@ -578,6 +626,12 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r(4L)._3 - 2.0) < 1e-6)
     val expected5 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2.0)
     assert(math.abs(r(5L)._3 - expected5) < 1e-6)
+    // non-BMP safety: an emoji (surrogate pair in UTF-16) counts as ONE
+    // char, matching the oracle's codepoint semantics
+    val emoji = TextAnalysis.charEntropy(Seq((9L, "a😀a😀")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(emoji._2 === 4 && emoji._3 === 2) // 4 codepoints, 2 distinct
+    assert(math.abs(emoji._4 / 1e9 / math.log(2.0) - 1.0) < 1e-6)
     // entropy of n distinct chars is bounded by log2(n)
     val corpus = TextAnalysis.charEntropy(docs)
       .as[(Long, Long, Long, Long)].collect()
