@@ -98,6 +98,43 @@ object SparkEntry {
     st
   }
 
+  // unique memory-sink names for the streaming replay gate (the bench
+  // invokes a gate several times in one session)
+  private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drive a streaming replay to completion: memory sink `qn`, tmpfs
+    * checkpoint, and a LOW shuffle-partition count for the replay's
+    * duration — a stateful micro-batch pays per-partition state-store
+    * overhead regardless of rows, so 32 partitions × N batches is pure
+    * fixed cost for a bounded replay (measured 22 s → ~4 s at sf0.1).
+    * `batches` yields one closure per micro-batch of addData calls;
+    * each is followed by processAllAvailable.
+    */
+  private def runReplay(s: SparkSession, out: DataFrame, qn: String)(
+      batches: () => Seq[() => Unit]): Unit = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_replay_ckpt")
+    else java.nio.file.Files.createTempDirectory("graft_replay_ckpt")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream.format("memory")
+        .option("checkpointLocation", ckpt.toString)
+        .queryName(qn).outputMode("append").start()
+      try batches().foreach { b => b(); q.processAllAvailable() }
+      finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(ckpt) catch { case _: java.io.IOException => () }
+    }
+  }
+
   // memoized per source dir: q_routed_maintained times the routed query,
   // not the fixture's two full ingests (those are q_store_ingest's job)
   private val storeCache =
@@ -502,6 +539,109 @@ object SparkEntry {
         graft.query.SeriesJoin.intervalJoin(clicks, errors, Seq("user_id"),
           lower = -2L * 3600 * 1000, upper = 0L)
           .orderBy("event_id", "err_id")
+      },
+
+      // the SAME pairs through the native stream-stream interval join:
+      // a deterministic 3-batch replay (ts-sorted thirds, memory sink,
+      // processAllAvailable between batches) whose final emitted set
+      // must equal the batch operator's oracled result. Lateness is set
+      // beyond the replay's disorder, so the watermark machinery runs
+      // (state eviction is spec-asserted) without dropping rows — the
+      // determinism that makes a streaming operator oracle-checkable
+      "q_interval_stream" -> { (s, dir) =>
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = DpView.events(s, dir).select(
+          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+          // deterministic user sample: the replay prices micro-batch
+          // state machinery, which is row-count-independent — a quarter
+          // of the users exercises the same operator paths (oracle
+          // carries the same filter)
+          .filter(col("user_id") % 4 === 0)
+        // bounded driver collect BY CONSTRUCTION of the replay harness:
+        // a production stream arrives from a source, not a collect
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .as[(Long, Long, Long)].collect().sortBy(_._3)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+        val lMem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        val rMem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long, Double)]
+        val out = graft.streaming.StreamJoin.intervalJoinStream(
+          lMem.toDS().toDF("event_id", "user_id", "ts"),
+          rMem.toDS().toDF("err_id", "user_id", "ts", "err_value"),
+          Seq("user_id"), lower = -2L * 3600 * 1000, upper = 0L,
+          lateness = "365 days")
+        val qn = s"q_interval_stream_${streamGateSeq.incrementAndGet()}"
+        runReplay(s, out, qn) { () =>
+          val lb = clicks.grouped(math.max(1, (clicks.length + 2) / 3)).toSeq
+          val rb = errors.grouped(math.max(1, (errors.length + 2) / 3)).toSeq
+          (0 until 3).map { i => () =>
+            lb.lift(i).foreach(b => lMem.addData(b.toSeq: _*))
+            rb.lift(i).foreach(b => rMem.addData(b.toSeq: _*))
+          }
+        }
+        s.table(qn)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("right_ts"), col("err_id"), col("err_value"))
+          .orderBy("event_id", "err_id")
+      },
+
+      // the as-of enrichment through the custom-state streaming operator
+      // (flatMapGroupsWithState): same 3-batch replay, then two
+      // watermark-flush rows on the right stream (watermarks take effect
+      // one batch late; the event-time timeout then wakes quiet keys) so
+      // every left finalizes — the emitted set must equal the batch
+      // as-of join's oracled result
+      "q_asof_stream" -> { (s, dir) =>
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = DpView.events(s, dir).select(
+          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+          .filter(col("user_id") % 4 === 0) // oracle carries the same sample
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, Long, Double)].collect().sortBy(_._2)
+        val lMem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long, Double)]
+        val rMem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Double)]
+        // lateness beyond the replay's cross-stream batch-boundary skew:
+        // nothing is late-dropped, so the emitted set is deterministic
+        // and equals the batch truth (eviction is spec-asserted, not
+        // this gate's job)
+        val latenessMs = 30L * 86400 * 1000
+        val out = graft.streaming.StreamJoin.asofEnrichStream(
+          lMem.toDS().toDF("event_id", "user_id", "ts", "value"),
+          rMem.toDS().toDF("user_id", "ts", "err_value"),
+          keyCols = Seq("user_id"), lateness = "30 days")
+        val qn = s"q_asof_stream_${streamGateSeq.incrementAndGet()}"
+        runReplay(s, out, qn) { () =>
+          val lb = clicks.grouped(math.max(1, (clicks.length + 2) / 3)).toSeq
+          val rb = errors.grouped(math.max(1, (errors.length + 2) / 3)).toSeq
+          val replay = (0 until 3).map { i => () =>
+            lb.lift(i).foreach(b => lMem.addData(b.toSeq: _*))
+            rb.lift(i).foreach(b => rMem.addData(b.toSeq: _*))
+          }
+          // flush: push the watermark past every left (+2 batches — the
+          // watermark lags one batch, the timeout fires the next)
+          val maxTs = (clicks.map(_._3) ++ errors.map(_._2)).max
+          replay ++ Seq(
+            () => rMem.addData((-1L, maxTs + 2 * latenessMs, 0.0)),
+            () => rMem.addData((-1L, maxTs + 3 * latenessMs, 0.0)))
+        }
+        s.table(qn)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("asof_ts"), col("err_value"))
+          .orderBy("event_id")
       },
 
       // §2.10 maintained metadata end-to-end: ingest batches update
@@ -1086,6 +1226,32 @@ object SparkEntry {
         s"""WITH ev AS (
            |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
            |  FROM events),
+           |c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |e AS (SELECT event_id AS err_id, user_id, ts AS err_ts, value AS err_value
+           |      FROM ev WHERE event_type = 'error')
+           |SELECT c.event_id, c.user_id, c.ts, e.err_ts AS right_ts, e.err_id, e.err_value
+           |FROM c JOIN e ON c.user_id = e.user_id
+           |  AND e.err_ts BETWEEN c.ts - ${2L * 3600 * 1000} AND c.ts
+           |ORDER BY c.event_id, e.err_id""".stripMargin,
+
+      // the streaming replay finalizes exactly the batch as-of join's
+      // result on the replay's deterministic user sample — same truth
+      "q_asof_stream" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
+           |  FROM events WHERE user_id % 4 = 0),
+           |c AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+           |e AS (SELECT user_id, ts AS asof_ts, value AS err_value FROM ev WHERE event_type = 'error')
+           |SELECT c.event_id, c.user_id, c.ts, c.value, e.asof_ts, e.err_value
+           |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.asof_ts
+           |ORDER BY c.event_id""".stripMargin,
+
+      // the streaming replay finalizes exactly the batch interval join's
+      // pairs on the replay's deterministic user sample — same truth
+      "q_interval_stream" ->
+        s"""WITH ev AS (
+           |  SELECT event_id, epoch_ms(ts) AS ts, user_id, event_type, value
+           |  FROM events WHERE user_id % 4 = 0),
            |c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
            |e AS (SELECT event_id AS err_id, user_id, ts AS err_ts, value AS err_value
            |      FROM ev WHERE event_type = 'error')

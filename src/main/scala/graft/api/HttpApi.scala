@@ -266,8 +266,34 @@ final class HttpApi(
   private val Json = "application/json"
   private val Plain = "text/plain"
 
-  private def body(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+  /** Request body, inflated by `Content-Encoding` first — the reference
+    * accepts `deflate`/`gzip`/`x-gzip` request bodies on the write path
+    * (`include/http.h:109`, `src/core/http.cpp:1187-1210`; tcollector
+    * POSTs gzipped /api/put batches). zlib-wrapped vs raw deflate both
+    * occur in the wild: try zlib first, fall back to `nowrap`.
+    */
+  private def body(ex: HttpExchange): String = {
+    val raw = ex.getRequestBody.readAllBytes()
+    val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .map(_.trim.toLowerCase).getOrElse("identity")
+    val bytes = enc match {
+      case "gzip" | "x-gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      case "deflate" =>
+        def inflate(nowrap: Boolean): Array[Byte] = {
+          val in = new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(raw),
+            new java.util.zip.Inflater(nowrap))
+          try in.readAllBytes() finally in.close()
+        }
+        try inflate(false)
+        catch { case _: java.util.zip.ZipException => inflate(true) }
+      case _ => raw
+    }
+    new String(bytes, UTF_8)
+  }
 
   private def params(ex: HttpExchange): Map[String, Seq[String]] = {
     val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")

@@ -61,6 +61,47 @@ class HttpSpec extends SparkSpec {
         s""""dps":{"$T0s":11.0,"${T0s + 3600}":22.0}}]""")
   }
 
+  test("gzip and deflate request bodies inflate before parse (tcollector)") {
+    def postEncoded(path: String, body: Array[Byte],
+        encoding: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .header("Content-Encoding", encoding)
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def gzipped(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    def deflated(s: String, nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.DeflaterOutputStream(bos, d)
+      out.write(s.getBytes("UTF-8")); out.close()
+      bos.toByteArray
+    }
+    val r1 = postEncoded("/api/put",
+      gzipped(s"put gz.m $T0s 1.5 host=gz"), "gzip")
+    assert(r1.statusCode() === 200)
+    val r2 = postEncoded("/api/put",
+      deflated(s"put gz.m ${T0s + 60} 2.5 host=gz", nowrap = false), "deflate")
+    assert(r2.statusCode() === 200)
+    val r3 = postEncoded("/api/put", // raw-deflate variant some agents send
+      deflated(s"put gz.m ${T0s + 120} 3.5 host=gz", nowrap = true), "deflate")
+    assert(r3.statusCode() === 200)
+    // gzipped query POST round-trips the ingested points back out
+    val q = postEncoded("/api/query", gzipped(
+      s"""{"start":$T0s,"end":$T2s,"queries":[
+         |  {"metric":"gz.m","aggregator":"none","tags":{}}]}""".stripMargin),
+      "gzip")
+    assert(q.statusCode() === 200)
+    assert(q.body().contains(s""""$T0s":1.5"""))
+    assert(q.body().contains(s""""${T0s + 60}":2.5"""))
+    assert(q.body().contains(s""""${T0s + 120}":3.5"""))
+  }
+
   test("GET query: m= grammar equals the POST result") {
     post("/api/put", s"put m $T0s 1.0 host=h1 dc=east") // dup ts, last wins, same value
     val g = get(s"/api/query?start=$T0s&end=$T2s&m=sum:m")
