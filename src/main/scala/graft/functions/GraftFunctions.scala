@@ -146,6 +146,24 @@ object GraftFunctions {
         sub))
   }
 
+  /** Nearest-centroid id by COSINE (IVF coarse assignment) — one
+    * [[NearestCentroidCos]] node over a driver-held centroid table
+    * `(cid, vector, precomputed norm)`, ascending cid. Replaces the
+    * crossJoin + max_by row explosion with a per-row loop.
+    */
+  def nearestCidCos(v: Column,
+      cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    require(cents.nonEmpty, "empty centroid table")
+    val sub = cents.head._2.size
+    org.apache.spark.sql.GraftSqlBridge.column(
+      NearestCentroidCos(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        cents.map(_._1).toArray,
+        cents.flatMap(_._2).toArray,
+        cents.map(_._3).toArray,
+        sub))
+  }
+
   /** ADC distance over PQ codes for one query's flattened m×stride
     * table (subspace s, code c at `s*stride + c`) — one [[PqAdc]] node
     * per query instead of m map literals of k entries.

@@ -109,6 +109,105 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
     copy(child = newChild)
 }
 
+/** Nearest-centroid-by-COSINE id — the IVF coarse-assignment argmax as
+  * one native node. The declarative form (corpus crossJoin broadcast
+  * centroids → per-pair cosine → `max_by` re-aggregation) MATERIALIZES
+  * n·c joined rows before the aggregate collapses them: with centroids
+  * proportional to corpus size that is a quadratic volume of struct
+  * rows through the join (measured 0.6 s → 22 s at 10× data). Here the
+  * centroids ride as flattened expression data and each corpus row is
+  * one tight loop — O(n·c) multiply-adds, ZERO intermediate rows.
+  *
+  * Arithmetic matches the declarative form bit-for-bit: cosine =
+  * dot(v,c) / (sqrt(dot(v,v)) · cn) with every dot a sequential
+  * ascending fold ([[DotProduct]] order) and `cn` the PRE-COMPUTED
+  * per-centroid norm (pass the value Spark computed, don't re-derive).
+  * The winner comparison is `java.lang.Double.compare(cos, best) > 0`
+  * scanning cids ascending — exactly `max_by` over a (cos, -cid)
+  * struct: greatest cosine wins, ties to the smallest cid, NaN ranked
+  * greatest (Spark's total order).
+  */
+case class NearestCentroidCos(child: Expression, cids: Array[Long],
+    cents: Array[Double], cn: Array[Double], sub: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "nearest_centroid_cos"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    var qq = 0.0
+    var i = 0
+    while (i < nv) { val x = v.getDouble(i); qq += x * x; i += 1 }
+    val vn = Math.sqrt(qq)
+    val n = math.min(nv, sub)
+    var best = Double.NegativeInfinity
+    var bestCid = cids(0)
+    var j = 0
+    while (j < cids.length) {
+      var qc = 0.0
+      val base = j * sub
+      i = 0
+      while (i < n) { qc += v.getDouble(i) * cents(base + i); i += 1 }
+      val cos = qc / (vn * cn(j))
+      if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestCid = cids(j) }
+      j += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+      val cnRef = ctx.addReferenceObj("cn", cn, "double[]")
+      val nv = ctx.freshName("nv")
+      val qq = ctx.freshName("qq")
+      val vn = ctx.freshName("vn")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val qc = ctx.freshName("qc")
+      val cos = ctx.freshName("cos")
+      val x = ctx.freshName("x")
+      s"""
+         |final int $nv = $v.numElements();
+         |double $qq = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  final double $x = $v.getDouble($i); $qq += $x * $x;
+         |}
+         |final double $vn = java.lang.Math.sqrt($qq);
+         |final int $n = java.lang.Math.min($nv, $sub);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bestCid = $cidsRef[0];
+         |for (int $j = 0; $j < $cidsRef.length; $j++) {
+         |  double $qc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $qc += $v.getDouble($i) * $centsRef[$j * $sub + $i];
+         |  }
+         |  final double $cos = $qc / ($vn * $cnRef[$j]);
+         |  if (java.lang.Double.compare($cos, $best) > 0) {
+         |    $best = $cos; $bestCid = $cidsRef[$j];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidCos =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance lookup sum over PQ codes: for one query's
   * precomputed per-subspace distance tables, `Σ_s table[s][code_s]` in
   * fixed left-to-right order (the association the oracle replays). The

@@ -479,16 +479,25 @@ object Similarity {
     val cent = centroids.getOrElse(
       prep(corpus.filter(pmod(col(idCol), lit(centStep)) === 0),
         idCol, vecCol, "cid", "cv", "cn"))
-    // nearest centroid per corpus vector; ties break to the smallest cid
-    // (max_by on (cos, -cid), mirrored by the oracle's ORDER BY cos DESC, cid)
+    // nearest centroid per corpus vector; ties break to the smallest
+    // cid (the max_by-on-(cos, -cid) contract, mirrored by the oracle's
+    // ORDER BY cos DESC, cid). Centroids collect to the driver — the
+    // kmeans pattern: a coarse quantizer is k·dim doubles BY SIZING
+    // (√n centroids is the IVF working point; size centStep ∝ √n, NOT a
+    // constant — a constant makes centroids ∝ n and assignment work
+    // quadratic, measured 0.6 s → 22 s at 10× on the fixed-param gate) —
+    // and ride into [[graft.functions.NearestCentroidCos]] as expression
+    // data: one per-row loop, no crossJoin row explosion (22 s → ~2 s
+    // at sf1 on identical parameters).
+    val centRows = cent.select(col("cid"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toIndexedSeq, r.getDouble(2)))
+      .sortBy(_._1).toSeq
     val assigned = spread(prep(corpus, idCol, vecCol, "nid", "nv", "nn"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", pairCos("nv", "nn", "cv", "cn"))
-      .groupBy(col("nid"))
-      .agg(max_by(
-        struct(col("cid"), col("nv"), col("nn")),
-        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
-      .select(col("best.cid"), col("nid"), col("best.nv"), col("best.nn"))
+      .withColumn("cid",
+        graft.functions.GraftFunctions.nearestCidCos(col("nv"), centRows))
+      .select(col("cid"), col("nid"), col("nv"), col("nn"))
     (cent, assigned)
   }
 

@@ -91,9 +91,13 @@ class PlanAuditSpec extends SparkSpec {
   test("IVF search: centroid joins broadcast, candidate work never " +
     "query-cross-corpus") {
     val (f, plan) = fp("pl_knn_ivf")
-    // broadcast nested-loop against the (tiny) centroid table is the
-    // design; a SortMergeJoin on cid for candidates is acceptable — what
-    // must never appear is an unpartitioned cartesian over the corpus
+    // the probe side may broadcast-nested-loop against the (tiny)
+    // centroid table; a SortMergeJoin on cid for candidates is
+    // acceptable — what must never appear is an unpartitioned cartesian
+    // over the corpus, or a SECOND nested-loop (corpus assignment is a
+    // per-row NearestCentroidCos expression, not a join)
     assert(!plan.contains("CartesianProduct"), s"corpus cartesian\n$plan")
+    assert(f.nestedLoopJoins <= 1,
+      s"corpus-side assignment regressed to a join\n$plan")
   }
 }
