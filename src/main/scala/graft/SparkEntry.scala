@@ -482,7 +482,7 @@ object SparkEntry {
       // (SeriesJoin.asofJoin; oracle = DuckDB's native ASOF LEFT JOIN)
       "q_asof_join" -> { (s, dir) =>
         val ev = DpView.events(s, dir).select(
-          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("event_id"), DpView.tsMillis.as("ts"),
           col("user_id"), col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts", "value")
@@ -497,7 +497,7 @@ object SparkEntry {
       // from the flipped inequality)
       "q_asof_forward" -> { (s, dir) =>
         val ev = DpView.events(s, dir).select(
-          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("event_id"), DpView.tsMillis.as("ts"),
           col("user_id"), col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts", "value")
@@ -512,7 +512,7 @@ object SparkEntry {
       // ts - 2h) fall back to null, the merge_asof tolerance contract
       "q_asof_tolerance" -> { (s, dir) =>
         val ev = DpView.events(s, dir).select(
-          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("event_id"), DpView.tsMillis.as("ts"),
           col("user_id"), col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts", "value")
@@ -529,7 +529,7 @@ object SparkEntry {
       // scan (SeriesJoin.intervalJoin)
       "q_interval_join" -> { (s, dir) =>
         val ev = DpView.events(s, dir).select(
-          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("event_id"), DpView.tsMillis.as("ts"),
           col("user_id"), col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts")
@@ -552,7 +552,7 @@ object SparkEntry {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val ev = DpView.events(s, dir).select(
-          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("event_id"), DpView.tsMillis.as("ts"),
           col("user_id"), col("event_type"), col("value"))
           // deterministic user sample: the replay prices micro-batch
           // state machinery, which is row-count-independent — a quarter
@@ -601,7 +601,7 @@ object SparkEntry {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val ev = DpView.events(s, dir).select(
-          col("event_id"), expr("ts div 1000000").as("ts"),
+          col("event_id"), DpView.tsMillis.as("ts"),
           col("user_id"), col("event_type"), col("value"))
           .filter(col("user_id") % 4 === 0) // oracle carries the same sample
         val clicks = ev.filter(col("event_type") === "click")

@@ -84,24 +84,34 @@ object Dp {
   */
 object DpView {
 
-  /** Read `events.parquet` (nanosecond timestamps — Spark can't read
-    * TIMESTAMP(NANOS) natively, so it's read as a nanos Long and floored to
-    * millis; DuckDB's `epoch_ms(ts)` truncates the same way).
+  /** Read `events.parquet`. The driver writes `ts` as a parquet TIMESTAMP
+    * (micros, not UTC-adjusted), which Spark reads as TIMESTAMP_NTZ. Every
+    * graft session pins `spark.sql.session.timeZone=UTC`, so [[tsMillis]]
+    * below lands on the same epoch-ms instants as DuckDB's `epoch_ms(ts)`
+    * (which also treats the naive value as UTC).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // ts-range predicates over the ns→ms division must reach the parquet
-    // scan as raw-column bounds (row-group pruning at scale)
+    // ts-range predicates over the ntz→epoch-ms conversion must reach the
+    // parquet scan as raw timestamp bounds (row-group pruning at scale)
     graft.plans.GraftOptimizations.install(spark)
     spark.read.parquet(s"$dir/events.parquet")
   }
+
+  /** Event time as epoch milliseconds (Long). `unix_millis` floor-divides
+    * micros the same way DuckDB's `epoch_ms` does, so the two sides of the
+    * oracle agree bit-for-bit. The NTZ→LTZ cast uses the session timezone
+    * (UTC in every graft entry point); [[graft.plans.DivBoundsRule]]
+    * recognizes this exact expression shape and turns epoch-ms range
+    * predicates over it into pushable raw-timestamp bounds.
+    */
+  def tsMillis: Column = unix_millis(col("ts").cast("timestamp"))
 
   /** The canonical dp view used by every TSDB-shaped query and its oracle:
     *   metric = event_type
     *   tags   = host=host{user_id%5}, dc=dc{user_id%2}
     *            (+ od=od{user_id%3} only when user_id%3==0 — variable tag
     *             sets so `explicit_tags` has something to discriminate)
-    *   ts     = epoch ms (floor of the ns event time)
+    *   ts     = epoch ms (floor of the event timestamp's micros)
     *   value  = value
     *   seq    = event_id
     */
@@ -116,7 +126,7 @@ object DpView {
     ev.select(
       col("event_type").as("metric"),
       tags.as("tags"),
-      expr("ts div 1000000").as("ts"), // ns → ms, integer division (no double rounding)
+      tsMillis.as("ts"),
       col("value").as("value"),
       col("event_id").as("seq"))
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Infers raw-column bounds from comparisons over integer division, so
   * unit-conversion projections don't defeat parquet pushdown.
@@ -41,32 +41,57 @@ object DivBoundsRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** (base expression, divisor k, bound c, op, bound-literal builder). */
+  private type Match = (Expression, Long, Long, String, Long => Literal)
+
   private object DivAttrLit {
-    /** Matches `(attr div k) <op> c` or `c <op> (attr div k)` (flipped),
-      * yielding (attr, k, c, opOnDivLeft).
+    /** Matches `chain(base) <op> c` or `c <op> chain(base)` (flipped),
+      * where chain is a floor-division shape from [[Div]].
       */
-    def unapply(e: Expression): Option[(Expression, Long, Long, String)] = e match {
-      case GreaterThanOrEqual(Div(a, k), Lit(c)) => Some((a, k, c, "gte"))
-      case GreaterThan(Div(a, k), Lit(c)) => Some((a, k, c, "gt"))
-      case LessThanOrEqual(Div(a, k), Lit(c)) => Some((a, k, c, "lte"))
-      case LessThan(Div(a, k), Lit(c)) => Some((a, k, c, "lt"))
-      case EqualTo(Div(a, k), Lit(c)) => Some((a, k, c, "eq"))
-      case GreaterThanOrEqual(Lit(c), Div(a, k)) => Some((a, k, c, "lte"))
-      case GreaterThan(Lit(c), Div(a, k)) => Some((a, k, c, "lt"))
-      case LessThanOrEqual(Lit(c), Div(a, k)) => Some((a, k, c, "gte"))
-      case LessThan(Lit(c), Div(a, k)) => Some((a, k, c, "gt"))
-      case EqualTo(Lit(c), Div(a, k)) => Some((a, k, c, "eq"))
+    def unapply(e: Expression): Option[Match] = e match {
+      case GreaterThanOrEqual(Div(a, k, m), Lit(c)) => Some((a, k, c, "gte", m))
+      case GreaterThan(Div(a, k, m), Lit(c)) => Some((a, k, c, "gt", m))
+      case LessThanOrEqual(Div(a, k, m), Lit(c)) => Some((a, k, c, "lte", m))
+      case LessThan(Div(a, k, m), Lit(c)) => Some((a, k, c, "lt", m))
+      case EqualTo(Div(a, k, m), Lit(c)) => Some((a, k, c, "eq", m))
+      case GreaterThanOrEqual(Lit(c), Div(a, k, m)) => Some((a, k, c, "lte", m))
+      case GreaterThan(Lit(c), Div(a, k, m)) => Some((a, k, c, "lt", m))
+      case LessThanOrEqual(Lit(c), Div(a, k, m)) => Some((a, k, c, "gte", m))
+      case LessThan(Lit(c), Div(a, k, m)) => Some((a, k, c, "gt", m))
+      case EqualTo(Lit(c), Div(a, k, m)) => Some((a, k, c, "eq", m))
       case _ => None
     }
   }
 
+  /** The two floor-division shapes the dp views produce over the scan
+    * column:
+    *   - `a div k` on Longs (truncating; the guards below restrict to the
+    *     region where truncation == floor) — legacy integer event times
+    *     and the ms→s response-edge division;
+    *   - `unix_millis(cast(ntz as timestamp))` with a UTC session zone —
+    *     the driver's parquet TIMESTAMP event times. `unix_millis` is
+    *     floorDiv(micros, 1000), and the UTC cast is the identity on the
+    *     underlying micros, so an epoch-ms bound maps 1:1 to a raw
+    *     TIMESTAMP_NTZ literal bound parquet can prune row groups with.
+    */
   private object Div {
-    def unapply(e: Expression): Option[(Expression, Long)] = e match {
+    def unapply(e: Expression): Option[(Expression, Long, Long => Literal)] = e match {
       case IntegralDivide(a, Literal(k: Long, LongType), _)
-          if a.deterministic && a.dataType == LongType => Some((a, k))
+          if a.deterministic && a.dataType == LongType =>
+        Some((a, k, v => Literal(v)))
+      case UnixMillis(c @ Cast(a, TimestampType, _, _))
+          if a.deterministic && a.dataType == TimestampNTZType &&
+            isUtc(c.timeZoneId) =>
+        Some((a, 1000L, v => Literal(v, TimestampNTZType)))
       case _ => None
     }
   }
+
+  private def isUtc(zone: Option[String]): Boolean =
+    zone.exists { z =>
+      try java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    }
 
   private object Lit {
     def unapply(e: Expression): Option[Long] = e match {
@@ -79,22 +104,24 @@ object DivBoundsRule extends Rule[LogicalPlan] {
   private def mulOk(c: Long, k: Long): Boolean =
     c <= Long.MaxValue / k // both positive by the guards below
 
-  private def lower(a: Expression, k: Long, c: Long): Option[Expression] =
-    if (c > 0 && mulOk(c, k)) Some(GreaterThanOrEqual(a, Literal(c * k)))
+  private def lower(a: Expression, k: Long, c: Long,
+      mkLit: Long => Literal): Option[Expression] =
+    if (c > 0 && mulOk(c, k)) Some(GreaterThanOrEqual(a, mkLit(c * k)))
     else None
 
-  private def upper(a: Expression, k: Long, c: Long): Option[Expression] =
-    if (c >= 0 && mulOk(c + 1, k)) Some(LessThanOrEqual(a, Literal((c + 1) * k - 1)))
+  private def upper(a: Expression, k: Long, c: Long,
+      mkLit: Long => Literal): Option[Expression] =
+    if (c >= 0 && mulOk(c + 1, k)) Some(LessThanOrEqual(a, mkLit((c + 1) * k - 1)))
     else None
 
   private def infer(e: Expression): Seq[Expression] = e match {
-    case DivAttrLit(a, k, c, op) if k > 0 =>
+    case DivAttrLit(a, k, c, op, m) if k > 0 =>
       op match {
-        case "gte" => lower(a, k, c).toSeq
-        case "gt" => lower(a, k, c + 1).toSeq
-        case "lte" => upper(a, k, c).toSeq
-        case "lt" => upper(a, k, c - 1).toSeq
-        case "eq" => lower(a, k, c).toSeq ++ upper(a, k, c).toSeq
+        case "gte" => lower(a, k, c, m).toSeq
+        case "gt" => lower(a, k, c + 1, m).toSeq
+        case "lte" => upper(a, k, c, m).toSeq
+        case "lt" => upper(a, k, c - 1, m).toSeq
+        case "eq" => lower(a, k, c, m).toSeq ++ upper(a, k, c, m).toSeq
       }
     case _ => Nil
   }

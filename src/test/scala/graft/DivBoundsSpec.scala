@@ -20,6 +20,27 @@ class DivBoundsSpec extends SparkSpec {
     assert(scan.contains("LessThanOrEqual(ns,3400999999)"))
   }
 
+  test("epoch-ms bounds over a TIMESTAMP_NTZ scan push as timestamp literals") {
+    GraftOptimizations.install(spark)
+    val dir = Files.createTempDirectory("divb_ntz").toString + "/t"
+    // one row per second across ~2h of 2024-01-01, written as parquet
+    // TIMESTAMP (not UTC-adjusted) — the driver's events.ts shape
+    spark.range(0, 7200)
+      .select(expr("timestampadd(SECOND, CAST(id AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00')").as("ts"))
+      .write.parquet(dir)
+    val base = 1704067200000L // 2024-01-01T00:00:00Z epoch ms
+    val q = spark.read.parquet(dir)
+      .select(unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .filter(col("ms") >= base + 600000L && col("ms") <= base + 1200000L)
+    val scan = q.queryExecution.executedPlan.toString
+    // the inferred conjuncts are plain ts-vs-literal comparisons that
+    // reach the parquet scan's PushedFilters (row-group pruning at scale)
+    assert(scan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"no pushed ts lower bound in:\n$scan")
+    assert(scan.contains("LessThanOrEqual(ts,"), s"no pushed ts upper bound in:\n$scan")
+    assert(q.count() === 601) // inclusive ms range, 1 Hz rows
+  }
+
   test("rule preserves exact truncation semantics at bucket edges") {
     GraftOptimizations.install(spark)
     // values straddling every edge of (x div 10) between 2 and 4:
