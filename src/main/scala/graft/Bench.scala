@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // opt-in per-gate isolation (diagnostic mode): each listed query runs
+    // in its own child JVM, so one gate's cache/shuffle/GC residue can't
+    // contaminate another's median — full-sweep numbers then match
+    // targeted ones (the r5 sf1 sweep measured 43.9 s mid-sweep vs 3.7 s
+    // targeted on pl_dedup_minhash, pure measurement contamination).
+    // Costs ~8 s of session bring-up per gate, so the driver path stays
+    // the in-process sweep.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").exists(v => v.nonEmpty && v != "0")) {
+      isolated(args); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -34,7 +44,6 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm up the session + cache shared inputs
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
     }
@@ -52,8 +61,14 @@ object Bench {
     val inputRddIds = spark.sparkContext.getPersistentRDDs.keySet
 
     // optional substring filter over query names (dev iteration aid);
-    // driver invokes with no args = full run
-    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+    // driver invokes with no args = full run. The two streaming replay
+    // gates run LAST: each spins up micro-batch machinery (state stores,
+    // streaming threads, memory-sink tables) whose teardown churn
+    // measurably inflated the medians of whatever ran right after them
+    // mid-sweep (the r5 rollup/routed drift).
+    val streamLast = Set("q_interval_stream", "q_asof_stream")
+    val picked = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (streamLast.contains(n), n) }
       .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(3))
@@ -93,12 +108,13 @@ object Bench {
         if (s.size % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0
       }
       val base = (0 until runs).map(_ => timed())
-      // sub-second queries are where one GC/JIT hiccup is the whole
-      // number (driver-env medians landed up to 6× the builder's on
-      // 0.1-0.7 s gates): take extra samples up to 5 so a single
-      // inflated run can't reach the median. Costs <1 s per such query.
+      // short queries are where one GC/JIT hiccup is the whole number
+      // (driver-env medians landed up to 6× the builder's on 0.1-0.7 s
+      // gates, and the r5 sweep showed 1-2 s gates drifting >2× the same
+      // way): take extra samples up to 5 so a single inflated run can't
+      // reach the median. Costs <2 s per such query.
       val times =
-        if (medianOf(base) < 1.0 && runs < 5)
+        if (medianOf(base) < 2.0 && runs < 5)
           base ++ (0 until (5 - runs)).map(_ => timed())
         else base
       val median = medianOf(times)
@@ -114,6 +130,52 @@ object Bench {
       }
       name -> median
     }
+    emit(results, sfDir)
+    spark.stop()
+  }
+
+  /** Parent side of `SPARK_GRAFT_BENCH_ISOLATE`: one child JVM per gate,
+    * same classpath and JVM flags as this process, isolation var stripped
+    * so the child takes the normal in-process path. A child failure
+    * records -1.0 for its gate and the sweep continues.
+    */
+  private def isolated(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.exists(n.contains))
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val results = names.map { name =>
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
+      // the child prints its own headline line; route it (and Spark's
+      // stderr noise) away from this process's single-JSON-line stdout
+      val log = java.nio.file.Files.createTempFile("bench_iso_", ".log").toFile
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      val rc = pb.start().waitFor()
+      // the child's bench_full.json has exactly one entry: this gate
+      val med =
+        if (rc != 0) -1.0
+        else {
+          val txt = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("bench_full.json"))
+          val m = ("\"" + java.util.regex.Pattern.quote(name) + "\":([-0-9.]+)")
+            .r.findFirstMatchIn(txt)
+          m.map(_.group(1).toDouble).getOrElse(-1.0)
+        }
+      System.err.println(s"[bench-isolate] $name -> $med")
+      name -> med
+    }
+    emit(results, sfDir)
+  }
+
+  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
@@ -137,6 +199,5 @@ object Bench {
     }
     val qs = headline.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$qs,"full":"bench_full.json","sf":"$sfDir"}""")
-    spark.stop()
   }
 }

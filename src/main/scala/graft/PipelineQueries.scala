@@ -871,6 +871,26 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val bandCond = (0 until 4)
       .map(k => s"(a.m${2 * k} = b.m${2 * k} AND a.m${2 * k + 1} = b.m${2 * k + 1})")
       .mkString(" OR ")
+    // band rows + the bucket-size skew guard (Dedup.minhashLshPairs'
+    // maxBucket, default 100) — the oracle replays the identical cap so
+    // the guarded candidate set is hash-checked. MATERIALIZED: `bands` is
+    // read three times; DuckDB would otherwise inline the whole shingle→
+    // signature pipeline into each reference.
+    val bandCandCtes =
+      s"""bands AS MATERIALIZED (
+         |  SELECT id, 0 AS band, m0 AS x, m1 AS y FROM sig
+         |  UNION ALL SELECT id, 1, m2, m3 FROM sig
+         |  UNION ALL SELECT id, 2, m4, m5 FROM sig
+         |  UNION ALL SELECT id, 3, m6, m7 FROM sig),
+         |okb AS (
+         |  SELECT band, x, y FROM bands GROUP BY band, x, y
+         |  HAVING count(*) <= 100),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+         |    AND a.id < b.id
+         |  JOIN okb o ON a.band = o.band AND a.x = o.x AND a.y = o.y)""".stripMargin
     val minhash =
       s"""WITH $shingleCte,
          |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
@@ -878,9 +898,7 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT id,
          |    $sigCols
          |  FROM hs GROUP BY id),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id1, b.id AS id2
-         |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandCond)),
+         |$bandCandCtes,
          |${jaccardCtes()}
          |SELECT p.id1, p.id2, ${sroundSql("p.jac")} AS jaccard
          |FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
@@ -969,9 +987,7 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT id,
          |    $sigCols
          |  FROM hs GROUP BY id),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id1, b.id AS id2
-         |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandCond)),
+         |$bandCandCtes,
          |${jaccardCtes()},
          |fpairs AS (
          |  SELECT p.id1, p.id2

@@ -321,13 +321,33 @@ object Dedup {
     * bucket by (band, minhash values) instead of comparing all pairs, and
     * verification touches ONLY candidate pairs — each joins its two
     * shingle sets and intersects them, never the full shingle self-join.
+    *
+    * `maxBucket` is the band-bucket skew guard: a (band, bucket) with B
+    * members contributes B²/2 candidate pairs, so one pathological bucket
+    * (boilerplate or tiny-vocab corpora collapse many docs onto the same
+    * band signature) makes the join quadratic regardless of how well the
+    * rest of the corpus disperses. Buckets above the cap are dropped
+    * wholesale before the self-join — the same move as
+    * [[ngramJaccardPairs]]' `maxDocFreq` — and the oracle SQL replays the
+    * identical cap, so the guarded result stays hash-checked. On the test
+    * corpus the largest observed bucket is 9 (sf0.1), >10× under the
+    * default; ≤ 0 disables. The bucket-size filter is a semi-join on the
+    * same (band, x, y) key the candidate join shuffles on, so it rides
+    * the exchange that join needs anyway.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = 100): DataFrame = {
     // consumed by two plan branches (signatures + verification sets)
     val sh = shingleHashes(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
-    val banded = bandRows(signaturesFrom(sh))
+    val banded0 = bandRows(signaturesFrom(sh))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0.join(
+        banded0.groupBy("band", "x", "y").agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") <= maxBucket).drop("_bc"),
+        Seq("band", "x", "y"), "left_semi")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
