@@ -88,9 +88,13 @@ final class Store(spark: SparkSession, root: String,
   private val rollupDaySchema =
     StructType(rollupSchema.fields :+ StructField("day", LongType))
 
+  // a LocalRelation (not an empty RDD): PropagateEmptyRelation then
+  // collapses first-batch joins/unions against it at PLAN time — an
+  // empty-RDD frame looks non-empty to the optimizer and keeps its
+  // shuffle stages alive
   private def emptyFrame(schema: StructType): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   /** Plain-directory read (append-only tables). */
   private def readOr(path: String, schema: StructType): DataFrame =
@@ -105,6 +109,21 @@ final class Store(spark: SparkSession, root: String,
     if (entries.isEmpty) emptyFrame(schema)
     else spark.read.schema(schema)
       .parquet(entries.values.map(n => s"$path/$n").toSeq: _*)
+  }
+
+  /** [[readManifested]] restricted to the batch's touched days: a
+    * broadcast semi-join on `day` — except on a table with no committed
+    * manifest, where the read is a provably empty frame and the semi-join
+    * would only add a broadcast-build sub-job (~0.3 s of pure latency per
+    * table on a first-batch ingest) to produce the same empty frame.
+    */
+  private def readManifestedForDays(path: String, schema: StructType,
+      batchDays: DataFrame): DataFrame = {
+    val (_, entries) = currentManifest(path)
+    if (entries.isEmpty) emptyFrame(schema)
+    else spark.read.schema(schema)
+      .parquet(entries.values.map(n => s"$path/$n").toSeq: _*)
+      .join(broadcast(batchDays), Seq("day"), "left_semi")
   }
 
   private val dpSchema = StructType(Seq(
@@ -228,6 +247,13 @@ final class Store(spark: SparkSession, root: String,
     * are serialized on [[writeLock]].
     */
   def ingest(batch: DataFrame): Unit = writeLock.synchronized {
+    def t[A](name: String)(f: => A): A =
+      if (!Store.timePhases) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[store-time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     // snapshot BEFORE the flush: checkpoints that arrive mid-commit wait
     // for the next cycle, exactly the reference's rotate-task ordering
     checkpoints.takeSnapshot()
@@ -248,20 +274,20 @@ final class Store(spark: SparkSession, root: String,
       // the series-index update, so the index pass reads the tiny slice
       // aggregate instead of re-scanning the whole batch for distinct
       // skeys — one fewer full-batch pass per ingest
-      val (slices, mergedState) = computeSliceState(keyed)
+      val (slices, mergedState) = t("computeSliceState")(computeSliceState(keyed))
       val days = try {
         // metadata must not commit before the data it describes: a crash
         // window may lose metadata for committed data (queries then see
         // raw-only, still correct) but never the reverse
-        Await.result(dataCommit, Duration.Inf)
+        t("await dataCommit")(Await.result(dataCommit, Duration.Inf))
         // all four metadata updates (slice state, both rollup levels,
         // series index) commit as ONE Spark write job — each alone is a
         // tiny write whose wall time is job-launch overhead, not data,
         // so an ingest's latency is job-COUNT-bound: one unioned write
         // beats four concurrent ones on a busy or cold driver
-        commitMetadata(keyed, slices, mergedState)
+        t("commitMetadata")(commitMetadata(keyed, slices, mergedState))
       } finally slices.unpersist()
-      maybeCompact(days)
+      t("maybeCompact")(maybeCompact(days))
     } finally keyed.unpersist()
     // the batch (and everything before it) is committed: the snapshot's
     // checkpoints are now safe to serve to replication followers. A
@@ -396,8 +422,8 @@ final class Store(spark: SparkSession, root: String,
       // same commit job; one row per touched slice, so the cache is
       // tiny but saves a second window pass over the batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = readManifested(statePath, stateSchema)
-      .join(broadcast(slices.select("day").distinct()), Seq("day"), "left_semi")
+    val prev = readManifestedForDays(statePath, stateSchema,
+      slices.select("day").distinct())
     val merged = prev.as("p")
       .join(slices.as("b"), Seq("skey", "day"), "full_outer")
       .select(
@@ -444,8 +470,8 @@ final class Store(spark: SparkSession, root: String,
       mergedState: DataFrame): Seq[Long] = {
     val batchRollup = Rollup.rollup1hKeyed(keyed)
       .withColumn("day", col("wts") - pmod(col("wts"), lit(Rollup.DayMs)))
-    val prev = readManifested(rollupPath, rollupDaySchema)
-      .join(broadcast(slices.select("day").distinct()), Seq("day"), "left_semi")
+    val prev = readManifestedForDays(rollupPath, rollupDaySchema,
+      slices.select("day").distinct())
     val merged = prev.unionByName(batchRollup)
       .groupBy(col("skey"), col("wts"), col("day"))
       .agg(
@@ -492,11 +518,19 @@ final class Store(spark: SparkSession, root: String,
     * bug — the defensive `entries.remove` keeps the manifest honest.
     */
   private def commitUnioned(union: DataFrame): Seq[Long] = {
+    def t[A](name: String)(f: => A): A =
+      if (!Store.timePhases) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[store-time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     val gen = System.nanoTime()
     val tmp = s"$root/.meta_tmp_$gen"
-    union.withColumn("day_p", col("day"))
+    t("meta write job")(union.withColumn("day_p", col("day"))
       .repartition(col("tbl"), col("day_p"))
-      .write.mode(SaveMode.Overwrite).partitionBy("tbl", "day_p").parquet(tmp)
+      .write.mode(SaveMode.Overwrite).partitionBy("tbl", "day_p").parquet(tmp))
+    val tPub0 = System.nanoTime()
     def tmpDays(tbl: String): Seq[Long] = {
       val d = new Path(s"$tmp/tbl=$tbl")
       if (!fs.exists(d)) Nil
@@ -538,6 +572,8 @@ final class Store(spark: SparkSession, root: String,
         }
     }
     fs.delete(new Path(tmp), true)
+    if (Store.timePhases)
+      println(f"[store-time] meta publish: ${(System.nanoTime() - tPub0) / 1e9}%.2f s")
     days
   }
 
@@ -751,4 +787,10 @@ final class Store(spark: SparkSession, root: String,
         d.getModificationTime < cutoff)
       .foreach(d => fs.delete(d.getPath, true))
   }
+}
+
+object Store {
+  /** Env-gated ingest phase timing (diagnostic; prints [store-time] lines). */
+  val timePhases: Boolean =
+    sys.env.get("SPARK_GRAFT_STORE_TIME").exists(v => v.nonEmpty && v != "0")
 }
