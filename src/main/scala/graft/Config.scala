@@ -269,6 +269,9 @@ object GraftConfig {
     "tsdb.read_only.threshold" -> "1h",
     "tsdb.retention.threshold" -> "",
     "tsdb.rollup.buckets" -> "512",
+    // defaultless in the reference (config.h:143 has no _DEF; the
+    // level1/level2 keys below carry the real versions)
+    "tsdb.rollup.compressor.version" -> "",
     "tsdb.rollup.compressor.precision" -> "8",
     "tsdb.rollup.level1.compressor.version" -> "2",
     "tsdb.rollup.level2.compressor.version" -> "1",
@@ -320,6 +323,7 @@ object GraftConfig {
     "tsdb.read_only.threshold" -> "immutable committed parquet",
     "tsdb.rollup.buckets" -> "rollup slice partitioning",
     "tsdb.rollup.compressor.precision" -> "parquet encodings",
+    "tsdb.rollup.compressor.version" -> "parquet encodings",
     "tsdb.rollup.level1.compressor.version" -> "parquet encodings",
     "tsdb.rollup.level2.compressor.version" -> "parquet encodings",
     "tsdb.rotation.frequency" -> "day-partitioned store layout",

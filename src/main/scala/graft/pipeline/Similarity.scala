@@ -299,7 +299,15 @@ object Similarity {
     */
   def pqAdcKnn(codes: DataFrame, queries: DataFrame,
       books: Seq[Seq[(Long, Seq[Double])]], k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxExprQueries: Int = 64): DataFrame = {
+    // Per-query expression nodes are unbeatable at interactive Q (one
+    // codes scan, zero joins) but the plan grows linearly in Q; past the
+    // threshold, dispatch to the joined-frames variant whose plan is
+    // O(1) in Q. The probe is a bounded limit-count, not a full count.
+    if (maxExprQueries > 0 &&
+      queries.limit(maxExprQueries + 1).count() > maxExprQueries)
+      return pqAdcKnnFrames(codes, queries, books, k, idCol, vecCol)
     val spark = codes.sparkSession
     import spark.implicits._
     val m = books.size
@@ -338,6 +346,78 @@ object Similarity {
         }: _*)).as("x"))
       .select(col("x.qid").as("qid"), col("nid"), col("x.adc").as("adc"))
       .filter(col("nid") =!= col("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("adc"))
+  }
+
+  /** ADC for LARGE query sets: the same asymmetric distance as
+    * [[pqAdcKnn]], but the per-(query, subspace, code) distance tables
+    * live in a broadcast DataFrame joined on (subspace, code) instead of
+    * Q expression nodes — the plan is O(1) in Q, and nothing about the
+    * query set ever reaches the driver (no collect; the tables are
+    * computed distributively from the queries frame against the tiny
+    * broadcast codebooks). Thousands of simultaneous ANN queries are a
+    * batch-scoring job, and this is its shape: corpus codes explode to
+    * (nid, s, code) — in-partition, no shuffle — probe the broadcast
+    * tables, and the partial hash-aggregate folds the m per-subspace
+    * terms back to one (qid, nid, adc) row inside the scan stage, so the
+    * only shuffled rows are the Q·n aggregated distances the top-k
+    * window needs anyway.
+    *
+    * Bit-compatible with [[pqAdcKnn]]: the q·q, q·c and c·c terms each
+    * fold ascending over the subspace dims (`aggregate`/`zip_with` —
+    * the same per-accumulator order as the expression path's single
+    * loop), a corpus row's m partial terms arrive at the aggregate in
+    * ascending-s order (posexplode emits them so, and the broadcast
+    * probe preserves stream order), and an unmatched (s, code) — a cid
+    * no codebook carries — surfaces as NaN exactly like the expression
+    * path's unfilled table slots.
+    */
+  def pqAdcKnnFrames(codes: DataFrame, queries: DataFrame,
+      books: Seq[Seq[(Long, Seq[Double])]], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val sub = books.head.head._2.size
+    // codebook rows with the centroid self-term precomputed in the same
+    // ascending order the expression path's d2 loop uses
+    val bookRows = for {
+      (book, s) <- books.zipWithIndex
+      (cid, cv) <- book
+    } yield {
+      var cc = 0.0
+      var i = 0
+      while (i < cv.size) { cc += cv(i) * cv(i); i += 1 }
+      (s, cid, cv, cc)
+    }
+    val booksDf = bookRows.toDF("s", "cid", "cv", "cc")
+    val qSub = queries.select(col(idCol).cast("long").as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("fv"))
+      .select(col("qid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("fv"), s * sub + 1, sub).as("qs"))): _*)).as("x"))
+      .select(col("qid"), col("x.s").as("s"), col("x.qs").as("qs"))
+    val qq = aggregate(col("qs"), lit(0.0), (acc, x) => acc + x * x)
+    val qc = aggregate(zip_with(col("qs"), col("cv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val table = qSub.join(broadcast(booksDf), Seq("s"))
+      .select(col("qid"), col("s").as("ts"), col("cid"),
+        (qq - lit(2.0) * qc + col("cc")).as("d"))
+    val corpus = codes.select(col("id").as("nid"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val scored = corpus.join(broadcast(table),
+        col("s") === col("ts") && col("code") === col("cid"), "left_outer")
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("sd"), count(col("d")).as("nsub"))
+      // a left-outer miss (or a partial match) means some subspace had no
+      // table entry for its code — the expression path reads NaN there
+      .select(col("qid"), col("nid"),
+        when(col("nsub") === m, col("sd"))
+          .otherwise(lit(Double.NaN)).as("adc"))
+      .filter(col("qid").isNotNull && col("nid") =!= col("qid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

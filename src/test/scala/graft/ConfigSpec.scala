@@ -137,4 +137,54 @@ class ConfigSpec extends AnyFunSuite {
       assert(GraftConfig.load("/nonexistent/graft.conf").loaded.isEmpty)
     } finally java.nio.file.Files.delete(f)
   }
+
+  test("byte-complete reference surface: every config.h key resolves with its default") {
+    // parse the reference's own key table so the assertion can never
+    // drift from it: every `#define CFG_* "<key>"` (non-_DEF) must
+    // resolve through the Defaults table, and every key WITH a literal
+    // _DEF must resolve to exactly that default (dual-valued
+    // arch-conditional defaults take the non-embedded branch; the two
+    // hardware_concurrency defaults resolve to this machine's count)
+    val h = java.nio.file.Paths.get("/root/reference/include/config.h")
+    assume(java.nio.file.Files.exists(h), "reference tree not present")
+    val text = java.nio.file.Files.readString(h)
+    val define = """#define\s+(CFG_\w+)\s+(.+?)\s*$""".r
+    val defs = text.linesIterator.collect {
+      case define(name, value) => name -> value.trim
+    }.toSeq
+    val keys = defs.collect {
+      case (n, v) if !n.endsWith("_DEF") && v.startsWith("\"") =>
+        n -> v.stripPrefix("\"").stripSuffix("\"")
+    }.toMap
+    assert(keys.size >= 70, s"parsed only ${keys.size} keys from config.h")
+    val cfg = GraftConfig.empty
+    keys.values.foreach { k =>
+      assert(GraftConfig.Defaults.contains(k), s"missing reference key: $k")
+      assert(cfg.str(k) != null)
+    }
+    // literal string/number/bool _DEFs must match our table verbatim
+    // (skip expression defaults and the arch-conditional duals)
+    val dual = Set("CFG_TSDB_METRIC_BUCKETS_DEF", "CFG_TSDB_ROLLUP_BUCKETS_DEF")
+    val defMap = defs.filter(_._1.endsWith("_DEF")).groupBy(_._1)
+    defMap.foreach { case (dn, vs) =>
+      val base = dn.stripSuffix("_DEF")
+      keys.get(base).foreach { key =>
+        val expected = vs.map(_._2).distinct match {
+          case Seq(one) => Some(one)
+          case _ => None // arch-conditional: either branch acceptable
+        }
+        expected.filterNot(_ => dual.contains(dn)).foreach { raw =>
+          val lit =
+            if (raw.startsWith("\"")) Some(raw.stripPrefix("\"").stripSuffix("\""))
+            else if (raw == "true" || raw == "false") Some(raw)
+            else if (raw.matches("[0-9.]+")) Some(raw)
+            else None // expression default (hardware_concurrency etc.)
+          lit.foreach { v =>
+            assert(cfg.str(key) == v,
+              s"$key: reference default '$v' but Defaults has '${cfg.str(key)}'")
+          }
+        }
+      }
+    }
+  }
 }

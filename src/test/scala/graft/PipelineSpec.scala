@@ -333,6 +333,35 @@ class PipelineSpec extends SparkSpec {
     assert(secs < 120, s"production-parameter PQ too slow: $secs s")
   }
 
+  test("pq: Q=1000 dispatches to the broadcast-frame ADC and matches the expression path") {
+    // the expression path's plan grows one PqAdc node per query; a
+    // thousand simultaneous queries must dispatch to the joined-frames
+    // variant (O(1) plan in Q) and produce the SAME top-k — the frames
+    // path is bit-compatible by construction (ascending folds, in-order
+    // partial aggregation), so this is exact equality, not recall
+    val books = Similarity.pqCodebooks(emb, m = 8, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(emb, books)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1000 queries: the corpus vectors re-id'd cyclically (ids ≥ 100000
+    // never collide with corpus ids, so no self-exclusion asymmetry)
+    val q1000 = emb.filter($"vec_id" < 250)
+      .select(explode(array((0 until 4).map(i =>
+        ($"vec_id" + lit(100000 + 250 * i)).cast("long")): _*)).as("vec_id"),
+        $"embedding")
+    val viaDispatch = Similarity.pqAdcKnn(codes, q1000, books, k = 5)
+    // the dispatched plan must be the joined form: one broadcast of the
+    // distance tables, no per-query expression explosion
+    val plan = viaDispatch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"Q=1000 did not take the broadcast-frame path:\n${plan.take(2000)}")
+    val a = viaDispatch.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Similarity.pqAdcKnn(codes, q1000, books, k = 5,
+        maxExprQueries = 0) // force the per-query expression path
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.length === 1000 * 5 && a.toSeq === b.toSeq)
+    codes.unpersist()
+  }
+
   test("pinned ANN recall bounds: lsh ≥ 0.7 and ivf ≥ 0.9 at recall@10") {
     // quantitative floor so a silent recall collapse fails CI instead of
     // drifting; the sf0.01 fixture (5k vectors) gives stable statistics
