@@ -689,6 +689,23 @@ object SparkEntry {
           SubQuery(metric = "error", aggregator = "none")))
       },
 
+      // BEYOND-REFERENCE event-property analytics: the events table's
+      // `props` JSON column parsed in-plan (get_json_object — codegen'd,
+      // no UDF) and aggregated per (metric, property bucket). Float sums
+      // cross the engine boundary as quantized-integer sums (order-free;
+      // the pl_corpus_stats lesson) divided once at the end.
+      "q_props_agg" -> { (s, dir) =>
+        DpView.events(s, dir)
+          .select(col("event_type").as("metric"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("value"))
+          .groupBy(col("metric"), pmod(col("k"), lit(10)).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (sum(floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+              / 10000.0).as("vsum"))
+          .orderBy("metric", "bucket")
+      },
+
       // §2.10 replication checkpoints (`_cp` bookkeeping,
       // reference cp.cpp): a deterministic checkpoint stream derived from
       // the events table — dc tag as leader, host tag as channel, ts.seq
@@ -1312,6 +1329,17 @@ object SparkEntry {
            |FROM dedup
            |WHERE ts BETWEEN $T0 AND $T1
            |ORDER BY skey, ts, value""".stripMargin),
+
+      // props JSON parsed by regexp on the DuckDB side (no JSON
+      // extension dependency); quantized-integer sum, one final division
+      "q_props_agg" ->
+        """SELECT metric, bucket, n, vsum FROM (
+          |  SELECT event_type AS metric,
+          |         CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) % 10 AS bucket,
+          |         count(*) AS n,
+          |         sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)) / 10000.0 AS vsum
+          |  FROM events GROUP BY 1, 2)
+          |ORDER BY metric, bucket""".stripMargin,
 
       // last-wins per (leader, channel) over the well-formed checkpoint
       // stream — seq order is application order, so arg_max by seq
