@@ -868,9 +868,6 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val sigCols = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
       case ((a, b), i) => s"min(($a * h + $b) % ${Dedup.MinhashP}) AS m$i"
     }.mkString(",\n    ")
-    val bandCond = (0 until 4)
-      .map(k => s"(a.m${2 * k} = b.m${2 * k} AND a.m${2 * k + 1} = b.m${2 * k + 1})")
-      .mkString(" OR ")
     // band rows + the bucket-size skew guard (Dedup.minhashLshPairs'
     // maxBucket, default 100) — the oracle replays the identical cap so
     // the guarded candidate set is hash-checked. MATERIALIZED: `bands` is
@@ -933,9 +930,24 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT id,
          |    $sigCols
          |  FROM nhs GROUP BY id),
+         |cbands AS MATERIALIZED (
+         |  SELECT id, 0 AS band, m0 AS x, m1 AS y FROM csig
+         |  UNION ALL SELECT id, 1, m2, m3 FROM csig
+         |  UNION ALL SELECT id, 2, m4, m5 FROM csig
+         |  UNION ALL SELECT id, 3, m6, m7 FROM csig),
+         |nbands AS (
+         |  SELECT id, 0 AS band, m0 AS x, m1 AS y FROM nsig
+         |  UNION ALL SELECT id, 1, m2, m3 FROM nsig
+         |  UNION ALL SELECT id, 2, m4, m5 FROM nsig
+         |  UNION ALL SELECT id, 3, m6, m7 FROM nsig),
+         |okb AS (
+         |  SELECT band, x, y FROM cbands GROUP BY band, x, y
+         |  HAVING count(*) <= 100),
          |cand AS (
          |  SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
-         |  FROM nsig a JOIN csig b ON ($bandCond)),
+         |  FROM nbands a
+         |  JOIN cbands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+         |  JOIN okb o ON a.band = o.band AND a.x = o.x AND a.y = o.y),
          |ncnt AS (SELECT id, count(*) AS n FROM nsh GROUP BY id),
          |ccnt AS (SELECT id, count(*) AS n FROM csh GROUP BY id),
          |inter AS (

@@ -392,14 +392,25 @@ object Dedup {
     */
   def incrementalNearDups(newDocs: DataFrame, corpusIndex: DataFrame,
       corpusShingles: DataFrame, n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 100): DataFrame = {
     // new-side shingles feed two branches (signatures + verification)
     val sh = shingleHashes(newDocs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus-side twin of minhashLshPairs' band-bucket skew guard: a
+    // pathological index bucket would multiply EVERY future batch's probe
+    // fan-out, so cap corpus bucket membership before the band join (the
+    // oracle replays the identical cap). At 100 TB the bucket counts are
+    // a once-per-index aggregate a pipeline would persist alongside it.
+    val okIndex =
+      if (maxBucket <= 0) corpusIndex
+      else corpusIndex.join(
+        corpusIndex.groupBy("band", "x", "y").agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") <= maxBucket).drop("_bc"),
+        Seq("band", "x", "y"), "left_semi")
     // consumed by two plan branches (pair join + corpus-set semi-join):
     // persisted so the index probe — the expensive part — runs once
     val cand = bandRows(signaturesFrom(sh)).as("a")
-      .join(corpusIndex.as("b"),
+      .join(okIndex.as("b"),
         col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
           col("a.y") === col("b.y"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
