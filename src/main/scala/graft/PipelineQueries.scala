@@ -368,6 +368,17 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // IVF-PQ (IVFADC): coarse lists + residual PQ codes, queries probe
+    // their 2 nearest of 8 lists and ADC-scan only those codes — the
+    // billion-scale composite (routing bounds the scan, codes bound the
+    // bytes); frames-shaped, no driver collect, plan O(1) in Q
+    "pl_knn_ivfpq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), sround(col("adc")).as("adc"))
+        .orderBy("qid", "nid")
+    },
+
     // embedding preprocessing: L2 norm + unit vector + symmetric int8
     // quantization, summarized as scalars (array columns don't hash)
     "pl_embed_prep" -> { (s, dir) =>
@@ -1321,15 +1332,13 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |$out AS (
          |  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN n_$out n ON p.cid = n.cid)""".stripMargin
-    def pqChainSql(m: Int, sub: Int, k: Int): String = {
+    def pqSubChain(m: Int, sub: Int, k: Int, src: String): String = {
       val sb = new StringBuilder
-      sb ++= "WITH e AS (SELECT vec_id AS id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
       for (s <- 0 until m) {
         val a = s * sub + 1
         val b = (s + 1) * sub
         sb ++= s""",
-e_$s AS (SELECT id, v[$a:$b] AS v FROM e),
+e_$s AS (SELECT id, v[$a:$b] AS v FROM $src),
 c0_$s AS (SELECT id AS cid, v AS cv FROM e_$s WHERE id < $k),
 ${pqAssign(s, s"c0_$s", s"a1_$s")},
 ${pqUpdate(sub, s"a1_$s", s"c0_$s", s"c1_$s")},
@@ -1343,6 +1352,10 @@ code_$s AS MATERIALIZED (SELECT id, cid FROM (
       }
       sb.result()
     }
+    def pqChainSql(m: Int, sub: Int, k: Int): String =
+      "WITH e AS (SELECT vec_id AS id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)" +
+        pqSubChain(m, sub, k, "e")
 
     val pqEncodeSql = pqChainSql(4, 16, 8) + s"""
 SELECT e.id AS vec_id, k0.cid AS c0, k1.cid AS c1, k2.cid AS c2, k3.cid AS c3
@@ -1380,6 +1393,69 @@ r AS (
   FROM adc)
 SELECT qid, nid, ${sroundSql("adc")} AS adc FROM r WHERE rk <= 5
 ORDER BY qid, nid"""
+
+    // IVF-PQ (IVFADC) oracle: the coarse kmeans replay -> residuals ->
+    // the residual-PQ chain (same generators over `res`) -> probe the
+    // nprobe nearest coarse lists per query -> ADC restricted to probed
+    // lists, with the gate's fixed left-to-right subspace association
+    val ivfPqSql = {
+      val probe =
+        s""",
+res AS MATERIALIZED (
+  SELECT a.id, a.cid AS lcid,
+         list_transform(range(1, 65), d -> a.v[d] - c.cv[d]) AS v
+  FROM a3 a JOIN c2 c ON a.cid = c.cid)""" +
+        pqSubChain(4, 16, 8, "res") +
+        s""",
+q AS (SELECT id AS qid, v FROM e WHERE id < 10),
+pr AS MATERIALIZED (
+  SELECT qid, lcid, qr FROM (
+    SELECT q.qid, c.cid AS lcid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cv)
+          + list_dot_product(c.cv, c.cv), c.cid) AS rk,
+      list_transform(range(1, 65), d -> q.v[d] - c.cv[d]) AS qr
+    FROM q, c2 c) WHERE rk <= 2)""" +
+        (0 until 4).map { s =>
+          val a = s * 16 + 1
+          val b = (s + 1) * 16
+          s""",
+t_$s AS MATERIALIZED (SELECT p.qid, p.lcid, c.cid,
+  list_dot_product(p.qr[$a:$b], p.qr[$a:$b])
+    - 2 * list_dot_product(p.qr[$a:$b], c.cv)
+    + list_dot_product(c.cv, c.cv) AS d
+  FROM pr p, c2_$s c)"""
+        }.mkString
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "a3")}""".stripMargin +
+        probe + s"""
+,
+adc AS (
+  SELECT t0.qid, k0.id AS nid, ((t0.d + t1.d) + t2.d) + t3.d AS adc
+  FROM code_0 k0
+  JOIN code_1 k1 ON k1.id = k0.id
+  JOIN code_2 k2 ON k2.id = k0.id
+  JOIN code_3 k3 ON k3.id = k0.id
+  JOIN res rv ON rv.id = k0.id
+  JOIN t_0 t0 ON t0.cid = k0.cid AND t0.lcid = rv.lcid
+  JOIN t_1 t1 ON t1.cid = k1.cid AND t1.qid = t0.qid AND t1.lcid = t0.lcid
+  JOIN t_2 t2 ON t2.cid = k2.cid AND t2.qid = t0.qid AND t2.lcid = t0.lcid
+  JOIN t_3 t3 ON t3.cid = k3.cid AND t3.qid = t0.qid AND t3.lcid = t0.lcid
+  WHERE k0.id != t0.qid),
+r AS (
+  SELECT qid, nid, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid) AS rk
+  FROM adc)
+SELECT qid, nid, ${sroundSql("adc")} AS adc FROM r WHERE rk <= 5
+ORDER BY qid, nid"""
+    }
 
     // SemDeDup oracle: the pl_kmeans replay, then pairs restricted to a
     // shared cluster, then the same recursive-reachability labeling as
@@ -1700,6 +1776,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_kmeans" -> kmeans,
       "pl_pq_encode" -> pqEncodeSql,
       "pl_knn_pq" -> pqKnnSql,
+      "pl_knn_ivfpq" -> ivfPqSql,
       "pl_semdedup" -> semDedup,
       "pl_span_dedup" -> spanDedup,
       "pl_neardup_cos" -> nearDup,

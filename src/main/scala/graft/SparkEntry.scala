@@ -4,6 +4,7 @@ import graft.model.{DpView, RateOptions, SubQuery, TsQuery}
 import graft.query.{Meta, Planner, TimeParse}
 import graft.rollup.Rollup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -689,6 +690,60 @@ object SparkEntry {
           SubQuery(metric = "error", aggregator = "none")))
       },
 
+      // BEYOND-REFERENCE sessionization: per-user event sessions split
+      // at 30-min inactivity gaps — ONE keyed window (lag + running sum
+      // of break flags) then a hash aggregate; the standard large-scale
+      // clickstream shape, all-integer outputs so the hash oracle is
+      // exact by construction
+      "q_sessionize" -> { (s, dir) =>
+        val gapMs = 30L * 60 * 1000
+        val ev = DpView.events(s, dir).select(
+          col("user_id"), DpView.tsMillis.as("ts"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev").isNull || col("ts") - col("prev") > gapMs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "sid")
+      },
+
+      // BEYOND-REFERENCE rolling z-score anomaly detection: per series,
+      // each point scored against the mean/σ of its 12 predecessors
+      // (frame excludes the current row — no self-contamination). The
+      // moments compute from QUANTIZED-INTEGER window sums (order-free
+      // across engines) and every subsequent step is a fixed-shape IEEE
+      // scalar expression, so the 4-dp-rounded z crosses the engine
+      // boundary exactly
+      "q_anomaly" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+        val w = Window.partitionBy(col("skey")).orderBy(col("ts"))
+          .rowsBetween(-12, -1)
+        d.withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+          .withColumn("n", count(col("q")).over(w))
+          .withColumn("sq", sum(col("q")).over(w).cast("double"))
+          .withColumn("sq2", sum(col("q") * col("q")).over(w).cast("double"))
+          .withColumn("mean", col("sq") / col("n"))
+          .withColumn("varq",
+            (col("sq2") - col("sq") * col("sq") / col("n")) / col("n"))
+          .filter(col("n") >= 6 && col("varq") > 0)
+          .withColumn("z",
+            (col("q").cast("double") - col("mean")) / sqrt(col("varq")))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("skey"), col("ts"), sround(col("z")).as("z"))
+          .orderBy("skey", "ts")
+      },
+
       // BEYOND-REFERENCE event-property analytics: the events table's
       // `props` JSON column parsed in-plan (get_json_object — codegen'd,
       // no UDF) and aggregated per (metric, property bucket). Float sums
@@ -1329,6 +1384,61 @@ object SparkEntry {
            |FROM dedup
            |WHERE ts BETWEEN $T0 AND $T1
            |ORDER BY skey, ts, value""".stripMargin),
+
+      // sessionization oracle: identical lag/running-sum/aggregate chain
+      // (sums cast to BIGINT — DuckDB widens to HUGEINT otherwise)
+      "q_sessionize" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts, event_id FROM events),
+          |g AS (
+          |  SELECT user_id, ts, event_id,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM ev),
+          |b AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN prev IS NULL OR ts - prev > 1800000 THEN 1 ELSE 0 END AS brk
+          |  FROM g),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+          |  FROM b)
+          |SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+          |       count(*) AS n_events
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, sid""".stripMargin,
+
+      // anomaly oracle: same dedup, quantization, integer window sums,
+      // and fixed-shape moment/z expressions as the gate
+      "q_anomaly" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |qz AS (
+           |  SELECT skey, ts,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q
+           |  FROM dedup),
+           |win AS (
+           |  SELECT skey, ts, q,
+           |    CAST(count(q) OVER w AS BIGINT) AS n,
+           |    CAST(sum(q) OVER w AS DOUBLE) AS sq,
+           |    CAST(sum(q * q) OVER w AS DOUBLE) AS sq2
+           |  FROM qz
+           |  WINDOW w AS (PARTITION BY skey ORDER BY ts
+           |               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+           |m AS (
+           |  SELECT skey, ts, q, n, sq / n AS mean,
+           |         (sq2 - sq * sq / n) / n AS varq
+           |  FROM win WHERE n >= 6),
+           |z AS (
+           |  SELECT skey, ts,
+           |         (CAST(q AS DOUBLE) - mean) / sqrt(varq) AS z
+           |  FROM m WHERE varq > 0)
+           |SELECT skey, ts, floor(z * 10000 + 0.5 + 1e-6) / 10000.0 AS z
+           |FROM z WHERE abs(z) > 2.0
+           |ORDER BY skey, ts""".stripMargin),
 
       // props JSON parsed by regexp on the DuckDB side (no JSON
       // extension dependency); quantized-integer sum, one final division

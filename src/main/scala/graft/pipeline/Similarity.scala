@@ -424,6 +424,111 @@ object Similarity {
       .select(col("qid"), col("nid"), col("adc"))
   }
 
+  /** IVF-PQ search (IVFADC — Jégou et al. 2011 §IV, the FAISS
+    * billion-scale default): coarse-quantize the corpus into `nlist`
+    * inverted lists, PQ-encode each vector's RESIDUAL from its list
+    * centroid, and answer a query by probing its `nprobe` nearest lists
+    * with an ADC scan over their codes — the residual trick recovers
+    * most of the precision a plain-PQ scan loses, and the probe bounds
+    * the scan to nprobe/nlist of the corpus.
+    *
+    * Everything is the frames shape of [[pqAdcKnnFrames]]: no driver
+    * collect anywhere (queries rank the broadcast centroids, residualize,
+    * and build their distance tables distributively), the plan is O(1)
+    * in Q, and the corpus-side work is one scan of (list, codes) rows
+    * joined against the broadcast tables — at 100 TB the codes frame is
+    * the persisted index (m bytes per vector) and this is its read path.
+    * Deterministic end to end: Lloyd training is the shared 1e-4-rounded
+    * machinery, folds ascend, the m per-subspace terms aggregate in
+    * ascending-s order, so the oracle replays bit-for-bit.
+    * Output: (qid, nid, adc) — residual-ADC squared-L2, ascending.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 4, kPq: Int = 8,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse quantizer + per-vector residuals (exact elementwise
+    // subtraction — deterministic)
+    val coarse = lloydCentroids(pts, nlist, iters)
+    val centsDf = coarse.toDF("lcid", "cv")
+    val resid = assignTo(pts, coarse).withColumnRenamed("cid", "lcid")
+      .join(broadcast(centsDf), Seq("lcid"))
+      .select(col("id"), col("lcid"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // residual PQ: same trainer/encoder as plain PQ, fed residuals
+    val books = pqCodebooks(resid, m, kPq, iters, idCol = "id", vecCol = "rv")
+    val codes = pqEncode(resid, books, idCol = "id", vecCol = "rv")
+      .join(resid.select(col("id"), col("lcid")), Seq("id"))
+    val sub = books.head.head._2.size
+    val bookRows = for {
+      (book, s) <- books.zipWithIndex
+      (cid, cv) <- book
+    } yield {
+      var cc = 0.0
+      var i = 0
+      while (i < cv.size) { cc += cv(i) * cv(i); i += 1 }
+      (s, cid, cv, cc)
+    }
+    val booksDf = bookRows.toDF("s", "cid", "bcv", "cc")
+    // query side: rank the broadcast coarse centroids, keep nprobe,
+    // residualize against each probed list, explode subspaces, build
+    // the per-(query, list, subspace, code) ADC tables
+    val qd2 = aggregate(col("qv"), lit(0.0), (a, x) => a + x * x) -
+      lit(2.0) * aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x) +
+      aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cd").asc, col("lcid"))
+    val probed = queries.select(col(idCol).cast("long").as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .join(broadcast(centsDf), lit(true))
+      .select(col("qid"), col("lcid"), col("qv"), col("cv"), qd2.as("cd"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("lcid"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+    val qSub = probed.select(col("qid"), col("lcid"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("qr"), s * sub + 1, sub).as("qs"))): _*)).as("x"))
+      .select(col("qid"), col("lcid"), col("x.s").as("s"), col("x.qs").as("qs"))
+    val qq = aggregate(col("qs"), lit(0.0), (a, x) => a + x * x)
+    val qc = aggregate(zip_with(col("qs"), col("bcv"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val table = qSub.join(broadcast(booksDf), Seq("s"))
+      .select(col("qid"), col("lcid").as("tl"), col("s").as("ts"),
+        col("cid"), (qq - lit(2.0) * qc + col("cc")).as("d"))
+    // one scan of the (list, codes) index: rows in probed lists match
+    // their m table entries, partial-aggregating back to one
+    // (qid, nid, adc) row inside the scan stage
+    val corpusRows = codes.select(col("id").as("nid"), col("lcid"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val scored = corpusRows.join(broadcast(table),
+        col("lcid") === col("tl") && col("s") === col("ts") &&
+          col("code") === col("cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("sd"), count(col("d")).as("nsub"))
+      .select(col("qid"), col("nid"),
+        when(col("nsub") === m, col("sd"))
+          .otherwise(lit(Double.NaN)).as("adc"))
+      .filter(col("nid") =!= col("qid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid"))
+    val out = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("adc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    resid.unpersist()
+    pts.unpersist()
+    out
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023 shape):
     * k-means the corpus ([[kmeans]]), then compute cosine pairs ONLY
     * within each cluster. The pairwise work drops from the corpus-global
