@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, FilterChain, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, FilterChain, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -299,6 +299,34 @@ object PipelineQueries {
         .select(col("doc_id"), col("token"), col("score"),
           col("rank").cast("long").as("rank"))
         .orderBy("doc_id", "rank")
+    },
+
+    // BM25 top-5 retrieval for a fixed query set (the corpus-side tf/df
+    // relations shuffle once; the query terms are the broadcast side)
+    "pl_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(
+        "q1" -> "spark window join",
+        "q2" -> "slow query filter",
+        "q3" -> "customer order line table",
+        "q4" -> "stream batch merge").toDF("qid", "qtext")
+      Retrieval.bm25TopK(docs(s, dir), qs, k = 5)
+        .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // per-language distinctive vocabulary by Dunning G² — the corpus
+    // audit "what characterizes this slice" operator
+    "pl_source_terms" -> { (s, dir) =>
+      Retrieval.distinctiveTerms(docs(s, dir), groupCol = "lang", k = 5)
+        .orderBy("lang", "rank")
+    },
+
+    // winnowing fingerprints (Schleimer et al. 2003): window-min of
+    // 3-gram hashes, the w×-smaller overlap-join relation
+    "pl_winnow" -> { (s, dir) =>
+      Retrieval.winnowFingerprints(docs(s, dir), n = 3, w = 4)
+        .orderBy("doc_id", "fp")
     },
 
     "pl_dedup_simhash" -> { (s, dir) =>
@@ -1734,7 +1762,96 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT host, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs
          |FROM u GROUP BY host ORDER BY host""".stripMargin
 
+    // BM25 oracle: every non-integer constant in e-notation (DuckDB
+    // types bare decimal literals DECIMAL, not DOUBLE — decimal
+    // arithmetic would diverge from Spark's IEEE doubles for inexact
+    // constants like 1.2); per-term scores quantize to ints BEFORE the
+    // per-doc sum so addition order can't move the hash
+    val bm25 =
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |q(qid, qtext) AS (VALUES
+        |  ('q1', 'spark window join'), ('q2', 'slow query filter'),
+        |  ('q3', 'customer order line table'), ('q4', 'stream batch merge')),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS token FROM q),
+        |terms AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0e0 + (CAST(n.n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
+        |        * (tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |      * 10000 + 0.5 + 1e-6) AS BIGINT) AS sq
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+        |  JOIN qt USING (token) CROSS JOIN st CROSS JOIN n),
+        |scored AS (
+        |  SELECT qid, doc_id, sum(sq) / 10000.0 AS score
+        |  FROM terms GROUP BY qid, doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
+
+    // Dunning G² oracle: cells/margins through DOUBLE before any
+    // product (mirrors Retrieval.distinctiveTerms' overflow-safe shape)
+    val sourceTerms =
+      """WITH tok AS (
+        |  SELECT lang AS grp, unnest(string_split(text, ' ')) AS token FROM documents),
+        |gt AS (SELECT grp, token, count(*) AS a FROM tok GROUP BY grp, token),
+        |ttot AS (SELECT token, CAST(sum(a) AS DOUBLE) AS tt FROM gt GROUP BY token),
+        |gtot AS (SELECT grp, CAST(sum(a) AS DOUBLE) AS gg FROM gt GROUP BY grp),
+        |n AS (SELECT CAST(sum(a) AS DOUBLE) AS nt FROM gt),
+        |cells AS (
+        |  SELECT grp, token, CAST(a AS DOUBLE) AS ad, tt, gg, nt,
+        |         tt - a AS b, gg - a AS c, nt - tt - gg + a AS d, nt - gg AS rest
+        |  FROM gt JOIN ttot USING (token) JOIN gtot USING (grp) CROSS JOIN n),
+        |scored AS (
+        |  SELECT grp, token,
+        |    2.0e0 * (
+        |      (CASE WHEN ad > 0 THEN ad * ln(ad / (tt * gg / nt)) ELSE 0.0e0 END) +
+        |      (CASE WHEN b  > 0 THEN b  * ln(b  / (tt * rest / nt)) ELSE 0.0e0 END) +
+        |      (CASE WHEN c  > 0 THEN c  * ln(c  / ((nt - tt) * gg / nt)) ELSE 0.0e0 END) +
+        |      (CASE WHEN d  > 0 THEN d  * ln(d  / ((nt - tt) * rest / nt)) ELSE 0.0e0 END)
+        |    ) AS g2
+        |  FROM cells WHERE ad / gg > b / rest),
+        |ranked AS (
+        |  SELECT grp, token,
+        |    floor(g2 * 10000 + 0.5 + 1e-6) / 10000.0 AS llr
+        |  FROM scored),
+        |topk AS (
+        |  SELECT grp, token, llr,
+        |    CAST(row_number() OVER (PARTITION BY grp
+        |      ORDER BY llr DESC, token) AS BIGINT) AS rank
+        |  FROM ranked)
+        |SELECT grp AS lang, token, llr, rank FROM topk WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin
+
+    // winnowing oracle: positional 3-grams via lateral range unnest,
+    // then the same 4-wide window-min and distinct
+    val winnow =
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(x.i AS BIGINT) - 1 AS pos,
+         |         ${h60Sql("w[x.i] || ' ' || w[x.i+1] || ' ' || w[x.i+2]")} AS h
+         |  FROM tok CROSS JOIN LATERAL unnest(range(1, len(w) - 1)) AS x(i)),
+         |wm AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3
+         |ORDER BY doc_id, fp""".stripMargin
+
     Map(
+      "pl_bm25" -> bm25,
+      "pl_source_terms" -> sourceTerms,
+      "pl_winnow" -> winnow,
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,
       "pl_fingerprint" -> fp,

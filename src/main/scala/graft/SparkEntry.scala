@@ -744,6 +744,60 @@ object SparkEntry {
           .orderBy("skey", "ts")
       },
 
+      // BEYOND-REFERENCE exponentially-weighted moving average: per
+      // series, pandas-style adjusted EWMA (α=0.25) over the last 16
+      // points. The weight (3/4)^lag is scaled by 4^15 into INTEGER
+      // weights 3^(n−i)·4^(i−1) — numerator and denominator are exact
+      // int64 sums (q ≤ 5.7e6·16·2^30 < 2^63), so the single final
+      // double division is the only float op and the hash crosses the
+      // engine boundary exactly
+      "q_ewma" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "click" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+        val w = Window.partitionBy(col("skey")).orderBy(col("ts"))
+          .rowsBetween(-15, Window.currentRow)
+        val n = size(col("l"))
+        val num = aggregate(
+          transform(sequence(lit(1), n), i =>
+            element_at(col("l"), i)
+              * round(pow(lit(3.0), (n - i).cast("double"))).cast("long")
+              * round(pow(lit(4.0), (i - 1).cast("double"))).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        val den = aggregate(
+          transform(sequence(lit(1), n), i =>
+            round(pow(lit(3.0), (n - i).cast("double"))).cast("long")
+              * round(pow(lit(4.0), (i - 1).cast("double"))).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        d.withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+          .withColumn("l", collect_list(col("q")).over(w))
+          .withColumn("ewma",
+            sround(num.cast("double") / den.cast("double") / 10000.0))
+          .select(col("skey"), col("ts"), col("ewma"))
+          .orderBy("skey", "ts")
+      },
+
+      // BEYOND-REFERENCE value-distribution histogram: per event type,
+      // 20 equal-width bins over the type's [min, max] — the two-pass
+      // profile shape (tiny bounds frame broadcast back against the
+      // fact scan; bin math is pure IEEE arithmetic on both engines)
+      "q_histogram" -> { (s, dir) =>
+        val ev = DpView.events(s, dir).select(col("event_type"), col("value"))
+        val bounds = ev.groupBy("event_type")
+          .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        ev.join(broadcast(bounds), "event_type")
+          .withColumn("bin",
+            when(col("hi") > col("lo"),
+              least(floor((col("value") - col("lo"))
+                / (col("hi") - col("lo")) * 20), lit(19.0)))
+              .otherwise(lit(0.0)).cast("long"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bin")
+      },
+
       // BEYOND-REFERENCE event-property analytics: the events table's
       // `props` JSON column parsed in-plan (get_json_object — codegen'd,
       // no UDF) and aggregated per (metric, property bucket). Float sums
@@ -1439,6 +1493,50 @@ object SparkEntry {
            |SELECT skey, ts, floor(z * 10000 + 0.5 + 1e-6) / 10000.0 AS z
            |FROM z WHERE abs(z) > 2.0
            |ORDER BY skey, ts""".stripMargin),
+
+      // EWMA oracle: same dedup + quantization, the same integer-weight
+      // formulation (list window + exact int64 sums), one final division
+      "q_ewma" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |qz AS (
+           |  SELECT skey, ts,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q
+           |  FROM dedup),
+           |lw AS (
+           |  SELECT skey, ts,
+           |    list(q) OVER (PARTITION BY skey ORDER BY ts
+           |                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+           |  FROM qz),
+           |e AS (
+           |  SELECT skey, ts,
+           |    CAST(list_sum(list_transform(range(1, len(l) + 1), i ->
+           |        l[i] * CAST(round(power(3, len(l) - i)) AS BIGINT)
+           |             * CAST(round(power(4, i - 1)) AS BIGINT))) AS DOUBLE)
+           |    / CAST(list_sum(list_transform(range(1, len(l) + 1), i ->
+           |        CAST(round(power(3, len(l) - i)) AS BIGINT)
+           |             * CAST(round(power(4, i - 1)) AS BIGINT))) AS DOUBLE)
+           |    / 10000.0 AS ew
+           |  FROM lw)
+           |SELECT skey, ts, floor(ew * 10000 + 0.5 + 1e-6) / 10000.0 AS ewma
+           |FROM e ORDER BY skey, ts""".stripMargin),
+
+      // histogram oracle: same two-pass bounds + IEEE bin math
+      "q_histogram" ->
+        """WITH b AS (
+          |  SELECT event_type, min(value) AS lo, max(value) AS hi
+          |  FROM events GROUP BY event_type)
+          |SELECT e.event_type,
+          |       CAST(CASE WHEN hi > lo
+          |              THEN least(floor((value - lo) / (hi - lo) * 20), 19.0e0)
+          |              ELSE 0.0e0 END AS BIGINT) AS bin,
+          |       count(*) AS n
+          |FROM events e JOIN b USING (event_type)
+          |GROUP BY e.event_type, bin
+          |ORDER BY e.event_type, bin""".stripMargin,
 
       // props JSON parsed by regexp on the DuckDB side (no JSON
       // extension dependency); quantized-integer sum, one final division

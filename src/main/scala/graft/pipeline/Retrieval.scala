@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval and corpus-characterization operators for
+  * training-data curation: BM25 top-k search, per-source distinctive
+  * terms (Dunning log-likelihood ratio), and winnowing fingerprints
+  * (Schleimer et al., SIGMOD 2003). The reference engine has no text
+  * surface (SURVEY §2.11) — these are north-star additions built for the
+  * 100 TB corpus shapes: the query/term sets are the broadcast side,
+  * the corpus-token relation is the only shuffled one.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval (Robertson–Spärck Jones idf, the Lucene
+    * variant: `ln(1 + (N − df + 0.5)/(df + 0.5))`).
+    *
+    * `queries` is a small frame `(qid, qtext)` — the per-query term set
+    * is deduplicated, and BM25 term frequency comes from the corpus tf
+    * relation, so the plan is: one tf shuffle (map-side combinable),
+    * one df shuffle off tf, a token-keyed join tf⨝df (AQE broadcasts df
+    * while the vocabulary fits), a broadcast join against the query
+    * terms, and one (qid, doc) aggregation. The final ranking windows
+    * over qid only — |queries| partitions, each holding candidate docs
+    * that actually share a term with the query, not the corpus.
+    *
+    * Each per-term score is quantized to 4 dp BEFORE the per-document
+    * sum (the term score is a fixed-shape IEEE scalar expression, so
+    * its quantization is engine-reproducible; the sum then runs on
+    * integers, which are order-free — float sums are not), and ranking
+    * ties break by doc id.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val n = docs.count() // parquet metadata count, not a data pass
+    val tf = TextAnalysis.withTokens(docs, textCol)
+      .select(col(idCol), explode(col("w_")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc length = Σ tf — derived from the cached tf relation instead of
+    // re-scanning the corpus; avgdl over docs with ≥1 token (mirrored in
+    // the oracle). Exact integer sums → the double division is
+    // reproducible bit-for-bit.
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dlRow = dl.agg(sum(col("dl")), count(lit(1))).head()
+    val avgdl = dlRow.getLong(0).toDouble / dlRow.getLong(1)
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val qterms = TextAnalysis.withTokens(queries, qtextCol)
+      .select(col(qidCol), explode(array_distinct(col("w_"))).as("token"))
+    val scored = tf.join(df_, "token")
+      .join(dl, idCol)
+      .join(broadcast(qterms), "token")
+      .withColumn("s",
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .withColumn("sq", floor(col("s") * 10000 + 0.5 + 1e-6).cast("long"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg((sum(col("sq")) / 10000.0).as("score"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist()
+    out
+  }
+
+  /** Per-group distinctive terms by Dunning's log-likelihood ratio
+    * (G², "Accurate Methods for the Statistics of Surprise and
+    * Coincidence", 1993): for each (group, token), the 2×2 contingency
+    * table (token-in-group, token-elsewhere, other-in-group,
+    * other-elsewhere) scored with `2·Σ O·ln(O/E)`, keeping only
+    * overrepresented terms (a/colG > b/colRest) and the top `k` per
+    * group. The classic "what characterizes this source / this slice"
+    * corpus-audit operator.
+    *
+    * Plan: one (group, token) count shuffle; token margins via a second
+    * aggregation of that relation; group margins are a tiny frame joined
+    * broadcast. All the G² math is per-row `Column` arithmetic.
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String = "source",
+      k: Int = 5, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gt = TextAnalysis.withTokens(docs, textCol)
+      .select(col(groupCol).as("grp"), explode(col("w_")).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokTot = gt.groupBy("token").agg(sum(col("a")).as("ttot"))
+    val grpTot = gt.groupBy("grp").agg(sum(col("a")).as("gtot"))
+    val nTotal = gt.agg(sum(col("a"))).head().getLong(0).toDouble
+    // xlx(o, e) = o·ln(o/e) with the 0·ln0 = 0 convention. All four
+    // cells and margins go through double BEFORE any product (ttot·gtot
+    // as longs would overflow at 100 TB token counts), in the exact
+    // expression shape the oracle mirrors — every op is a fixed-shape
+    // IEEE scalar, so the 4-dp quantization is engine-reproducible.
+    def xlx(o: Column, e: Column): Column =
+      when(o > 0, o * log(o / e)).otherwise(lit(0.0))
+    val scored = gt.join(tokTot, "token")
+      .join(broadcast(grpTot), "grp")
+      .withColumn("ad", col("a").cast("double"))
+      .withColumn("tt", col("ttot").cast("double"))
+      .withColumn("gg", col("gtot").cast("double"))
+      .withColumn("b", col("tt") - col("ad"))
+      .withColumn("c", col("gg") - col("ad"))
+      .withColumn("d", lit(nTotal) - col("tt") - col("gg") + col("ad"))
+      .withColumn("rest", lit(nTotal) - col("gg"))
+      .filter(col("ad") / col("gg") > col("b") / col("rest"))
+      .withColumn("g2",
+        lit(2.0) * (
+          xlx(col("ad"), col("tt") * col("gg") / nTotal) +
+          xlx(col("b"), col("tt") * col("rest") / nTotal) +
+          xlx(col("c"), (lit(nTotal) - col("tt")) * col("gg") / nTotal) +
+          xlx(col("d"), (lit(nTotal) - col("tt")) * col("rest") / nTotal)))
+      .withColumn("llr", floor(col("g2") * 10000 + 0.5 + 1e-6) / 10000.0)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("llr").desc, col("token"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("token"), col("llr"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    gt.unpersist()
+    out
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003): hash
+    * every `n`-token gram, slide a window of `w` consecutive gram
+    * hashes, keep each window's minimum — the guarantee is that any
+    * match of length ≥ w+n−1 tokens between two documents shares a
+    * fingerprint. Returns the distinct `(doc_id, fp)` set.
+    *
+    * One posexplode + one doc-keyed window shuffle + a distinct
+    * aggregate — per-doc work is linear in tokens, and fingerprint
+    * cardinality is ~1/w of gram cardinality, so the output relation
+    * (the thing a plagiarism/overlap join runs on) is w× smaller than
+    * the full shingle set the exact-Jaccard path uses.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = TextAnalysis.withTokens(docs, textCol)
+      .select(col(idCol), posexplode(TextAnalysis.ngramsOf(col("w_"), n)))
+      .select(col(idCol), col("pos"), GraftFunctions.md5Hash60(col("col")).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+}

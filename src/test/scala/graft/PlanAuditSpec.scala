@@ -88,6 +88,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(f.exchanges <= 1, s"encode is per-row (+output sort): $plan")
   }
 
+  test("bm25: query terms broadcast; no cartesian anywhere") {
+    val (f, plan) = fp("pl_bm25")
+    assert(!plan.contains("CartesianProduct"), s"bm25 cartesian\n$plan")
+    assert(f.broadcastJoins >= 1,
+      s"query-term join must be the broadcast side\n$plan")
+    assert(f.nestedLoopJoins == 0, s"bm25 grew a BNLJ\n$plan")
+  }
+
+  test("winnowing: one doc-keyed window shuffle, no joins") {
+    val (f, plan) = fp("pl_winnow")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"winnow grew a join\n$plan")
+    // window exchange + distinct exchange + output sort
+    assert(f.exchanges <= 3, s"pl_winnow shuffles: ${f.exchanges}\n$plan")
+  }
+
+  test("ewma: single keyed window, no joins, pushdown intact") {
+    val (f, plan) = fp("q_ewma")
+    assert(f.pushedFilters, "ts/metric bounds must reach the scan")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"ewma grew a join\n$plan")
+  }
+
   test("IVF search: centroid joins broadcast, candidate work never " +
     "query-cross-corpus") {
     val (f, plan) = fp("pl_knn_ivf")

@@ -1,0 +1,120 @@
+package graft
+
+import graft.pipeline.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the sparse-retrieval operators (BM25, Dunning
+  * G² distinctive terms, winnowing fingerprints) — properties of the
+  * algorithms, not oracle mirrors (the DuckDB differential covers the
+  * exact numbers via pl_bm25 / pl_source_terms / pl_winnow).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("bm25: doc matching more query terms outranks partial match") {
+    val docs = docsDF(
+      1L -> "spark shuffle join window agg",
+      2L -> "spark only here plus filler words and more filler",
+      3L -> "completely unrelated text about nothing relevant")
+    val qs = Seq(("q1", "spark join window")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, qs, k = 3).orderBy("rank").collect()
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    // doc 3 shares no term: absent entirely
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
+    // scores strictly ordered by rank (quantized; ties broken by id)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    out.foreach(r => assert(r.getAs[Double]("score") > 0))
+  }
+
+  test("bm25: length normalization prefers the shorter doc at equal tf") {
+    val filler = Seq.fill(60)("x").mkString(" ")
+    val docs = docsDF(
+      1L -> "needle alpha beta",
+      2L -> s"needle $filler")
+    val qs = Seq(("q", "needle")).toDF("qid", "qtext")
+    val top = Retrieval.bm25TopK(docs, qs, k = 1).collect()
+    assert(top.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("distinctiveTerms: group-exclusive token tops its group") {
+    val docs = Seq(
+      (1L, "uniqA uniqA uniqA common common", "g1"),
+      (2L, "common common filler words here", "g1"),
+      (3L, "uniqB uniqB uniqB common common", "g2"),
+      (4L, "common common other stuff around", "g2"))
+      .toDF("doc_id", "text", "source")
+    val out = Retrieval.distinctiveTerms(docs, groupCol = "source", k = 2)
+    val top = out.filter(col("rank") === 1)
+      .select("source", "token").as[(String, String)].collect().toMap
+    assert(top("g1") == "uniqA" && top("g2") == "uniqB")
+    // every reported term is overrepresented in its group
+    out.select("llr").as[Double].collect().foreach(v => assert(v > 0))
+  }
+
+  test("winnowing guarantee: shared run of w+n-1 tokens shares a fingerprint") {
+    // n=3, w=4 → any common substring of ≥6 tokens must yield a common
+    // fingerprint (Schleimer et al. theorem), regardless of context
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = docsDF(
+      1L -> s"one two three $shared four five six",
+      2L -> s"red green blue $shared yellow purple")
+    val fp = Retrieval.winnowFingerprints(docs, n = 3, w = 4)
+    val f1 = fp.filter(col("doc_id") === 1).select("fp").as[Long].collect().toSet
+    val f2 = fp.filter(col("doc_id") === 2).select("fp").as[Long].collect().toSet
+    assert((f1 & f2).nonEmpty)
+  }
+
+  test("winnowing: fingerprint set is smaller than the gram set") {
+    val text = (1 to 200).map(i => s"tok${i % 37}").mkString(" ")
+    val docs = docsDF(1L -> text)
+    val nGrams = 200 - 2
+    val nFp = Retrieval.winnowFingerprints(docs, n = 3, w = 4).count()
+    assert(nFp < nGrams / 2) // ~1/w density expected, allow slack
+    assert(nFp > 0)
+  }
+
+  test("ewma: finite, and a constant series yields the constant") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_ewma")(spark, dir)
+    assert(out.count() > 0)
+    out.limit(50).collect().foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(!e.isNaN && !e.isInfinite)
+    }
+    // the same integer-weight EWMA over a constant series is exactly the
+    // constant: Σ c·w_i / Σ w_i = c for any weights
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq.tabulate(20)(i => ("s", i.toLong, 7.25)).toDF("skey", "ts", "value")
+    val w = Window.partitionBy(col("skey")).orderBy(col("ts"))
+      .rowsBetween(-15, Window.currentRow)
+    val n = size(col("l"))
+    def pw(base: Double, e: org.apache.spark.sql.Column) =
+      round(pow(lit(base), e.cast("double"))).cast("long")
+    val num = aggregate(transform(sequence(lit(1), n),
+      i => element_at(col("l"), i) * pw(3.0, n - i) * pw(4.0, i - 1)),
+      lit(0L), (a, x) => a + x)
+    val den = aggregate(transform(sequence(lit(1), n),
+      i => pw(3.0, n - i) * pw(4.0, i - 1)), lit(0L), (a, x) => a + x)
+    val ew = d.withColumn("q", floor(col("value") * 10000 + 0.5).cast("long"))
+      .withColumn("l", collect_list(col("q")).over(w))
+      .select((num.cast("double") / den.cast("double") / 10000.0).as("e"))
+      .as[Double].collect()
+    ew.foreach(e => assert(math.abs(e - 7.25) < 1e-12))
+  }
+
+  test("q_histogram gate: bin counts total the table and bins are bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_histogram")(spark, dir).collect()
+    val total = out.map(_.getAs[Long]("n")).sum
+    val nRows = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(total == nRows)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b <= 19)
+    }
+  }
+}
