@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, FilterChain, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, FilterChain, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -327,6 +327,16 @@ object PipelineQueries {
     "pl_winnow" -> { (s, dir) =>
       Retrieval.winnowFingerprints(docs(s, dir), n = 3, w = 4)
         .orderBy("doc_id", "fp")
+    },
+
+    // count-min-sketch heavy hitters: fixed 4×1024 integer grid (the
+    // 100 TB memory contract), md5-derived hash family so the sketch is
+    // engine-replayable; true top-20 tokens annotated with the sketch's
+    // never-undershooting point estimate
+    "pl_cms_topk" -> { (s, dir) =>
+      Sketches.cmsHeavyHitters(docs(s, dir), k = 20, depth = 4, width = 1024)
+        .select(col("token"), col("cnt"), col("est"))
+        .orderBy("token")
     },
 
     "pl_dedup_simhash" -> { (s, dir) =>
@@ -1848,7 +1858,29 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3
          |ORDER BY doc_id, fp""".stripMargin
 
+    // CMS oracle: rebuild the identical 4×1024 sketch (same md5 hash
+    // family), address each candidate's 4 cells, min across rows
+    val cmsTopk =
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |ctr AS (
+         |  SELECT i, ${h60Sql("token || '#' || CAST(i AS VARCHAR)")} % 1024 AS bucket,
+         |         sum(cnt) AS c
+         |  FROM tc CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+         |  GROUP BY i, bucket),
+         |cand AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20),
+         |est AS (
+         |  SELECT cand.token, cand.cnt, min(ctr.c) AS est
+         |  FROM cand JOIN ctr
+         |    ON ctr.bucket =
+         |       ${h60Sql("cand.token || '#' || CAST(ctr.i AS VARCHAR)")} % 1024
+         |  GROUP BY cand.token, cand.cnt)
+         |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
+         |FROM est ORDER BY token""".stripMargin
+
     Map(
+      "pl_cms_topk" -> cmsTopk,
       "pl_bm25" -> bm25,
       "pl_source_terms" -> sourceTerms,
       "pl_winnow" -> winnow,

@@ -106,6 +106,27 @@ class RetrievalSpec extends SparkSpec {
     ew.foreach(e => assert(math.abs(e - 7.25) < 1e-12))
   }
 
+  test("cms: estimate never undershoots; collisions only inflate") {
+    import graft.pipeline.Sketches
+    val docs = docsDF(
+      1L -> "aa aa aa aa bb bb cc dd ee ff gg hh ii jj",
+      2L -> "aa bb bb cc cc cc dd kk ll mm nn oo pp qq")
+    // width 4 forces collisions among 17 distinct tokens
+    val tight = Sketches.cmsHeavyHitters(docs, k = 17, depth = 2, width = 4)
+      .collect()
+    tight.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"),
+        s"CMS undershot: $r")
+    }
+    // and with collisions this tight, at least one estimate must inflate
+    assert(tight.exists(r => r.getAs[Long]("est") > r.getAs[Long]("cnt")))
+    // a wide sketch over a tiny vocabulary is exact
+    val wide = Sketches.cmsHeavyHitters(docs, k = 17, depth = 4, width = 4096)
+      .collect()
+    wide.foreach(r =>
+      assert(r.getAs[Long]("est") == r.getAs[Long]("cnt"), s"collision: $r"))
+  }
+
   test("q_histogram gate: bin counts total the table and bins are bounded") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_histogram")(spark, dir).collect()
