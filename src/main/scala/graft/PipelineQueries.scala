@@ -329,6 +329,20 @@ object PipelineQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // HyperLogLog distinct tokens per source: deterministic md5-based
+    // registers (engine-replayable, unlike approx_count_distinct's
+    // private sketch), integer harmonic sum, fixed-shape final formula;
+    // exact distinct alongside for the accuracy story
+    "pl_hll_distinct" -> { (s, dir) =>
+      val t = TextAnalysis.withTokens(docs(s, dir))
+        .select(col("source"), explode(col("w_")).as("token"))
+      val est = Sketches.hllDistinct(t, "token", "source")
+      t.groupBy("source").agg(countDistinct(col("token")).as("n_exact"))
+        .join(est, "source")
+        .select(col("source"), col("n_exact"), sround(col("est")).as("est"))
+        .orderBy("source")
+    },
+
     // count-min-sketch heavy hitters: fixed 4×1024 integer grid (the
     // 100 TB memory contract), md5-derived hash family so the sketch is
     // engine-replayable; true top-20 tokens annotated with the sketch's
@@ -1879,7 +1893,46 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
          |FROM est ORDER BY token""".stripMargin
 
+    // HLL oracle: identical registers (low 8 hash bits → bucket, rho via
+    // exact integer bit-length), integer harmonic sum with absent
+    // registers as 2^53 each, then the same fixed-shape double formula
+    // (e-notation keeps DuckDB in DOUBLE, not DECIMAL)
+    val hllDistinct =
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hs AS (SELECT source, ${h60Sql("token")} AS h FROM tok),
+         |regs AS (
+         |  SELECT source, h & 255 AS bucket,
+         |    max(CASE WHEN (h >> 8) = 0 THEN 53
+         |             ELSE 53 - length(bin(h >> 8)) END) AS M
+         |  FROM hs GROUP BY source, bucket),
+         |agg AS (
+         |  SELECT source, count(*) AS nb,
+         |    sum(CAST(round(power(2, 53 - M)) AS BIGINT)) AS zp
+         |  FROM regs GROUP BY source),
+         |f AS (
+         |  SELECT source,
+         |    CAST(zp + (256 - nb) * 9007199254740992 AS BIGINT) AS zint,
+         |    256 - nb AS v
+         |  FROM agg),
+         |e AS (
+         |  SELECT source, v,
+         |    (0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0
+         |      / (CAST(zint AS DOUBLE) / 9007199254740992.0e0) AS eraw
+         |  FROM f),
+         |hll AS (
+         |  SELECT source,
+         |    CASE WHEN eraw <= 640.0e0 AND v > 0
+         |         THEN 256.0e0 * ln(256.0e0 / CAST(v AS DOUBLE))
+         |         ELSE eraw END AS est
+         |  FROM e),
+         |ex AS (SELECT source, count(DISTINCT token) AS n_exact FROM tok GROUP BY source)
+         |SELECT ex.source, n_exact,
+         |       floor(est * 10000 + 0.5 + 1e-6) / 10000.0 AS est
+         |FROM ex JOIN hll USING (source) ORDER BY source""".stripMargin
+
     Map(
+      "pl_hll_distinct" -> hllDistinct,
       "pl_cms_topk" -> cmsTopk,
       "pl_bm25" -> bm25,
       "pl_source_terms" -> sourceTerms,

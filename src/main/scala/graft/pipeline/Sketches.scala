@@ -42,6 +42,58 @@ object Sketches {
     pmod(GraftFunctions.md5Hash60(concat(token, lit("#"), lit(i.toString))),
       lit(width.toLong))
 
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al.
+    * 2007), built on the oracle-shared 60-bit md5 hash so the register
+    * state — and therefore the estimate — is deterministic and
+    * engine-replayable (unlike `approx_count_distinct`, whose sketch is
+    * engine-private).
+    *
+    * Layout: low `p` bits of the hash pick one of `m = 2^p` registers,
+    * the remaining `60−p` bits yield `rho` = position of the first set
+    * bit (computed exactly via integer bit-length — `length(bin(x))` in
+    * both engines — never float log2). Register state is one
+    * map-side-combined `max` aggregation: fixed `m` longs per group, the
+    * canonical mergeable cardinality sketch for 100 TB streams.
+    *
+    * The harmonic mean is computed in INTEGER arithmetic: Σ 2^(S−M_j)
+    * with `S = 61−p` (max rho), each term ≤ 2^(S−1) and absent registers
+    * contributing 2^S, so the sum ≤ m·2^S = 2^(61) fits int64 exactly —
+    * the only float ops are the fixed-shape final formula, which both
+    * engines evaluate identically. Small-range (linear counting) branch
+    * included; large-range correction unnecessary in a 2^60 hash space.
+    *
+    * Returns `(groupCol, est)` with the raw (unrounded) estimate.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1 << p
+    val S = 61 - p // rho range: [1, S]; absent register = 0
+    val h = GraftFunctions.md5Hash60(col(keyCol))
+    val hp = shiftright(h, p)
+    val rho = when(hp === 0, lit(S))
+      .otherwise(lit(S) - length(bin(hp))) // S − bitlen, exact
+    val regs = df
+      .select(col(groupCol).as("grp"), h.bitwiseAND(m - 1).as("bucket"),
+        rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("M"))
+    val term = round(pow(lit(2.0), (lit(S) - col("M")).cast("double"))).cast("long")
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val pow2S = math.pow(2.0, S) // 2^53 for p=8 — exact in double
+    regs.groupBy("grp")
+      .agg(count(lit(1)).as("nb"), sum(term).as("zp"))
+      .withColumn("zint", col("zp") + (lit(m.toLong) - col("nb")) * lit(1L << S))
+      .withColumn("v", lit(m.toLong) - col("nb")) // empty registers
+      .withColumn("eraw",
+        (lit(alpha) * (m.toDouble * m.toDouble))
+          / (col("zint").cast("double") / pow2S))
+      .withColumn("est",
+        when(col("eraw") <= 2.5 * m && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("eraw")))
+      .select(col("grp").as(groupCol), col("est"))
+  }
+
   /** Heavy hitters with their CMS estimates: the true top-`k` tokens by
     * exact count, each annotated with the sketch's point estimate
     * (min over the depth rows of the addressed cells). The estimate

@@ -127,6 +127,25 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("est") == r.getAs[Long]("cnt"), s"collision: $r"))
   }
 
+  test("hll: estimate within sketch error of the true cardinality") {
+    import graft.pipeline.Sketches
+    // 5000 distinct keys against m=256 registers → raw-HLL branch;
+    // theoretical σ = 1.04/√256 ≈ 6.5%, assert a generous 20%
+    val keys = (1 to 5000).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val est = Sketches.hllDistinct(keys, "k", "grp")
+      .collect().head.getAs[Double]("est")
+    assert(math.abs(est - 5000) / 5000 < 0.20, s"estimate $est")
+    // deterministic: same input → bit-identical estimate
+    val est2 = Sketches.hllDistinct(keys, "k", "grp")
+      .collect().head.getAs[Double]("est")
+    assert(est == est2)
+    // small cardinality → linear-counting branch, near-exact
+    val small = (1 to 30).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val se = Sketches.hllDistinct(small, "k", "grp")
+      .collect().head.getAs[Double]("est")
+    assert(math.abs(se - 30) < 3, s"linear-counting estimate $se")
+  }
+
   test("q_histogram gate: bin counts total the table and bins are bounded") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_histogram")(spark, dir).collect()
