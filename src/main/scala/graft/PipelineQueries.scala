@@ -131,6 +131,18 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Bloom-filter decontamination: same train/eval split as
+    // pl_decontam, but the eval set crosses the cluster as a fixed
+    // 2^16-position Bloom frame instead of gram strings — flags are a
+    // deterministic superset (FPs replayed exactly by the oracle)
+    "pl_decontam_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.bloomDecontaminate(
+        d.filter(col("doc_id") % 13 =!= 0),
+        d.filter(col("doc_id") % 13 === 0), n = 4)
+        .orderBy("id")
+    },
+
     // per-source document cap (the web pipeline's per-host cap):
     // deterministic salted-rank keep of at most 10 docs per source
     "pl_source_cap" -> { (s, dir) =>
@@ -1931,7 +1943,32 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |       floor(est * 10000 + 0.5 + 1e-6) / 10000.0 AS est
          |FROM ex JOIN hll USING (source) ORDER BY source""".stripMargin
 
+    // Bloom decontam oracle: rebuild the identical position set (4
+    // md5 hashes per eval gram mod 2^16), probe each train gram's 4
+    // positions, flag on all-hit
+    val decontamBloom =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+         |  FROM t),
+         |hx(i) AS (VALUES (0), (1), (2), (3)),
+         |bits AS (
+         |  SELECT DISTINCT ${h60Sql("s || '#' || CAST(i AS VARCHAR)")} % 65536 AS pos
+         |  FROM (SELECT DISTINCT s FROM g WHERE doc_id % 13 = 0) CROSS JOIN hx),
+         |tp AS (
+         |  SELECT doc_id, s,
+         |         ${h60Sql("s || '#' || CAST(i AS VARCHAR)")} % 65536 AS pos
+         |  FROM g CROSS JOIN hx WHERE doc_id % 13 != 0),
+         |hit AS (
+         |  SELECT doc_id, s, count(*) AS nh
+         |  FROM tp JOIN bits USING (pos) GROUP BY doc_id, s)
+         |SELECT doc_id AS id, count(*) AS n_flagged
+         |FROM hit WHERE nh = 4 GROUP BY doc_id ORDER BY id""".stripMargin
+
     Map(
+      "pl_decontam_bloom" -> decontamBloom,
       "pl_hll_distinct" -> hllDistinct,
       "pl_cms_topk" -> cmsTopk,
       "pl_bm25" -> bm25,

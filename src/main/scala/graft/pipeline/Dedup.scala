@@ -628,6 +628,47 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Bloom-filter decontamination — the fixed-memory variant of
+    * [[decontaminate]]: the eval n-gram set is folded into an `mBits`-bit
+    * Bloom filter (`k` md5-derived hash positions per gram), and a train
+    * gram is flagged iff ALL `k` of its positions are set. Flags are a
+    * deterministic superset of the exact match set (Bloom filters have
+    * no false negatives; false positives are deterministic given the
+    * hash family, so the oracle replays them bit-for-bit).
+    *
+    * 100 TB shape: [[decontaminate]] broadcasts the eval gram strings —
+    * fine for kilobyte benchmarks, but a 10⁸-gram eval suite would ship
+    * gigabytes to every executor. Here the broadcast side is AT MOST
+    * `mBits` distinct int positions (2¹⁶ defaults to a ~512 KB frame,
+    * 8 KB as a real bitmap) regardless of eval size; size `mBits`
+    * ≈ 10·k·|eval grams| to keep the false-positive rate ≲ 1%.
+    * Represented relationally (a distinct position frame + semi-join)
+    * rather than as a bitmap UDF so the probe stays codegen'd and the
+    * oracle-comparable.
+    */
+  def bloomDecontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 4,
+      mBits: Int = 1 << 16, k: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*) = {
+      val pre = TextAnalysis.withTokens(df, textCol)
+      pre.select(cols :+ explode(array_distinct(
+        TextAnalysis.ngramsOf(col("w_"), n))).as("g"): _*)
+    }
+    def posOf(g: Column, i: Int): Column =
+      pmod(md5Hash60(concat(g, lit("#"), lit(i.toString))), lit(mBits.toLong))
+    val bits = (0 until k)
+      .map(i => grams(evalSet).select(posOf(col("g"), i).as("pos")))
+      .reduce(_ unionByName _)
+      .distinct()
+    val probes = grams(train, col(idCol).as("id"))
+      .select(col("id"), col("g"),
+        explode(array((0 until k).map(i => posOf(col("g"), i)): _*)).as("pos"))
+    probes.join(broadcast(bits), "pos")
+      .groupBy("id", "g").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === k)
+      .groupBy("id").agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** SimHash of the token multiset: bit b of the result is the sign of
     * `Σ_tokens (2·bit_b(md5hash60(tok)) − 1)`. One explode + one groupBy
     * with nBits sum aggregates (map-side combinable).

@@ -544,6 +544,26 @@ class PipelineSpec extends SparkSpec {
     assert(r === Map(1L -> 1L))
   }
 
+  test("bloomDecontaminate: superset of exact flags; exact at low fill") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different words here now")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "see the quick brown fox run")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, eval_, n = 4)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomDecontaminate(train, eval_, n = 4)
+      .as[(Long, Long)].collect().toMap
+    // no false negatives: every exact flag survives with count ≥ exact
+    exact.foreach { case (id, cnt) => assert(bloom.getOrElse(id, 0L) >= cnt) }
+    // 3 eval grams × 4 hashes into 2^16 bits → FP ≈ 0: equality expected
+    assert(bloom === exact)
+    // saturated filter (mBits = 2) flags EVERY train gram — shows the
+    // FP mechanism is live rather than silently exact
+    val sat = Dedup.bloomDecontaminate(train, eval_, n = 4, mBits = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(sat(2L) === 2L) // doc 2's two 4-grams, all false positives
+  }
+
   test("decontaminate plan broadcasts the eval grams, never the train side") {
     val plan = Dedup.decontaminate(docs, docs.limit(5), n = 4)
       .queryExecution.executedPlan.toString
