@@ -218,8 +218,14 @@ object TextAnalysis {
     */
   def unigramNll(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // the exploded token relation feeds two branches (frequency table +
+    // probe side) — cached LAZILY so the tokenize+explode pass runs once
+    // per action instead of twice; the entry is session-lifetime
+    // (same class as collapse's drop frame: small, evictable, swept by
+    // Bench between gates) so the operator itself stays lazy/composable
     val toks = withTokens(docs, textCol)
       .select(col(idCol), explode(col("w_")).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus size rides inside the plan (global window over the already
     // vocab-sized frequency table) instead of a separate .first() action
     // — the heavy tokenize+count pass runs once, not twice
@@ -245,8 +251,14 @@ object TextAnalysis {
     */
   def bigramNll(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.1): DataFrame = {
+    // the bigram relation feeds THREE branches (bigram counts, left-token
+    // counts, probe side) — cached LAZILY, or the tokenize+ngram pass
+    // runs three times per action (measured 5.9 s → 2.3 s fresh-JVM on
+    // the sf1 gate); session-lifetime entry, same class as unigramNll's
+    // token cache
     val bg = withTokens(docs, textCol)
       .select(col(idCol), explode(ngramsOf(col("w_"), 2)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // V rides inside the plan as a broadcast 1-row frame (the oracle's
     // `v` CTE) — an eager .first() here would pay a second full corpus
     // scan at plan-construction time (see the unigramNll note)
