@@ -133,7 +133,7 @@ object PipelineQueries {
 
     // Bloom-filter decontamination: same train/eval split as
     // pl_decontam, but the eval set crosses the cluster as a fixed
-    // 2^16-position Bloom frame instead of gram strings — flags are a
+    // 2^22-position Bloom frame instead of gram strings — flags are a
     // deterministic superset (FPs replayed exactly by the oracle)
     "pl_decontam_bloom" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -1944,7 +1944,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |FROM ex JOIN hll USING (source) ORDER BY source""".stripMargin
 
     // Bloom decontam oracle: rebuild the identical position set (4
-    // md5 hashes per eval gram mod 2^16), probe each train gram's 4
+    // md5 hashes per eval gram mod 2^22), probe each train gram's 4
     // positions, flag on all-hit
     val decontamBloom =
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1955,11 +1955,11 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |  FROM t),
          |hx(i) AS (VALUES (0), (1), (2), (3)),
          |bits AS (
-         |  SELECT DISTINCT ${h60Sql("s || '#' || CAST(i AS VARCHAR)")} % 65536 AS pos
+         |  SELECT DISTINCT ${h60Sql("s || '#' || CAST(i AS VARCHAR)")} % 4194304 AS pos
          |  FROM (SELECT DISTINCT s FROM g WHERE doc_id % 13 = 0) CROSS JOIN hx),
          |tp AS (
          |  SELECT doc_id, s,
-         |         ${h60Sql("s || '#' || CAST(i AS VARCHAR)")} % 65536 AS pos
+         |         ${h60Sql("s || '#' || CAST(i AS VARCHAR)")} % 4194304 AS pos
          |  FROM g CROSS JOIN hx WHERE doc_id % 13 != 0),
          |hit AS (
          |  SELECT doc_id, s, count(*) AS nh

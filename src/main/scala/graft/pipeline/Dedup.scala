@@ -629,18 +629,46 @@ object Dedup {
     * the train side joins without shuffling; the only exchange is the
     * per-doc count's map-side-combined aggregation.
     */
+  /** Per-doc DISTINCT word n-gram rows `(id, g)` via one typed flatMap —
+    * the declarative `explode(array_distinct(ngramsOf(...)))` chain
+    * evaluates interpreted higher-order lambdas allocating per-gram
+    * arrays (the shingleHashes lesson, here for gram STRINGS: measured
+    * 4.5 s → 2.6 s on the sf1 decontam gate).
+    */
+  private[pipeline] def distinctGramRows(df: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          val sb = new java.lang.StringBuilder
+          var p = 0
+          while (p <= toks.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(p + j)); j += 1
+            }
+            seen += sb.toString
+            p += 1
+          }
+          seen.iterator.map(g => (id, g))
+        }
+      }
+      .toDF("id", "g")
+  }
+
   def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // tokens projected once per row, then n-grams built from the array
-    // (inlining the split into the n-gram builder re-splits per element
-    // — measured 5× slower; see TextAnalysis codegen note)
-    def grams(df: DataFrame, cols: Column*) = {
-      val pre = TextAnalysis.withTokens(df, textCol)
-      pre.select(cols :+ explode(array_distinct(
-        TextAnalysis.ngramsOf(col("w_"), n))).as("g"): _*)
-    }
-    val evalGrams = grams(evalSet).distinct()
-    grams(train, col(idCol).as("id"))
+    val evalGrams = distinctGramRows(evalSet, n, idCol, textCol)
+      .select(col("g")).distinct()
+    distinctGramRows(train, n, idCol, textCol)
       .join(broadcast(evalGrams), "g")
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
   }
@@ -656,34 +684,83 @@ object Dedup {
     * 100 TB shape: [[decontaminate]] broadcasts the eval gram strings —
     * fine for kilobyte benchmarks, but a 10⁸-gram eval suite would ship
     * gigabytes to every executor. Here the broadcast side is AT MOST
-    * `mBits` distinct int positions (2¹⁶ defaults to a ~512 KB frame,
-    * 8 KB as a real bitmap) regardless of eval size; size `mBits`
-    * ≈ 10·k·|eval grams| to keep the false-positive rate ≲ 1%.
-    * Represented relationally (a distinct position frame + semi-join)
-    * rather than as a bitmap UDF so the probe stays codegen'd and the
+    * `mBits` distinct int positions (and in practice ≤ k·|eval grams|,
+    * far fewer: the 2²² default is 512 KB as a real bitmap) regardless
+    * of eval string size. Size `mBits` ≳ 10·k·|eval grams| to keep the
+    * false-positive rate ≲ 1% — an UNDERSIZED filter stays correct
+    * (superset semantics) but saturates: fill → 1 makes every train
+    * gram a hit and the probe degenerates to all-grams work (the sf1
+    * gate's ~190k eval grams saturate 2¹⁶ completely). Represented
+    * relationally (a distinct position frame + semi-join) rather than
+    * as a bitmap UDF so the probe stays codegen'd and
     * oracle-comparable.
     */
   def bloomDecontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 4,
-      mBits: Int = 1 << 16, k: Int = 4,
+      mBits: Int = 1 << 22, k: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame, cols: Column*) = {
-      val pre = TextAnalysis.withTokens(df, textCol)
-      pre.select(cols :+ explode(array_distinct(
-        TextAnalysis.ngramsOf(col("w_"), n))).as("g"): _*)
+    // per-doc distinct grams → the k Bloom positions, all inside ONE
+    // typed flatMap (one MessageDigest, k digests per gram). The
+    // declarative alternative — k × (concat ⊕ md5-hex ⊕ conv) Catalyst
+    // chains per gram — allocates hex strings per position and measured
+    // 4× this shape on the sf1 gate (4.5 s total here).
+    def gramPositions(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val (nn, kk, mb) = (n, k, mBits.toLong)
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < nn) Iterator.empty
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            val sb = new java.lang.StringBuilder
+            var p = 0
+            while (p <= toks.length - nn) {
+              sb.setLength(0)
+              var j = 0
+              while (j < nn) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(p + j)); j += 1
+              }
+              seen += sb.toString
+              p += 1
+            }
+            seen.iterator.map { g =>
+              val ps = new Array[Long](kk)
+              var i = 0
+              while (i < kk) {
+                val d = md.digest((g + "#" + i).getBytes("UTF-8"))
+                var h = 0L
+                var b = 0
+                while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+                ps(i) = java.lang.Long.remainderUnsigned(h >>> 4, mb)
+                i += 1
+              }
+              (id, ps)
+            }
+          }
+        }
+        .toDF("id", "ps")
     }
-    def posOf(g: Column, i: Int): Column =
-      pmod(md5Hash60(concat(g, lit("#"), lit(i.toString))), lit(mBits.toLong))
-    val bits = (0 until k)
-      .map(i => grams(evalSet).select(posOf(col("g"), i).as("pos")))
-      .reduce(_ unionByName _)
+    val bits = gramPositions(evalSet)
+      .select(explode(col("ps")).as("pos"))
       .distinct()
-    val probes = grams(train, col(idCol).as("id"))
-      .select(col("id"), col("g"),
-        explode(array((0 until k).map(i => posOf(col("g"), i)): _*)).as("pos"))
-    probes.join(broadcast(bits), "pos")
-      .groupBy("id", "g").agg(count(lit(1)).as("nhit"))
-      .filter(col("nhit") === k)
-      .groupBy("id").agg(count(lit(1)).as("n_flagged"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a gram is flagged iff ALL k positions are set — k chained
+    // broadcast LEFT SEMI joins, one per hash row, so the train side
+    // never shuffles (an explode + groupBy(id, gram) formulation
+    // shuffles every probe row keyed by the gram STRING); the only
+    // exchange is the final map-side-combined per-doc count
+    val probed = (0 until k).foldLeft(
+      gramPositions(train)
+        .select(col("id") +: (0 until k).map(i =>
+          col("ps")(i).as(s"p$i")): _*)) { (cur, i) =>
+      cur.join(broadcast(bits.select(col("pos").as(s"p$i"))),
+        Seq(s"p$i"), "left_semi")
+    }
+    probed.groupBy("id").agg(count(lit(1)).as("n_flagged"))
   }
 
   /** SimHash of the token multiset: bit b of the result is the sign of
