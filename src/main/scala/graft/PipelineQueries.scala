@@ -366,7 +366,7 @@ object PipelineQueries {
     },
 
     "pl_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), nBits = 32, maxHamming = 3)
+      Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy("id1", "id2")
     },
@@ -1203,7 +1203,7 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
         |SELECT doc_id, token, score, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
-    val nBits = 32
+    val nBits = 60 // 4 chunks × 15 bits — mirrors the Spark gate
     val votes = (0 until nBits)
       .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
     val bits = (0 until nBits)
@@ -1218,13 +1218,16 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |    $votes
          |  FROM hs GROUP BY id),
          |sim AS (SELECT id, $bits AS simhash FROM votes),
-         |ck AS (
-         |  SELECT id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+         |ck AS MATERIALIZED (
+         |  SELECT id, simhash, c, (simhash >> (c * 15)) & 32767 AS v
          |  FROM sim, (VALUES (0), (1), (2), (3)) cs(c)),
+         |okc AS (
+         |  SELECT c, v FROM ck GROUP BY c, v HAVING count(*) <= 1000),
          |cand AS (
          |  SELECT DISTINCT a.id AS id1, b.id AS id2,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+         |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+         |  JOIN okc o ON a.c = o.c AND a.v = o.v)
          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
 
