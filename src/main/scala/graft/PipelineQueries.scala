@@ -341,6 +341,23 @@ object PipelineQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // PMI collocations (Church & Hanks 1990): top-20 adjacent bigrams by
+    // pointwise mutual information, min count 5 — two map-side-combined
+    // count aggregations + token-keyed joins, top-k via TakeOrdered
+    "pl_pmi" -> { (s, dir) =>
+      Retrieval.pmiCollocations(docs(s, dir), k = 20, minCount = 5)
+        .orderBy("rank")
+    },
+
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    // log-ratio of a small target slice vs the raw pool, top-50 docs;
+    // the ratio table is 4096 rows broadcast, per-doc weights are
+    // integer sums (order-free)
+    "pl_dsir" -> { (s, dir) =>
+      Retrieval.dsirWeights(docs(s, dir), col("source") === "src0", k = 50)
+        .orderBy("doc_id")
+    },
+
     // HyperLogLog distinct tokens per source: deterministic md5-based
     // registers (engine-replayable, unlike approx_count_distinct's
     // private sketch), integer harmonic sum, fixed-shape final formula;
@@ -1887,6 +1904,72 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3
          |ORDER BY doc_id, fp""".stripMargin
 
+    // PMI oracle: identical count relations and the identical
+    // fixed-shape scalar ((c12·Nt·Nt)/(Nb·c1·c2), left-assoc as in the
+    // Spark Column chain) before the shared 4-dp quantization
+    val pmi =
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS tkn FROM tok),
+         |uc AS (SELECT tkn, count(*) AS c FROM uni GROUP BY tkn),
+         |big AS (
+         |  SELECT w[x.i] AS w1, w[x.i+1] AS w2
+         |  FROM tok CROSS JOIN LATERAL unnest(range(1, len(w))) AS x(i)),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM uni),
+         |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bc),
+         |scored AS (
+         |  SELECT w1, w2, c12,
+         |    floor(ln((CAST(c12 AS DOUBLE) * nt.nt * nt.nt) /
+         |              (nb.nb * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))
+         |          * 10000 + 0.5 + 1e-6) / 10000.0 AS pmi
+         |  FROM bc JOIN uc u1 ON bc.w1 = u1.tkn JOIN uc u2 ON bc.w2 = u2.tkn
+         |  CROSS JOIN nt CROSS JOIN nb
+         |  WHERE c12 >= 5),
+         |ranked AS (
+         |  SELECT w1, w2, c12, pmi,
+         |    CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT w1, w2, c12, pmi, rank FROM ranked
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+    // DSIR oracle: same md5 bucket hashing, dense 4096-row smoothed
+    // log-ratio table quantized to integer 1e-4 units, per-doc INTEGER
+    // sums (order-free), one final division
+    val dsir =
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         CAST(${h60Sql("w[x.i] || ' ' || w[x.i+1]")} % 4096 AS INT) AS b
+         |  FROM tok CROSS JOIN LATERAL unnest(range(1, len(w))) AS x(i)),
+         |rawc AS (SELECT b, count(*) AS cr FROM grams GROUP BY b),
+         |tgtc AS (
+         |  SELECT g.b, count(*) AS ct FROM grams g
+         |  JOIN documents d ON g.id = d.doc_id WHERE d.source = 'src0'
+         |  GROUP BY g.b),
+         |nr AS (SELECT CAST(count(*) AS DOUBLE) AS nr FROM grams),
+         |ntg AS (SELECT CAST(COALESCE(sum(ct), 0) AS DOUBLE) AS ntg FROM tgtc),
+         |lr AS (
+         |  SELECT CAST(r.range AS INT) AS b,
+         |    CAST(floor((ln((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 1.0) /
+         |                   (ntg.ntg + 4096.0)) -
+         |                ln((CAST(COALESCE(c.cr, 0) AS DOUBLE) + 1.0) /
+         |                   (nr.nr + 4096.0)))
+         |               * 10000 + 0.5 + 1e-6) AS BIGINT) AS lrq
+         |  FROM range(4096) r
+         |  LEFT JOIN tgtc t ON t.b = r.range
+         |  LEFT JOIN rawc c ON c.b = r.range
+         |  CROSS JOIN nr CROSS JOIN ntg),
+         |wts AS (
+         |  SELECT g.id AS doc_id, count(*) AS n_grams,
+         |         sum(l.lrq) / 10000.0 AS weight
+         |  FROM grams g JOIN lr l ON g.b = l.b GROUP BY g.id),
+         |ranked AS (
+         |  SELECT doc_id, n_grams, weight,
+         |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rank
+         |  FROM wts)
+         |SELECT doc_id, n_grams, weight, rank FROM ranked
+         |WHERE rank <= 50 ORDER BY doc_id""".stripMargin
+
     // CMS oracle: rebuild the identical 4×1024 sketch (same md5 hash
     // family), address each candidate's 4 cells, min across rows
     val cmsTopk =
@@ -1977,6 +2060,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_bm25" -> bm25,
       "pl_source_terms" -> sourceTerms,
       "pl_winnow" -> winnow,
+      "pl_pmi" -> pmi,
+      "pl_dsir" -> dsir,
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,
       "pl_fingerprint" -> fp,

@@ -198,4 +198,128 @@ object Retrieval {
       .toDF(idCol, "fp")
     fps.distinct()
   }
+
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token bigrams: `pmi(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2)))` with
+    * `p(w1,w2) = c12/Nb` over bigram occurrences and `p(w) = c/Nt` over
+    * token occurrences (Church & Hanks 1990). Bigrams below `minCount`
+    * are dropped (rare-pair PMI explodes on noise), and the global top
+    * `k` survive, ranked by quantized PMI then bigram text.
+    *
+    * Plan: the bigram relation flatMaps straight into a map-side-combined
+    * (w1,w2) count; unigram counts are a second aggregation; the two
+    * joins key on single tokens (vocabulary-sized relations — they
+    * shuffle, since a 100 TB vocabulary outgrows broadcast); corpus
+    * totals are two scalar aggregates. The PMI itself is one fixed-shape
+    * IEEE expression over exact integer counts — cells pass through
+    * double BEFORE any product (the distinctiveTerms overflow rule) and
+    * quantize to 4 dp, so the oracle replays it bit-for-bit.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 20, minCount: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uni = TextAnalysis.withTokens(docs, textCol)
+      .select(explode(col("w_")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = docs
+      .select(col(textCol)).as[String]
+      .flatMap { text =>
+        val t = text.split(" ", -1)
+        (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+      }
+      .toDF("w1", "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nt = uni.agg(sum(col("c"))).head().getLong(0).toDouble
+    val nb = big.agg(sum(col("c12"))).head().getLong(0).toDouble
+    // top-k via orderBy+limit = TakeOrdered (distributed partial top-k,
+    // no global exchange); the rank window then runs over k rows only
+    val scored = big.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("pmi", floor(
+        log((col("c12").cast("double") * nt * nt) /
+          (lit(nb) * col("c1").cast("double") * col("c2").cast("double")))
+          * 10000 + 0.5 + 1e-6) / 10000.0)
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"), col("rank"))
+    val out = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    uni.unpersist(); big.unpersist()
+    out
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-bigram features are
+    * under a small TARGET corpus than under the raw pool, then keep the
+    * top `k`. `log w(d) = Σ_grams [ln p̂_target(b(g)) − ln p̂_raw(b(g))]`
+    * where `b(g)` hashes the bigram into one of `buckets` counting
+    * buckets and both distributions are add-α smoothed bucket unigrams.
+    *
+    * Determinism/scale shape: the bucket log-ratio table has exactly
+    * `buckets` rows — built by two map-side-combined aggregations whose
+    * shuffles carry ≤ `buckets` rows, quantized to 4 dp (each ratio is a
+    * fixed-shape IEEE scalar over exact integer counts), and joined back
+    * BROADCAST against the per-doc gram stream; the per-document weight
+    * is then an integer sum (order-free) divided once. One doc-keyed
+    * aggregation exchange total; nothing scales with the corpus except
+    * the gram flatMap itself.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column, k: Int = 50,
+      buckets: Int = 4096, alpha: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def gramBuckets(d: DataFrame): DataFrame = d
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until t.length - 1).iterator.map { i =>
+          val d8 = md.digest((t(i) + " " + t(i + 1)).getBytes("UTF-8"))
+          var h = 0L
+          var j = 0
+          while (j < 8) { h = (h << 8) | (d8(j) & 0xffL); j += 1 }
+          (id, ((h >>> 4) % buckets).toInt)
+        }
+      }
+      .toDF("id", "b")
+    val raw = gramBuckets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCnt = raw.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtCnt = gramBuckets(docs.filter(targetPred))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val nr = raw.count().toDouble
+    val ntRow = tgtCnt.agg(sum(col("ct"))).head()
+    val ntg = if (ntRow.isNullAt(0)) 0.0 else ntRow.getLong(0).toDouble
+    // dense ratio table: every bucket gets a row (unseen buckets carry
+    // the pure-smoothing ratio), so the probe join is a plain inner join
+    val lr = spark.range(buckets).select(col("id").cast("int").as("b"))
+      .join(tgtCnt, Seq("b"), "left").join(rawCnt, Seq("b"), "left")
+      .withColumn("lrq", floor(
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + alpha) /
+             lit(ntg + alpha * buckets)) -
+         log((coalesce(col("cr"), lit(0L)).cast("double") + alpha) /
+             lit(nr + alpha * buckets)))
+          * 10000 + 0.5 + 1e-6).cast("long"))
+      .select("b", "lrq")
+    // top-k selection via TakeOrdered (orderBy+limit), rank over k rows
+    val weighted = raw
+      .join(broadcast(lr), "b")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"), (sum(col("lrq")) / 10000.0).as("weight"))
+      .orderBy(col("weight").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col(idCol))).cast("long"))
+    val out = weighted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    raw.unpersist()
+    out
+  }
 }

@@ -146,6 +146,38 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(se - 30) < 3, s"linear-counting estimate $se")
   }
 
+  test("pmi: a bigram that always co-occurs beats one with independent parts") {
+    // "tightly coupled" appears only together; "loose"/"parts" also occur
+    // apart, diluting their PMI
+    val coupled = Seq.fill(6)("tightly coupled").mkString(" . ")
+    val diluted = Seq.fill(6)("loose parts").mkString(" ") +
+      " loose loose loose parts parts parts"
+    val docs = docsDF(1L -> coupled, 2L -> diluted)
+    val out = Retrieval.pmiCollocations(docs, k = 10, minCount = 5)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Double]("pmi"))).toSeq
+    val tc = out.find(p => p._1 == "tightly" && p._2 == "coupled").get._3
+    val lp = out.find(p => p._1 == "loose" && p._2 == "parts").get._3
+    assert(tc > lp, s"coupled pmi $tc should beat diluted $lp")
+  }
+
+  test("dsir: docs sharing the target slice's vocabulary rank first") {
+    // target = source "tgt"; doc 3 shares its bigrams, doc 4 does not
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "tgt"),
+      (2L, "beta gamma alpha beta gamma delta", "tgt"),
+      (3L, "alpha beta gamma delta epsilon", "pool"),
+      (4L, "nine ten eleven twelve thirteen", "pool"))
+      .toDF("doc_id", "text", "source")
+    val out = Retrieval.dsirWeights(docs, col("source") === "tgt", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight"))
+      .toMap
+    assert(out(3L) > out(4L),
+      s"target-like doc ${out(3L)} should outweigh off-target ${out(4L)}")
+    // target members themselves score at least as high as the off-target doc
+    assert(out(1L) > out(4L) && out(2L) > out(4L))
+  }
+
   test("q_histogram gate: bin counts total the table and bins are bounded") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q_histogram")(spark, dir).collect()
