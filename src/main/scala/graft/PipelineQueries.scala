@@ -402,6 +402,15 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // SQ8 kNN: int8-code cosine (scales cancel), exact integer dots —
+    // the 4×-smaller-scan rung between brute force and PQ
+    "pl_knn_sq8" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.sq8Knn(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
     // IVF ANN — deterministic centroids (vec_id % 16), 3-probe search;
     // oracle replays the exact assign/probe/rank pipeline in SQL.
     "pl_knn_ivf" -> { (s, dir) =>
@@ -1251,6 +1260,31 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val cosExpr =
       """list_dot_product(qv, nv) /
         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))""".stripMargin
+
+    // SQ8 oracle: replay embedPrep's symmetric int8 quantization
+    // (floor(x·127/max|x| + 0.5) over the double-cast vector), then the
+    // identical integer-dot cosine and ranking
+    val sq8Knn =
+      s"""WITH p AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |z AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> floor(x * 127.0 /
+         |      list_max(list_transform(v, y -> abs(y))) + 0.5)) AS c
+         |  FROM p),
+         |q AS (SELECT vec_id AS qid, c AS qv FROM z WHERE vec_id < 10),
+         |n AS (SELECT vec_id AS nid, c AS nv FROM z),
+         |s AS (
+         |  SELECT qid, nid, $cosExpr AS cos
+         |  FROM q JOIN n ON qid != nid),
+         |r AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM s)
+         |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
+         |ORDER BY qid, nid""".stripMargin
     val knn =
       s"""WITH q AS (
          |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -2097,6 +2131,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_redact" -> redact,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
+      "pl_knn_sq8" -> sq8Knn,
       "pl_knn_ivf" -> ivf,
       "pl_knn_lsh" -> lshKnn,
       "pl_embed_prep" -> embedPrep,

@@ -127,6 +127,37 @@ object Similarity {
         transform(col("v"),
           x => floor(x * 127.0 / col("maxabs") + 0.5).cast("long")))
 
+  /** Scalar-quantized (SQ8) cosine top-k: vectors compare through their
+    * [[embedPrep]] int8 codes — cosine is scale-invariant, so the
+    * per-vector `127/max|x|` factors cancel and
+    * `cos₈ = Σq·c / (√Σq² · √Σc²)` needs only the codes. A stored corpus
+    * vector is dim bytes instead of dim floats (4× smaller scans than
+    * [[bruteKnn]], the standard first rung before PQ's 16×), the dot
+    * products are exact integer sums (≤ 127²·dim per pair — inside
+    * double's 2^53 integer range through dim ~500k), and the single
+    * final division is a fixed-shape IEEE scalar, so the oracle replays
+    * the ranking bit-for-bit. Same plan shape as bruteKnn: queries
+    * broadcast, corpus spread, per-query top-k window.
+    */
+  def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def codes(df: DataFrame, idAs: String, vecAs: String, nrmAs: String) =
+      embedPrep(df, idCol, vecCol)
+        .select(col(idCol).as(idAs),
+          transform(col("q"), x => x.cast("double")).as(vecAs))
+        .withColumn(nrmAs, sqrt(dotp(col(vecAs), col(vecAs))))
+    val q = codes(queries, "qid", "qv", "qn")
+    val c = spread(codes(corpus, "nid", "nv", "nn"))
+    val scored = broadcast(q)
+      .join(c, col("qid") =!= col("nid"))
+      .withColumn("cos", pairCos("qv", "qn", "nv", "nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** The shared gate rounding (PipelineQueries.sround's JVM twin) —
     * centroids are rounded with it every k-means iteration so both
     * engines iterate from bit-identical literals.

@@ -213,6 +213,17 @@ class PipelineSpec extends SparkSpec {
     assert(rows.groupBy(_._1).forall(_._2.length == 4))
   }
 
+  test("sq8 knn tracks exact brute-force ranking closely") {
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteKnn(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8Knn(emb, queries, 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = sq8.intersect(brute).size.toDouble / brute.size
+    // int8 cosine error is ~1/127 per axis; top-5 sets should barely move
+    assert(recall >= 0.9, s"sq8 recall@5=$recall < 0.9")
+  }
+
   test("lsh knn recall scales with the number of hash tables") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteKnn(emb, queries, 5)
