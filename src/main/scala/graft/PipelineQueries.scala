@@ -192,6 +192,16 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // prefix-filter all-pairs join (Bayardo et al. 2007): the LOSSLESS
+    // scale path for exact Jaccard — only each set's rarest
+    // |S|−⌈t·|S|⌉+1 shingles enter the self-join; oracle = exact
+    // uncapped Jaccard pairs, which is the operator's contract
+    "pl_dedup_prefix" -> { (s, dir) =>
+      Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
+        .orderBy("id1", "id2")
+    },
+
     // the maxDocFreq skew guard actually biting: cap=3 drops the corpus's
     // hottest shingles (test data has shingles in up to 9 docs); the
     // oracle replays the identical cap, so the guarded result is still
@@ -954,6 +964,17 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
       s"""WITH $shingleCte,
          |${cappedShingleCte(1000)},
          |${jaccardCtes("shf")}
+         |SELECT id1, id2, ${sroundSql("jac")} AS jaccard
+         |FROM pairs WHERE jac >= 0.8
+         |ORDER BY id1, id2""".stripMargin
+
+    // prefix-filter oracle: the operator's contract is exact Jaccard
+    // (the prefix candidate set is provably lossless), so the oracle is
+    // the plain uncapped pair set — PipelineSpec separately asserts the
+    // prefix path equals the inverted-index path and prunes candidates
+    val prefixJoin =
+      s"""WITH $shingleCte,
+         |${jaccardCtes()}
          |SELECT id1, id2, ${sroundSql("jac")} AS jaccard
          |FROM pairs WHERE jac >= 0.8
          |ORDER BY id1, id2""".stripMargin
@@ -2106,6 +2127,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_dedup_exact" -> dedupExact,
       "pl_dedup_ngram" -> ngram,
       "pl_dedup_ngram_hot" -> ngramHot,
+      "pl_dedup_prefix" -> prefixJoin,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_incr" -> dedupIncr,
       "pl_dup_windows" -> dupWindows,

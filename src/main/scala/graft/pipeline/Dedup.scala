@@ -284,6 +284,53 @@ object Dedup {
     materializeAndRelease(pairs, sh0)
   }
 
+  /** Exact all-pairs Jaccard ≥ `threshold` via PREFIX FILTERING
+    * (Bayardo, Ma & Srikant, WWW 2007; Chaudhuri et al.'s SSJoin bound):
+    * order every document's shingle set by ascending global document
+    * frequency (rarest first, hash tie-break), keep only each set's
+    * first `|S| − ⌈t·|S|⌉ + 1` shingles, and join ONLY on those. Any pair
+    * with `J ≥ t` must overlap by more than `|S|` minus that prefix on
+    * either side, so it shares a prefix shingle — the candidate set is
+    * provably LOSSLESS while the join relation shrinks by ~t of its
+    * volume, concentrated in exactly the frequent shingles that make the
+    * plain inverted-index self-join ([[ngramJaccardPairs]]) quadratic.
+    * Verification then touches candidates only (set-intersection sizes,
+    * the minhash-verify shape) — never the full shingle self-join.
+    *
+    * Plan: one df aggregation, one doc-keyed window for prefix ranks,
+    * the prefix-only self-join, and a candidate-keyed verify join. At
+    * 100 TB the prefix relation is the only thing the B²-prone join
+    * ever sees, and its hottest keys are by construction the corpus's
+    * RAREST shingles.
+    */
+  def prefixFilterPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh0 = shingleHashes(docs, n).select("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = sh0.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+    val pref = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "h")
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val sets = sh0.groupBy("id").agg(collect_set(col("h")).as("hs"))
+    val pairs = cand
+      .join(sets.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))).cast("double"))
+      .withColumn("jaccard",
+        col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    materializeAndRelease(pairs, sh0)
+  }
+
   /** MinHash parameters shared with the oracle SQL: universal hashes
     * `g_i(h) = (a_i*h + b_i) mod P` over the 60-bit md5 shingle hash
     * reduced mod P. 8 hashes in 4 bands of 2.

@@ -213,6 +213,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows.groupBy(_._1).forall(_._2.length == 4))
   }
 
+  test("prefix-filter join equals the inverted-index join and prunes candidates") {
+    val full = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8,
+      maxDocFreq = None)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val pref = Dedup.prefixFilterPairs(docs, n = 3, threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pref === full, "prefix filtering must be lossless")
+    // the prefix relation is a strict subset of the shingle relation
+    val sh = Dedup.shingleHashes(docs, 3).select("id", "h")
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val prefRows = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(0.8) * col("n")) + 1).count()
+    val allRows = sh.count()
+    assert(prefRows < allRows / 2,
+      s"prefix relation $prefRows should be well under half of $allRows")
+  }
+
   test("sq8 knn tracks exact brute-force ranking closely") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteKnn(emb, queries, 5)
