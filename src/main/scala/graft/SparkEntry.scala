@@ -779,6 +779,19 @@ object SparkEntry {
           .orderBy("skey", "ts")
       },
 
+      // BEYOND-REFERENCE per-series Holt linear-trend forecast
+      // (ETS(A,A,N), α=β=1/4): integer level/trend recurrence on the
+      // 1e-4 grid, one keyed exchange, 3 projections per series
+      "q_forecast" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "click" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+        graft.query.Forecast.holtLinear(d, horizons = 3)
+          .orderBy("skey", "h")
+      },
+
       // BEYOND-REFERENCE value-distribution histogram: per event type,
       // 20 equal-width bins over the type's [min, max] — the two-pass
       // profile shape (tiny bounds frame broadcast back against the
@@ -1523,6 +1536,38 @@ object SparkEntry {
            |  FROM lw)
            |SELECT skey, ts, floor(ew * 10000 + 0.5 + 1e-6) / 10000.0 AS ewma
            |FROM e ORDER BY skey, ts""".stripMargin),
+
+      // forecast oracle: identical integer Holt recurrence walked by a
+      // recursive CTE (one step per (series, position); floor(x/4.0)
+      // over |x| << 2^52 is exactly Java's floorDiv(x, 4))
+      "q_forecast" -> (dpCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |ordq AS MATERIALIZED (
+           |  SELECT skey,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q,
+           |         CAST(row_number() OVER (PARTITION BY skey ORDER BY ts) AS BIGINT) AS i
+           |  FROM dedup),
+           |cnt AS (SELECT skey, max(i) AS n FROM ordq GROUP BY skey),
+           |hw AS (
+           |  SELECT skey, i, q AS l, CAST(0 AS BIGINT) AS b
+           |  FROM ordq WHERE i = 1
+           |  UNION ALL
+           |  SELECT h.skey, o.i,
+           |    CAST(floor((o.q + 3 * (h.l + h.b)) / 4.0) AS BIGINT) AS l,
+           |    CAST(floor((CAST(floor((o.q + 3 * (h.l + h.b)) / 4.0) AS BIGINT)
+           |                 - h.l + 3 * h.b) / 4.0) AS BIGINT) AS b
+           |  FROM hw h JOIN ordq o ON o.skey = h.skey AND o.i = h.i + 1),
+           |fin AS (
+           |  SELECT h.skey, h.l, h.b
+           |  FROM hw h JOIN cnt c ON h.skey = c.skey AND h.i = c.n)
+           |SELECT skey, CAST(t.hh AS BIGINT) AS h,
+           |       (l + t.hh * b) / 10000.0 AS forecast
+           |FROM fin CROSS JOIN (VALUES (1), (2), (3)) t(hh)
+           |ORDER BY skey, h""".stripMargin),
 
       // histogram oracle: same two-pass bounds + IEEE bin math
       "q_histogram" ->

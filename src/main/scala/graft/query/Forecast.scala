@@ -1,0 +1,54 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-series forecasting (beyond the reference, which stops at rate /
+  * downsample): Holt's linear-trend double exponential smoothing
+  * (Holt 1957; the ETS(A,A,N) recurrence), the classic capacity-planning
+  * projection over TSDB series.
+  *
+  * Determinism contract (the kmeans/ewma recipe): observations quantize
+  * to the integer 1e-4 grid, and the level/trend recurrence with
+  * α = β = 1/4 runs entirely in integer arithmetic —
+  * `l_i = ⌊(y_i + 3(l+b))/4⌋`, `b_i = ⌊((l_i − l) + 3b)/4⌋` — so both
+  * engines walk bit-identical states and the single final division is a
+  * fixed-shape IEEE scalar. A recurrence is inherently sequential per
+  * series, so it runs inside one `groupByKey.flatMapGroups` pass:
+  * ONE keyed exchange, O(1) state per series, work linear in points —
+  * the same per-series-scan shape every TSDB window query has.
+  */
+object Forecast {
+
+  /** `h`-step-ahead Holt linear forecasts per series.
+    *
+    * Input: one row per (series key, timestamp) — pre-deduplicated;
+    * output: (key, h, forecast) for h = 1..horizons, where
+    * `forecast = level_n + h·trend_n` at the last observation.
+    */
+  def holtLinear(series: DataFrame, horizons: Int = 3,
+      keyCol: String = "skey", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val out: Dataset[(String, Long, Double)] = series
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        floor(col(valCol) * 10000 + 0.5 + 1e-6).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        var l = ys(0)
+        var b = 0L
+        var i = 1
+        while (i < ys.length) {
+          val l1 = Math.floorDiv(ys(i) + 3L * (l + b), 4L)
+          b = Math.floorDiv((l1 - l) + 3L * b, 4L)
+          l = l1
+          i += 1
+        }
+        (1 to horizons).iterator.map(h => (key, h.toLong, (l + h * b) / 10000.0))
+      }
+    out.toDF(keyCol, "h", "forecast")
+  }
+}

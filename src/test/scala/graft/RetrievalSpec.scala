@@ -146,6 +146,22 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(se - 30) < 3, s"linear-counting estimate $se")
   }
 
+  test("holt forecast: constant series projects the constant; ramp keeps climbing") {
+    val const = (1 to 40).map(i => ("s1", i.toLong, 7.5))
+    val ramp = (1 to 40).map(i => ("s2", i.toLong, i.toDouble))
+    val df = (const ++ ramp).toDF("skey", "ts", "value")
+    val out = graft.query.Forecast.holtLinear(df, horizons = 3)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("h"),
+        r.getAs[Double]("forecast")))
+    val c = out.filter(_._1 == "s1").sortBy(_._2).map(_._3)
+    assert(c.forall(v => math.abs(v - 7.5) < 1e-9), s"constant drifted: ${c.toSeq}")
+    val rFc = out.filter(_._1 == "s2").sortBy(_._2).map(_._3)
+    // trend learned: projections strictly increase and sit beyond the
+    // smoothed level (which lags the last raw value ≈ 40)
+    assert(rFc(0) < rFc(1) && rFc(1) < rFc(2), s"ramp not climbing: ${rFc.toSeq}")
+    assert(rFc(2) - rFc(0) > 0.5, s"trend too flat: ${rFc.toSeq}")
+  }
+
   test("pmi: a bigram that always co-occurs beats one with independent parts") {
     // "tightly coupled" appears only together; "loose"/"parts" also occur
     // apart, diluting their PMI
