@@ -192,6 +192,15 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     },
 
+    // asymmetric containment |A∩B|/|A| — the quote/boilerplate detector
+    // Jaccard structurally misses (small doc inside big one)
+    "pl_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.9)
+        .select(col("contained"), col("container"),
+          sround(col("containment")).as("containment"))
+        .orderBy("contained", "container")
+    },
+
     // prefix-filter all-pairs join (Bayardo et al. 2007): the LOSSLESS
     // scale path for exact Jaccard — only each set's rarest
     // |S|−⌈t·|S|⌉+1 shingles enter the self-join; oracle = exact
@@ -410,6 +419,14 @@ object PipelineQueries {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)
         .select(col("id1"), col("id2"), sround(col("cos")).as("cos"))
         .orderBy("id1", "id2")
+    },
+
+    // Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003):
+    // 64 → 16 dims, md5-derived sign matrix, integer term sums
+    "pl_rproj" -> { (s, dir) =>
+      Similarity.randomProject(emb(s, dir), outDim = 16, dim = 64)
+        .select(col("vec_id"), col("j"), sround(col("y")).as("y"))
+        .orderBy("vec_id", "j")
     },
 
     // SQ8 kNN: int8-code cosine (scales cancel), exact integer dots —
@@ -968,6 +985,28 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM pairs WHERE jac >= 0.8
          |ORDER BY id1, id2""".stripMargin
 
+    // containment oracle: same capped shingle relation, both orientations
+    // of each unordered intersection row
+    val containment =
+      s"""WITH $shingleCte,
+         |${cappedShingleCte(1000)},
+         |cnt AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |ws AS (
+         |  SELECT id1, id2, i, c1.n AS n1, c2.n AS n2
+         |  FROM inter JOIN cnt c1 ON id1 = c1.id JOIN cnt c2 ON id2 = c2.id),
+         |o AS (
+         |  SELECT id1 AS contained, id2 AS container,
+         |         CAST(i AS DOUBLE) / n1 AS cm FROM ws
+         |  UNION ALL
+         |  SELECT id2, id1, CAST(i AS DOUBLE) / n2 FROM ws)
+         |SELECT contained, container, ${sroundSql("cm")} AS containment
+         |FROM o WHERE cm >= 0.9
+         |ORDER BY contained, container""".stripMargin
+
     // prefix-filter oracle: the operator's contract is exact Jaccard
     // (the prefix candidate set is provably lossless), so the oracle is
     // the plain uncapped pair set — PipelineSpec separately asserts the
@@ -1281,6 +1320,26 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val cosExpr =
       """list_dot_product(qv, nv) /
         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))""".stripMargin
+
+    // JL oracle: rebuild the identical md5-parity sign matrix from
+    // (i, j), integer term sums, the same de-scale division chain
+    val rproj =
+      s"""WITH p AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5 + 1e-6) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |sgn AS (
+         |  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+         |    CASE WHEN ${h60Sql("CAST(i.range AS VARCHAR) || '#' || CAST(j.range AS VARCHAR)")} % 2 = 0
+         |         THEN 1 ELSE -1 END AS s
+         |  FROM range(64) i CROSS JOIN range(16) j),
+         |terms AS (
+         |  SELECT p.vec_id, x.j, sum(p.vq[x.i + 1] * x.s) AS yq
+         |  FROM p CROSS JOIN sgn x GROUP BY p.vec_id, x.j)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |       ${sroundSql("CAST(yq AS DOUBLE) / 10000.0 / sqrt(16.0)")} AS y
+         |FROM terms ORDER BY vec_id, j""".stripMargin
 
     // SQ8 oracle: replay embedPrep's symmetric int8 quantization
     // (floor(x·127/max|x| + 0.5) over the double-cast vector), then the
@@ -2128,6 +2187,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_dedup_ngram" -> ngram,
       "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_prefix" -> prefixJoin,
+      "pl_containment" -> containment,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_incr" -> dedupIncr,
       "pl_dup_windows" -> dupWindows,
@@ -2153,6 +2213,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_redact" -> redact,
       "pl_dedup_simhash" -> simhash,
       "pl_knn" -> knn,
+      "pl_rproj" -> rproj,
       "pl_knn_sq8" -> sq8Knn,
       "pl_knn_ivf" -> ivf,
       "pl_knn_lsh" -> lshKnn,

@@ -792,6 +792,18 @@ object SparkEntry {
           .orderBy("skey", "h")
       },
 
+      // BEYOND-REFERENCE CUSUM drift detection (Page 1954): integer
+      // recurrence per series, κ=σ/2 slack, 5σ alarm threshold
+      "q_cusum" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "click" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+        graft.query.Forecast.cusum(d)
+          .orderBy("skey", "ts")
+      },
+
       // BEYOND-REFERENCE value-distribution histogram: per event type,
       // 20 equal-width bins over the type's [min, max] — the two-pass
       // profile shape (tiny bounds frame broadcast back against the
@@ -1568,6 +1580,47 @@ object SparkEntry {
            |       (l + t.hh * b) / 10000.0 AS forecast
            |FROM fin CROSS JOIN (VALUES (1), (2), (3)) t(hh)
            |ORDER BY skey, h""".stripMargin),
+
+      // cusum oracle: identical integer stats (floor-mean, one sqrt for
+      // σ) and the identical integer max/add recurrence, walked
+      // recursively per (series, position)
+      "q_cusum" -> (dpCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |ordq AS MATERIALIZED (
+           |  SELECT skey, ts,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q,
+           |         CAST(row_number() OVER (PARTITION BY skey ORDER BY ts) AS BIGINT) AS i
+           |  FROM dedup),
+           |st AS MATERIALIZED (
+           |  SELECT skey,
+           |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+           |  FROM ordq GROUP BY skey),
+           |st2 AS MATERIALIZED (
+           |  SELECT o.skey,
+           |    CAST(floor(sqrt(CAST(sum((o.q - st.mu) * (o.q - st.mu)) AS DOUBLE)
+           |                    / count(*)) / 2.0) AS BIGINT) AS kq,
+           |    CAST(floor(sqrt(CAST(sum((o.q - st.mu) * (o.q - st.mu)) AS DOUBLE)
+           |                    / count(*)) * 5.0) AS BIGINT) AS hq,
+           |    st.mu AS mu
+           |  FROM ordq o JOIN st ON o.skey = st.skey
+           |  GROUP BY o.skey, st.mu),
+           |cu AS (
+           |  SELECT o.skey, o.ts, o.i,
+           |         GREATEST(CAST(0 AS BIGINT), o.q - s.mu - s.kq) AS s
+           |  FROM ordq o JOIN st2 s ON o.skey = s.skey WHERE o.i = 1
+           |  UNION ALL
+           |  SELECT c.skey, o.ts, o.i,
+           |         GREATEST(CAST(0 AS BIGINT), c.s + o.q - s.mu - s.kq) AS s
+           |  FROM cu c
+           |  JOIN ordq o ON o.skey = c.skey AND o.i = c.i + 1
+           |  JOIN st2 s ON o.skey = s.skey)
+           |SELECT c.skey, c.ts, c.s / 10000.0 AS score, c.s > s.hq AS alarm
+           |FROM cu c JOIN st2 s ON c.skey = s.skey
+           |ORDER BY c.skey, c.ts""".stripMargin),
 
       // histogram oracle: same two-pass bounds + IEEE bin math
       "q_histogram" ->

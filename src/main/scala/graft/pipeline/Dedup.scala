@@ -331,6 +331,48 @@ object Dedup {
     materializeAndRelease(pairs, sh0)
   }
 
+  /** Asymmetric CONTAINMENT pairs: `C(A→B) = |A∩B| / |A| ≥ threshold`
+    * over n-gram shingle sets — the quote/boilerplate detector. Jaccard
+    * symmetrizes by the union, so a small document wholly quoted inside
+    * a large one scores near |A|/|B| ≈ 0 and the whole near-dup family
+    * misses it; containment scores it 1.0. Returns one row per ordered
+    * relation that clears the threshold: (id_small, id_big, containment)
+    * with `contained` = the id whose set is covered.
+    *
+    * Plan shape = [[ngramJaccardPairs]] (shared-shingle equi-join with
+    * the same `maxDocFreq` hot-shingle guard, per-pair intersection
+    * counts, sizes joined back); emitting both orientations from the one
+    * unordered intersection relation costs a projection, not a second
+    * join.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+      maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
+    val sh0 = shingleHashes(docs, n).select("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var sh: DataFrame = sh0
+    maxDocFreq.foreach { cap =>
+      val hot = sh.groupBy("h").count().filter(col("count") > cap).select("h")
+      sh = sh.join(hot, Seq("h"), "left_anti")
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    val withSizes = inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), "id2")
+    // both orientations from the one intersection relation
+    val oriented = withSizes.select(col("id1").as("contained"),
+        col("id2").as("container"),
+        (col("i").cast("double") / col("n1")).as("containment"))
+      .unionAll(withSizes.select(col("id2").as("contained"),
+        col("id1").as("container"),
+        (col("i").cast("double") / col("n2")).as("containment")))
+      .filter(col("containment") >= threshold)
+    materializeAndRelease(oriented, sh0)
+  }
+
   /** MinHash parameters shared with the oracle SQL: universal hashes
     * `g_i(h) = (a_i*h + b_i) mod P` over the 60-bit md5 shingle hash
     * reduced mod P. 8 hashes in 4 bands of 2.

@@ -158,6 +158,45 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss random projection with database-friendly ±1
+    * signs (Achlioptas 2003): `y_j = (1/√outDim)·Σ_i x_i·s_{ij}`, the
+    * embedding-compression pass run before indexing when dim itself is
+    * the storage/compute problem. The sign matrix derives from the
+    * shared md5-60 hash (`s_{ij} = +1 iff md5("i#j") is even`), so both
+    * engines materialize the identical matrix from nothing but (i, j).
+    *
+    * Determinism: inputs quantize to the integer 1e-4 grid first, each
+    * output coordinate is an INTEGER sum of quantized-component·sign
+    * terms (order-free), and the de-scale `/10⁴/√outDim` is one
+    * fixed-shape division chain. Per-row Column math (one `transform` +
+    * `aggregate` over the literal sign array — codegen'd, no UDF, the
+    * sign array appears ONCE in the lambda body); no shuffle at any
+    * scale. Output long-form: (id, j, y).
+    */
+  def randomProject(emb: DataFrame, outDim: Int = 16, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Array[Long] = Array.tabulate(dim * outDim) { idx =>
+      val d = md.digest(s"${idx / outDim}#${idx % outDim}".getBytes("UTF-8"))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      if (((h >>> 4) & 1L) == 0L) 1L else -1L
+    }
+    val s = array(signs.map(lit): _*)
+    val vq = transform(col(vecCol),
+      x => floor(x.cast("double") * 10000 + 0.5 + 1e-6).cast("long"))
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+        (acc, i) => acc + element_at(col("vq_"), i + 1) *
+          element_at(s, i * outDim + j + 1)))
+    emb.select(col(idCol), vq.as("vq_"))
+      .select(col(idCol), posexplode(proj).as(Seq("j", "yq")))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        (col("yq").cast("double") / 10000.0 / math.sqrt(outDim.toDouble))
+          .as("y"))
+  }
+
   /** The shared gate rounding (PipelineQueries.sround's JVM twin) —
     * centroids are rounded with it every k-means iteration so both
     * engines iterate from bit-identical literals.

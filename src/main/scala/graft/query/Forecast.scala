@@ -51,4 +51,45 @@ object Forecast {
       }
     out.toDF(keyCol, "h", "forecast")
   }
+
+  /** One-sided upper CUSUM change detection (Page 1954): per series,
+    * `S_i = max(0, S_{i−1} + y_i − μ − κ)` with slack `κ = σ/2` and
+    * alarm threshold `H = 5σ` — the classic drift detector for
+    * monitoring pipelines. Output: (key, ts, score, alarm) per point.
+    *
+    * Determinism: observations quantize to the 1e-4 grid; μ is an
+    * integer floor-mean, σ comes from the exact integer sum of squared
+    * deviations through ONE fixed-shape sqrt, κ and H floor to integers,
+    * and the recurrence itself is pure integer max/add — both engines
+    * walk bit-identical states (the [[holtLinear]] recipe). Same plan
+    * shape too: one keyed exchange, sequential within series.
+    */
+  def cusum(series: DataFrame, keyCol: String = "skey",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val out: Dataset[(String, Long, Double, Boolean)] = series
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        floor(col(valCol) * 10000 + 0.5 + 1e-6).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        var sum = 0L
+        rows.foreach(sum += _._3)
+        val mu = math.floor(sum.toDouble / n).toLong
+        var vn = 0L
+        rows.foreach { r => val d = r._3 - mu; vn += d * d }
+        val dev = math.sqrt(vn.toDouble / n)
+        val kq = math.floor(dev / 2.0).toLong
+        val hq = math.floor(dev * 5.0).toLong
+        var s = 0L
+        rows.iterator.map { case (_, ts, q) =>
+          s = math.max(0L, s + q - mu - kq)
+          (key, ts, s / 10000.0, s > hq)
+        }
+      }
+    out.toDF(keyCol, tsCol, "score", "alarm")
+  }
 }

@@ -236,6 +236,38 @@ class PipelineSpec extends SparkSpec {
       s"prefix relation $prefRows should be well under half of $allRows")
   }
 
+  test("containment catches a quoted doc that jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(1L -> quote, 2L -> s"$filler $quote $filler")
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("contained"),
+        r.getAs[Long]("container"), r.getAs[Double]("containment")))
+    // doc 1's shingles all appear in doc 2 → containment 1.0 one-way
+    assert(cont.contains((1L, 2L, 1.0)), s"got ${cont.toSeq}")
+    assert(!cont.exists(_._1 == 2L), "big doc is not contained in small")
+    // jaccard symmetrizes by the union and misses the pair entirely
+    val jac = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.8).count()
+    assert(jac == 0)
+  }
+
+  test("random projection is deterministic and roughly norm-preserving") {
+    val p1 = Similarity.randomProject(emb, outDim = 16, dim = 64)
+    val p2 = Similarity.randomProject(emb, outDim = 16, dim = 64)
+    assert(p1.collect().toSet === p2.collect().toSet)
+    // E[||y||²] = ||x||² under JL; per-vector ratios concentrate around 1
+    import graft.functions.GraftFunctions.dotp
+    val orig = emb.select($"vec_id",
+      dotp(transform($"embedding", x => x.cast("double")),
+        transform($"embedding", x => x.cast("double"))).as("n2"))
+    val proj = p1.groupBy("vec_id").agg(sum($"y" * $"y").as("p2"))
+    val ratios = orig.join(proj, "vec_id")
+      .select(($"p2" / $"n2").as("r")).as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0, s"norm ratio mean $mean")
+  }
+
   test("sq8 knn tracks exact brute-force ranking closely") {
     val queries = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteKnn(emb, queries, 5)

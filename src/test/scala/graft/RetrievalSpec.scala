@@ -162,6 +162,19 @@ class RetrievalSpec extends SparkSpec {
     assert(rFc(2) - rFc(0) > 0.5, s"trend too flat: ${rFc.toSeq}")
   }
 
+  test("cusum: level shift alarms, stable series never does") {
+    val stable = (1 to 60).map(i => ("s1", i.toLong, 10.0 + (i % 2) * 0.2))
+    val shifted = (1 to 30).map(i => ("s2", i.toLong, 10.0 + (i % 2) * 0.2)) ++
+      (31 to 60).map(i => ("s2", i.toLong, 14.0 + (i % 2) * 0.2))
+    val df = (stable ++ shifted).toDF("skey", "ts", "value")
+    val out = graft.query.Forecast.cusum(df).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("ts"), r.getAs[Boolean]("alarm")))
+    assert(!out.exists(r => r._1 == "s1" && r._3), "stable series alarmed")
+    val alarms = out.filter(r => r._1 == "s2" && r._3).map(_._2)
+    assert(alarms.nonEmpty && alarms.min > 30,
+      s"shift at 31 should alarm after it, got ${alarms.sorted.take(5).toSeq}")
+  }
+
   test("pmi: a bigram that always co-occurs beats one with independent parts") {
     // "tightly coupled" appears only together; "loose"/"parts" also occur
     // apart, diluting their PMI
