@@ -323,6 +323,16 @@ object PipelineQueries {
         .orderBy("doc_id", "epoch")
     },
 
+    // temperature-weighted mixture (UniMax direction): rates derived
+    // from per-source counts at T=2, then the standard whole-copies +
+    // salted-fractional-epoch replication
+    "pl_mixture_temp" -> { (s, dir) =>
+      Sampling.temperatureMixture(docs(s, dir), "source", "doc_id",
+        temperature = 2.0)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+
     // per-doc top-3 TF-IDF keywords (smoothed idf, quantized-score
     // ranking with token tie-break)
     "pl_tfidf" -> { (s, dir) =>
@@ -1252,6 +1262,37 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val sample =
       s"""SELECT doc_id FROM documents
          |WHERE ${bucketSql("sample")} < 2500 ORDER BY doc_id""".stripMargin
+    // temperature-mixture oracle: per-source c^(1/2) quantized to
+    // integers BEFORE the normalizing sum (order-free), the same
+    // fixed-shape rate formula, then the shared mixture replay
+    val mixtureTemp =
+      s"""WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+         |pw AS (
+         |  SELECT source, c,
+         |    CAST(floor(power(CAST(c AS DOUBLE), 0.5) * 10000 + 0.5 + 1e-6)
+         |         AS BIGINT) AS powq
+         |  FROM cnt),
+         |tot AS (
+         |  SELECT sum(powq) AS spq,
+         |         (SELECT count(*) FROM documents) AS n FROM pw),
+         |rt AS (
+         |  SELECT source,
+         |    floor(((CAST(n AS DOUBLE) * powq) / (CAST(spq AS DOUBLE) * c))
+         |          * 10000 + 0.5 + 1e-6) / 10000.0 AS rate
+         |  FROM pw CROSS JOIN tot),
+         |r AS (
+         |  SELECT doc_id, d.source, rt.rate, ${bucketSql("mixT")} AS b
+         |  FROM documents d JOIN rt ON d.source = rt.source),
+         |cp AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(rate) AS BIGINT) +
+         |      (CASE WHEN b < floor((rate - floor(rate)) * 10000)
+         |            THEN 1 ELSE 0 END) AS copies
+         |  FROM r)
+         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch FROM (
+         |  SELECT doc_id, source, unnest(range(copies)) AS e FROM cp)
+         |ORDER BY doc_id, epoch""".stripMargin
+
     val mixture =
       s"""WITH r AS (
          |  SELECT doc_id, source,
@@ -2207,6 +2248,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_split" -> split,
       "pl_sample" -> sample,
       "pl_mixture" -> mixture,
+      "pl_mixture_temp" -> mixtureTemp,
       "pl_tfidf" -> tfidf,
       "pl_vocab" -> vocab,
       "pl_pack" -> pack,

@@ -52,6 +52,35 @@ object Sampling {
     * stable under corpus growth; the threshold is integer basis points
     * of the fractional part, IEEE-identical across engines.
     */
+  /** Temperature-weighted mixture resampling (the multilingual/UniMax
+    * balancing rule): per-source sampling rates derive from the corpus
+    * itself as `e_s = N·c_s^(1/T) / (Σ_u c_u^(1/T) · c_s)` — T=1
+    * reproduces the natural distribution, T→∞ approaches uniform
+    * per-source budgets, in between down-weights the head the way
+    * multilingual LM data mixes do. Rates land on the 1e-4 grid (the
+    * per-source `c^(1/T)` terms quantize to integers BEFORE the
+    * normalizing sum, so it is order-free), then the standard
+    * [[mixtureSample]] whole-copies + salted-fractional-epoch machinery
+    * applies. The only driver state is one row per source — the same
+    * bounded contract as mixtureSample's rates map.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+      temperature: Double = 2.0, salt: String = "mixT"): DataFrame = {
+    require(temperature > 0, "temperature > 0")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = counts.map(_._2).sum
+    val invT = 1.0 / temperature
+    def q4(x: Double): Long = math.floor(x * 10000 + 0.5 + 1e-6).toLong
+    val powq = counts.map { case (s, c) => s -> q4(math.pow(c.toDouble, invT)) }
+      .toMap
+    val spq = powq.values.sum
+    val rates = counts.map { case (s, c) =>
+      s -> (q4((n.toDouble * powq(s)) / (spq.toDouble * c)) / 10000.0)
+    }.toMap
+    mixtureSample(df, sourceCol, idCol, rates, defaultRate = 0.0, salt)
+  }
+
   def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: String = "mix"): DataFrame = {

@@ -115,4 +115,46 @@ object StreamIngest {
           alerts.result().iterator
       }
   }
+
+  /** Streaming CUSUM drift alerts (Page 1954) against REFERENCE stats:
+    * a live monitor scores incoming points against a trained (μ, σ) —
+    * the batch [[graft.query.Forecast.cusum]] derives them corpus-side —
+    * with the IDENTICAL integer recurrence on the 1e-4 grid
+    * (`S = max(0, S + y_q − μ_q − κ_q)`, κ = σ/2, alarm at 5σ), so a
+    * replayed stream walks the same states as the batch walk no matter
+    * where micro-batch boundaries fall. State per series is one long —
+    * O(#series). Emits (key, ts, score) rows only while S is above the
+    * threshold. Input: a (key, ts, value) frame.
+    */
+  def cusumAlerts(series: DataFrame, mu: Double, sigma: Double,
+      keyCol: String = "skey", tsCol: String = "ts",
+      valCol: String = "value"): Dataset[(String, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = series.sparkSession
+    import spark.implicits._
+    val muQ = math.floor(mu * 10000 + 0.5 + 1e-6).toLong
+    val devQ = sigma * 10000.0
+    val kQ = math.floor(devQ / 2.0).toLong
+    val hQ = math.floor(devQ * 5.0).toLong
+    series
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        floor(col(valCol) * 10000 + 0.5 + 1e-6).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[Long]) =>
+          // event-order walk inside the batch, state carries across
+          val sorted = rows.toArray.sortBy(_._2)
+          var s = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[(String, Long, Double)]
+          sorted.foreach { case (_, ts, q) =>
+            s = math.max(0L, s + q - muQ - kQ)
+            if (s > hQ) out += ((key, ts, s / 10000.0))
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

@@ -596,6 +596,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum walks the same states regardless of batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference stats mu=10, sigma=1 → muQ=100000, kQ=5000, hQ=50000;
+    // feed a level shift to 14 split across batches with in-batch
+    // disorder, expect the exact sequential walk's alarms
+    val mem = MemoryStream[(String, Long, Double)]
+    val alerts = StreamIngest.cusumAlerts(
+      mem.toDS().toDF("skey", "ts", "value").repartition(1),
+      mu = 10.0, sigma = 1.0)
+    val q = alerts.toDF("skey", "ts", "score").writeStream
+      .format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("s", 1L, 10.0), ("s", 3L, 10.2), ("s", 2L, 9.8))
+      q.processAllAvailable()
+      mem.addData(("s", 5L, 14.0), ("s", 4L, 14.0), ("s", 6L, 14.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT skey, ts, score FROM cusum_stream")
+        .as[(String, Long, Double)].collect().toSet
+      // sequential walk: per point S += q - 100000 - 5000 (floored at 0)
+      var s = 0L
+      val expect = Seq(
+        (1L, 100000L), (2L, 98000L), (3L, 102000L),
+        (4L, 140000L), (5L, 140000L), (6L, 140000L)).flatMap { case (ts, yq) =>
+        s = math.max(0L, s + yq - 100000L - 5000L)
+        if (s > 50000L) Some(("s", ts, s / 10000.0)) else None
+      }.toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("streaming raw sink: date-partitioned parquet append") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_raw").toString

@@ -236,6 +236,25 @@ class PipelineSpec extends SparkSpec {
       s"prefix relation $prefRows should be well under half of $allRows")
   }
 
+  test("temperature mixture flattens the head and lifts the tail") {
+    // 90/10 skew; T=2 should pull the mix toward balance while keeping
+    // the total budget near N
+    val rows = (1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))
+    val d = rows.toDF("doc_id", "source")
+    val out = Sampling.temperatureMixture(d, "source", "doc_id",
+      temperature = 2.0)
+    val byS = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(byS("small").toDouble / 10 > 1.5, s"tail not lifted: $byS")
+    assert(byS("big").toDouble / 90 < 1.0, s"head not trimmed: $byS")
+    val total = byS.values.sum
+    assert(math.abs(total - 100) <= 10, s"budget drifted: $total")
+    // T=1 is the natural distribution: every doc exactly once
+    val nat = Sampling.temperatureMixture(d, "source", "doc_id",
+      temperature = 1.0)
+    assert(nat.count() == 100)
+  }
+
   test("containment catches a quoted doc that jaccard misses") {
     val quote = "alpha beta gamma delta epsilon zeta"
     val filler = (1 to 40).map(i => s"w$i").mkString(" ")
