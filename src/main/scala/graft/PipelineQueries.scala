@@ -94,6 +94,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // logistic-regression TRAINING (full-batch GD, 3 rounds from zero
+    // weights, label = lang=='en'): per-row gradient terms quantize to
+    // integer 1e-6 units, weights round to the 1e-4 grid each round
+    "pl_lr_train" -> { (s, dir) =>
+      TextAnalysis.lrTrain(docs(s, dir), col("lang") === "en", iters = 3)
+        .orderBy("feature")
+    },
+
     // sequence packing: running-token-total bins within salted buckets —
     // the doc→training-sequence grouping step, window-parallel per bucket
     "pl_pack" -> { (s, dir) =>
@@ -873,6 +881,63 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     // frozen LR quality classifier: weights interpolated from the Scala
     // constants so model and oracle can never drift
     val lrW = TextAnalysis.QualityLrWeights.toMap
+    // LR-training oracle: each GD round is one unrolled CTE stage (the
+    // bpeTrain pattern) — gradient sums as order-free integer 1e-6
+    // units against the previous round's weight row, the identical
+    // fixed-shape update, weights on the 1e-4 grid
+    val lrTrain = {
+      val lrFeats = Seq(
+        "f1" -> "least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)",
+        "f2" -> s"len(list_filter(w, t -> t IN ($stop10))) / CAST(len(w) AS DOUBLE)",
+        "f3" -> "(length(text) - length(regexp_replace(text, '[.,!?;:''\"]', '', 'g'))) / CAST(length(text) AS DOUBLE)",
+        "f4" -> "1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)",
+        "f5" -> "least((length(text) - (len(w) - 1)) / (CAST(len(w) AS DOUBLE) * 8.0), 1.0)")
+      val fCols = lrFeats.map { case (nm, e) =>
+        s"floor(($e) * 10000 + 0.5 + 1e-6) / 10000.0 AS $nm"
+      }.mkString(",\n  ")
+      val iters = (1 to 3).map { k =>
+        val z = "w.wb + f.f1 * w.w1 + f.f2 * w.w2 + f.f3 * w.w3 " +
+          "+ f.f4 * w.w4 + f.f5 * w.w5"
+        val g = s"1.0 / (1.0 + exp(-($z))) - f.y"
+        val gSums = (1 to 5).map(j =>
+          s"sum(CAST(floor(($g) * f.f$j * 1000000 + 0.5 + 1e-6) AS BIGINT)) AS g$j")
+          .mkString(",\n    ") +
+          s",\n    sum(CAST(floor(($g) * 1000000 + 0.5 + 1e-6) AS BIGINT)) AS gb"
+        val upd = (1 to 5).map(j =>
+          s"floor((w.w$j - 1.0 * (CAST(g.g$j AS DOUBLE) / 1000000.0) / n.n) " +
+            s"* 10000 + 0.5 + 1e-6) / 10000.0 AS w$j").mkString(",\n    ") +
+          ",\n    floor((w.wb - 1.0 * (CAST(g.gb AS DOUBLE) / 1000000.0) / n.n) " +
+          "* 10000 + 0.5 + 1e-6) / 10000.0 AS wb"
+        s"""g$k AS (
+           |  SELECT
+           |    $gSums
+           |  FROM f CROSS JOIN w${k - 1} w),
+           |w$k AS (
+           |  SELECT
+           |    $upd
+           |  FROM w${k - 1} w CROSS JOIN g$k g CROSS JOIN nn n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |  $fCols
+         |  FROM t),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         |w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+         |              0.0 AS w4, 0.0 AS w5),
+         |$iters
+         |SELECT 'bias' AS feature, wb AS weight FROM w3
+         |UNION ALL SELECT 'ntok_norm', w1 FROM w3
+         |UNION ALL SELECT 'stopword_ratio', w2 FROM w3
+         |UNION ALL SELECT 'punct_ratio', w3.w3 FROM w3
+         |UNION ALL SELECT 'dup_token_frac', w4 FROM w3
+         |UNION ALL SELECT 'avg_word_len_norm', w5 FROM w3
+         |ORDER BY feature""".stripMargin
+    }
+
     val qualityLr =
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
          |f AS (
@@ -2236,6 +2301,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,
+      "pl_lr_train" -> lrTrain,
       "pl_wordpiece" -> wordpieceSql,
       "pl_bpe_train" -> bpeTrainSql,
       "pl_bpe" -> bpeSql,

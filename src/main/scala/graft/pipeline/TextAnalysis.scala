@@ -334,15 +334,21 @@ object TextAnalysis {
     * shuffle-free, embarrassingly parallel; at 100 TB this is the
     * cheapest possible classifier pass (no UDF, no model server).
     */
+  /** The canonical per-row quality feature vector (ordered — training
+    * and scoring fold z in this order). Shared by [[qualityLrScoreOf]]
+    * and [[lrTrain]].
+    */
+  def qualityFeatureCols(text: Column, toks: Column): Seq[(String, Column)] = Seq(
+    "ntok_norm" -> least(size(toks).cast("double") / 100.0, lit(1.0)),
+    "stopword_ratio" -> stopwordRatioOf(toks),
+    "punct_ratio" -> punctRatio(text),
+    "dup_token_frac" -> dupTokenFracOf(toks),
+    "avg_word_len_norm" ->
+      least((length(text) - (size(toks) - 1)) /
+        (size(toks).cast("double") * 8.0), lit(1.0)))
+
   def qualityLrScoreOf(text: Column, toks: Column): Column = {
-    val feats = Map[String, Column](
-      "ntok_norm" -> least(size(toks).cast("double") / 100.0, lit(1.0)),
-      "stopword_ratio" -> stopwordRatioOf(toks),
-      "punct_ratio" -> punctRatio(text),
-      "dup_token_frac" -> dupTokenFracOf(toks),
-      "avg_word_len_norm" ->
-        least((length(text) - (size(toks) - 1)) /
-          (size(toks).cast("double") * 8.0), lit(1.0)))
+    val feats = qualityFeatureCols(text, toks).toMap
     val z = QualityLrWeights.foldLeft(lit(QualityLrBias): Column) {
       case (acc, (name, w)) => acc + feats(name) * w
     }
@@ -351,6 +357,58 @@ object TextAnalysis {
 
   def qualityLrScore(text: Column): Column =
     qualityLrScoreOf(text, tokens(text))
+
+  /** Distributed logistic-regression TRAINING over the per-row quality
+    * features (the fasttext-style classifier loop itself, not just the
+    * frozen-weights scoring pass): full-batch gradient descent,
+    * `w ← w − η·(1/n)·Σ (σ(w·x) − y)·x`, `iters` rounds from zero
+    * weights.
+    *
+    * Each iteration is ONE distributed pass: the current weights ride
+    * into the scan as literals (the k-means layout — no join, no
+    * window), per-row gradient terms quantize to integer 1e-6 units so
+    * the per-feature sums are order-free longs, and the driver applies
+    * the fixed-shape update rounded to the 1e-4 grid — so both engines
+    * iterate from bit-identical weight vectors and the DuckDB oracle
+    * replays every round as an unrolled CTE stage (the bpeTrain
+    * pattern). Driver state = |features|+1 doubles. Returns
+    * (feature, weight) rows, "bias" included.
+    */
+  def lrTrain(docs: DataFrame, label: Column, iters: Int = 3,
+      eta: Double = 1.0, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def q4(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6) / 10000.0
+    val featNames = qualityFeatureCols(col(textCol), tokens(col(textCol)))
+      .map(_._1)
+    val base = withTokens(docs, textCol)
+    val feats = qualityFeatureCols(col(textCol), col("w_"))
+    val table = base.select(
+      feats.map { case (n, c) => q4(c).as(n) } :+
+        when(label, lit(1.0)).otherwise(lit(0.0)).as("y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = table.count().toDouble
+    val w = Array.fill(featNames.size + 1)(0.0) // features then bias
+    for (_ <- 0 until iters) {
+      val z = featNames.zipWithIndex.foldLeft(lit(w.last): Column) {
+        case (acc, (name, j)) => acc + col(name) * w(j)
+      }
+      val g = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+      val sums = table.select(
+        featNames.map(name =>
+          sum(floor(g * col(name) * 1000000 + 0.5 + 1e-6).cast("long")).as(name)) :+
+          sum(floor(g * 1000000 + 0.5 + 1e-6).cast("long")).as("bias_"): _*)
+        .head()
+      var j = 0
+      while (j <= featNames.size) {
+        w(j) = math.floor(
+          (w(j) - eta * (sums.getLong(j) / 1000000.0) / n) * 10000 + 0.5 + 1e-6) / 10000.0
+        j += 1
+      }
+    }
+    table.unpersist()
+    (featNames :+ "bias").zip(w).toDF("feature", "weight")
+  }
 
   /** Greedy longest-match-first WordPiece over each whitespace word:
     * first piece matches bare, continuations match with the `##` prefix;

@@ -236,6 +236,29 @@ class PipelineSpec extends SparkSpec {
       s"prefix relation $prefRows should be well under half of $allRows")
   }
 
+  test("lr training learns the separating feature's sign") {
+    // label = "wordy": long, punctuation-free prose vs short noisy docs —
+    // ntok_norm separates, punct_ratio anti-separates
+    val pos = (1L to 30L).map(i =>
+      (i, (1 to 80).map(j => s"w${(i + j) % 50}").mkString(" "), "en"))
+    val neg = (31L to 60L).map(i => (i, "x!! y.. z;; !!", "zz"))
+    val d = (pos ++ neg).toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.lrTrain(d, col("lang") === "en", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(w("ntok_norm") > 0, s"length weight should be positive: $w")
+    assert(w("punct_ratio") < 0, s"punct weight should be negative: $w")
+    // the learned model actually separates the training set
+    val feats = TextAnalysis.qualityFeatureCols(col("text"),
+      graft.pipeline.TextAnalysis.tokens(col("text")))
+    val z = feats.foldLeft(lit(w("bias")): org.apache.spark.sql.Column) {
+      case (acc, (name, c)) => acc + c * w(name)
+    }
+    val scored = d.select(col("lang") === "en", z > 0).as[(Boolean, Boolean)]
+      .collect()
+    val acc = scored.count(p => p._1 == p._2).toDouble / scored.length
+    assert(acc >= 0.9, s"training accuracy $acc")
+  }
+
   test("temperature mixture flattens the head and lifts the tail") {
     // 90/10 skew; T=2 should pull the mix toward balance while keeping
     // the total budget near N
