@@ -114,7 +114,7 @@ object Bench {
       // way): take extra samples up to 5 so a single inflated run can't
       // reach the median. Costs <2 s per such query.
       val times =
-        if (medianOf(base) < 2.0 && runs < 5)
+        if (medianOf(base) < 3.0 && runs < 5)
           base ++ (0 until (5 - runs)).map(_ => timed())
         else base
       val median = medianOf(times)
@@ -124,9 +124,12 @@ object Bench {
       // that stack across the sweep (at sf1: 46 queries' shingle/pair
       // caches → spill churn that inflated later medians up to 6×).
       // Freeing the RDD keeps the CacheManager entry valid — a rerun
-      // would just lazily recompute into cache.
+      // would just lazily recompute into cache. BLOCKING: this runs
+      // outside any timed region, and an async release here bleeds its
+      // block-manager churn into the NEXT gate's timed runs (measured:
+      // gates 0.9-2.2 s targeted reporting 7-9 s mid-sweep).
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!inputRddIds.contains(id)) rdd.unpersist(blocking = false)
+        if (!inputRddIds.contains(id)) rdd.unpersist(blocking = true)
       }
       name -> median
     }
