@@ -139,6 +139,18 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // eval-side contamination report: per eval doc, distinct-gram count,
+    // grams found anywhere in train, and the dirty fraction
+    "pl_contam_report" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.contaminationReport(
+        d.filter(col("doc_id") % 13 =!= 0),
+        d.filter(col("doc_id") % 13 === 0), n = 4)
+        .select(col("doc_id"), col("n_grams"), col("n_dirty"),
+          sround(col("dirty_frac")).as("dirty_frac"))
+        .orderBy("doc_id")
+    },
+
     // Bloom-filter decontamination: same train/eval split as
     // pl_decontam, but the eval set crosses the cluster as a fixed
     // 2^22-position Bloom frame instead of gram strings — flags are a
@@ -852,6 +864,26 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
           "CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END")} AS dup_3gram_frac,
          |  mr.max_run
          |FROM g JOIN mr ON g.doc_id = mr.doc_id ORDER BY g.doc_id""".stripMargin
+
+    // eval-side report oracle: same gram relations, matched distinct
+    // grams via an eval⋉train join, per-eval-doc counts
+    val contamReport =
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+         |  FROM t),
+         |ev AS (SELECT doc_id AS id, s FROM g WHERE doc_id % 13 = 0),
+         |tr AS (SELECT DISTINCT s FROM g WHERE doc_id % 13 != 0),
+         |m AS (SELECT DISTINCT ev.s FROM ev JOIN tr USING (s)),
+         |r AS (
+         |  SELECT ev.id, count(*) AS n_grams,
+         |         CAST(sum(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+         |  FROM ev LEFT JOIN m ON ev.s = m.s GROUP BY ev.id)
+         |SELECT id AS doc_id, n_grams, n_dirty,
+         |       ${sroundSql("CAST(n_dirty AS DOUBLE) / n_grams")} AS dirty_frac
+         |FROM r ORDER BY doc_id""".stripMargin
 
     val decontam =
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2287,6 +2319,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_fingerprint" -> fp,
       "pl_repetition" -> repetition,
       "pl_decontam" -> decontam,
+      "pl_contam_report" -> contamReport,
       "pl_source_cap" -> sourceCap,
       "pl_filter_chain" -> filterChain,
       "pl_dedup_exact" -> dedupExact,

@@ -762,6 +762,35 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** EVAL-side contamination report (the GPT-3-appendix "dirtiness"
+    * audit): for each eval document, how many of its distinct `n`-grams
+    * appear ANYWHERE in the train corpus, and the dirty fraction — the
+    * view a benchmark owner reads before trusting a score, complementing
+    * [[decontaminate]]'s train-side flags.
+    *
+    * Shape: the huge train gram stream never shuffles — it semi-joins the
+    * BROADCAST eval gram set and only the matched distinct grams (≤ the
+    * eval gram count by construction) reach an aggregation; everything
+    * after is eval-sized.
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = distinctGramRows(evalSet, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGramSet = evalGrams.select(col("g")).distinct()
+    val matched = distinctGramRows(train, n, idCol, textCol)
+      .join(broadcast(evalGramSet), Seq("g"), "left_semi")
+      .select(col("g")).distinct()
+    val out = evalGrams
+      .join(matched.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dirty"))
+      .withColumn("dirty_frac",
+        col("n_dirty").cast("double") / col("n_grams"))
+    materializeAndRelease(out, evalGrams)
+  }
+
   /** Bloom-filter decontamination — the fixed-memory variant of
     * [[decontaminate]]: the eval n-gram set is folded into an `mBits`-bit
     * Bloom filter (`k` md5-derived hash positions per gram), and a train

@@ -652,6 +652,23 @@ class PipelineSpec extends SparkSpec {
     assert(r === Map(1L -> 1L))
   }
 
+  test("contaminationReport: per-eval-doc dirty gram counts and fraction") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different words here now")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "see the quick brown fox run")).toDF("doc_id", "text")
+    val r = Dedup.contaminationReport(train, eval_, n = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    // eval doc 9 has 3 distinct 4-grams; only "the quick brown fox"
+    // appears in train → 1 dirty of 3
+    assert(r.toSeq === Seq((9L, 3L, 1L, 1.0 / 3.0)))
+    // the huge train gram stream must semi-join a BROADCAST eval set —
+    // a shuffle of train grams here would be the 100TB bottleneck
+    val plan = Dedup.contaminationReport(train, eval_, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
+
   test("bloomDecontaminate: superset of exact flags; exact at low fill") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),
