@@ -792,6 +792,20 @@ object SparkEntry {
           .orderBy("skey", "h")
       },
 
+      // BEYOND-REFERENCE Holt-Winters additive seasonal forecast
+      // (ETS(A,A,A), α=β=γ=1/4, period 4): the seasonal extension of
+      // q_forecast — same integer-grid recurrence plus a period-length
+      // seasonal state vector
+      "q_hw_forecast" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "click" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+        graft.query.Forecast.holtWinters(d, period = 4, horizons = 3)
+          .orderBy("skey", "h")
+      },
+
       // BEYOND-REFERENCE CUSUM drift detection (Page 1954): integer
       // recurrence per series, κ=σ/2 slack, 5σ alarm threshold
       "q_cusum" -> { (s, dir) =>
@@ -1578,6 +1592,57 @@ object SparkEntry {
            |  FROM hw h JOIN cnt c ON h.skey = c.skey AND h.i = c.n)
            |SELECT skey, CAST(t.hh AS BIGINT) AS h,
            |       (l + t.hh * b) / 10000.0 AS forecast
+           |FROM fin CROSS JOIN (VALUES (1), (2), (3)) t(hh)
+           |ORDER BY skey, h""".stripMargin),
+
+      // Holt-Winters oracle: the q_forecast walk plus a length-4
+      // seasonal LIST carried through the recursive CTE; every state
+      // update is the identical integer recurrence (floor(x/4.0) ==
+      // floorDiv(x,4) for |x| << 2^52), so both engines hold
+      // bit-identical (l, b, s[1..4]) at every step
+      "q_hw_forecast" -> (dpCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |ordq AS MATERIALIZED (
+           |  SELECT skey,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q,
+           |         CAST(row_number() OVER (PARTITION BY skey ORDER BY ts) AS BIGINT) AS i
+           |  FROM dedup),
+           |cnt AS (SELECT skey, max(i) AS n FROM ordq GROUP BY skey),
+           |lm AS MATERIALIZED (
+           |  SELECT skey, CAST(floor(CAST(sum(q) AS DOUBLE) / 4) AS BIGINT) AS l0
+           |  FROM ordq WHERE i <= 4 GROUP BY skey HAVING count(*) = 4),
+           |init AS MATERIALIZED (
+           |  SELECT o.skey, CAST(4 AS BIGINT) AS i, l.l0 AS l,
+           |         CAST(0 AS BIGINT) AS b, list(o.q - l.l0 ORDER BY o.i) AS s
+           |  FROM ordq o JOIN lm l ON o.skey = l.skey WHERE o.i <= 4
+           |  GROUP BY o.skey, l.l0),
+           |hw AS (
+           |  SELECT skey, i, l, b, s FROM init
+           |  UNION ALL
+           |  SELECT h.skey, o.i,
+           |    CAST(floor((o.q - h.s[(o.i - 1) % 4 + 1]
+           |                 + 3 * (h.l + h.b)) / 4.0) AS BIGINT) AS l,
+           |    CAST(floor((CAST(floor((o.q - h.s[(o.i - 1) % 4 + 1]
+           |                 + 3 * (h.l + h.b)) / 4.0) AS BIGINT)
+           |                 - h.l + 3 * h.b) / 4.0) AS BIGINT) AS b,
+           |    list_transform(range(1, 5), j -> CASE
+           |      WHEN j = (o.i - 1) % 4 + 1 THEN
+           |        CAST(floor((o.q
+           |          - CAST(floor((o.q - h.s[(o.i - 1) % 4 + 1]
+           |                 + 3 * (h.l + h.b)) / 4.0) AS BIGINT)
+           |          + 3 * h.s[(o.i - 1) % 4 + 1]) / 4.0) AS BIGINT)
+           |      ELSE h.s[CAST(j AS INTEGER)] END) AS s
+           |  FROM hw h JOIN ordq o ON o.skey = h.skey AND o.i = h.i + 1),
+           |fin AS (
+           |  SELECT h.skey, c.n, h.l, h.b, h.s
+           |  FROM hw h JOIN cnt c ON h.skey = c.skey AND h.i = c.n)
+           |SELECT skey, CAST(t.hh AS BIGINT) AS h,
+           |       (l + t.hh * b + s[CAST((n + t.hh - 1) % 4 + 1 AS INTEGER)])
+           |         / 10000.0 AS forecast
            |FROM fin CROSS JOIN (VALUES (1), (2), (3)) t(hh)
            |ORDER BY skey, h""".stripMargin),
 

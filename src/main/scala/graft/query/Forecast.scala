@@ -52,6 +52,57 @@ object Forecast {
     out.toDF(keyCol, "h", "forecast")
   }
 
+  /** `h`-step-ahead Holt-Winters ADDITIVE seasonal forecasts per series
+    * (Winters 1960; ETS(A,A,A)) — [[holtLinear]] plus a length-`period`
+    * seasonal state, the standard projection for daily/weekly-cycled
+    * TSDB series.
+    *
+    * Determinism contract (the [[holtLinear]] recipe): 1e-4 integer
+    * grid, α = β = γ = 1/4, every recurrence in integer arithmetic:
+    *   l_i = ⌊((y_i − s_{i−m}) + 3(l+b))/4⌋
+    *   b_i = ⌊((l_i − l) + 3b)/4⌋
+    *   s_i = ⌊((y_i − l_i) + 3·s_{i−m})/4⌋
+    * Init over the first m points: l₀ = ⌊Σy/m⌋, b₀ = 0, s_j = y_j − l₀.
+    * Series shorter than `period` points emit nothing (no seasonal
+    * estimate exists). Same 100 TB shape as [[holtLinear]]: ONE keyed
+    * exchange, O(period) state per series, linear in points.
+    */
+  def holtWinters(series: DataFrame, period: Int = 4, horizons: Int = 3,
+      keyCol: String = "skey", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val m = period
+    val out: Dataset[(String, Long, Double)] = series
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        floor(col(valCol) * 10000 + 0.5 + 1e-6).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        val n = ys.length
+        if (n < m) Iterator.empty
+        else {
+          var l = Math.floorDiv(ys.take(m).sum, m.toLong)
+          var b = 0L
+          val s = Array.tabulate(m)(j => ys(j) - l)
+          var i = m
+          while (i < n) {
+            val sm = s(i % m)
+            val l1 = Math.floorDiv((ys(i) - sm) + 3L * (l + b), 4L)
+            b = Math.floorDiv((l1 - l) + 3L * b, 4L)
+            s(i % m) = Math.floorDiv((ys(i) - l1) + 3L * sm, 4L)
+            l = l1
+            i += 1
+          }
+          (1 to horizons).iterator.map { h =>
+            (key, h.toLong, (l + h * b + s((n + h - 1) % m)) / 10000.0)
+          }
+        }
+      }
+    out.toDF(keyCol, "h", "forecast")
+  }
+
   /** One-sided upper CUSUM change detection (Page 1954): per series,
     * `S_i = max(0, S_{i−1} + y_i − μ − κ)` with slack `κ = σ/2` and
     * alarm threshold `H = 5σ` — the classic drift detector for

@@ -162,6 +162,25 @@ class RetrievalSpec extends SparkSpec {
     assert(rFc(2) - rFc(0) > 0.5, s"trend too flat: ${rFc.toSeq}")
   }
 
+  test("holt-winters: seasonal cycle tracked; short series emits nothing") {
+    // period-4 sawtooth around a flat level: 10, 12, 10, 8, repeating
+    val cyc = (0 until 40).map(i =>
+      ("s1", i.toLong, Seq(10.0, 12.0, 10.0, 8.0)(i % 4)))
+    val short = (1 to 3).map(i => ("s2", i.toLong, 5.0))
+    val df = (cyc ++ short).toDF("skey", "ts", "value")
+    val out = graft.query.Forecast.holtWinters(df, period = 4, horizons = 4)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("h"),
+        r.getAs[Double]("forecast")))
+    assert(!out.exists(_._1 == "s2"), "sub-period series must emit nothing")
+    val f = out.filter(_._1 == "s1").sortBy(_._2).map(_._3)
+    // last observation is i=39 (phase 3, value 8); the next four steps
+    // continue the cycle: 10, 12, 10, 8 (within smoothing tolerance)
+    val want = Seq(10.0, 12.0, 10.0, 8.0)
+    f.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 0.5, s"cycle lost: ${f.toSeq} vs $want")
+    }
+  }
+
   test("cusum: level shift alarms, stable series never does") {
     val stable = (1 to 60).map(i => ("s1", i.toLong, 10.0 + (i % 2) * 0.2))
     val shifted = (1 to 30).map(i => ("s2", i.toLong, 10.0 + (i % 2) * 0.2)) ++
