@@ -390,6 +390,14 @@ object PipelineQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // TextRank keyword salience (Mihalcea & Tarau 2004): integer-grid
+    // PageRank over the corpus bigram graph, 5 iterations, damping 3/4 —
+    // each round one |V|-row join against the static edge frame + one
+    // keyed aggregation (the canonical distributed PageRank)
+    "pl_textrank" -> { (s, dir) =>
+      Retrieval.textRank(docs(s, dir), iters = 5)
+    },
+
     // PMI collocations (Church & Hanks 1990): top-20 adjacent bigrams by
     // pointwise mutual information, min count 5 — two map-side-combined
     // count aggregations + token-keyed joins, top-k via TakeOrdered
@@ -2184,6 +2192,41 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT w1, w2, c12, pmi, rank FROM ranked
          |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+    // TextRank oracle: identical integer PageRank walked as 5 unrolled
+    // MATERIALIZED CTE rounds — per-edge contributions floor(r/out) and
+    // the damped update floor(3·Σ/4) are the same float-divide-then-
+    // floor shapes the Spark side uses, and the contribution sums are
+    // integer (order-free), so both engines hold identical ranks
+    val textRankIters = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.word,
+         |    tl.t + CAST(floor(3 * COALESCE(c.s, 0) / 4.0) AS BIGINT) AS r
+         |  FROM v CROSS JOIN tele tl LEFT JOIN (
+         |    SELECT e.dst AS word, sum(CAST(floor(p.r / d.o) AS BIGINT)) AS s
+         |    FROM e JOIN $prev p ON p.word = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.word = v.word)""".stripMargin
+    }.mkString(",\n")
+    val textRankSql =
+      s"""WITH $tokCte,
+         |e0 AS (
+         |  SELECT w[x.i] AS src, w[x.i+1] AS dst
+         |  FROM tok CROSS JOIN LATERAL unnest(range(1, len(w))) AS x(i)),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+         |v AS MATERIALIZED (
+         |  SELECT DISTINCT word
+         |  FROM (SELECT src AS word FROM e UNION ALL SELECT dst FROM e)),
+         |nv AS (SELECT count(*) AS n FROM v),
+         |tele AS (
+         |  SELECT CAST(floor(CAST(floor(100000000 / n) AS BIGINT) / 4) AS BIGINT) AS t
+         |  FROM nv),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS o FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT v.word, (SELECT CAST(floor(100000000 / n) AS BIGINT) FROM nv) AS r
+         |  FROM v),
+         |""".stripMargin + textRankIters + s"""
+         |SELECT word, r / 100000000.0 AS rank FROM r5 ORDER BY word""".stripMargin
+
     // DSIR oracle: same md5 bucket hashing, dense 4096-row smoothed
     // log-ratio table quantized to integer 1e-4 units, per-doc INTEGER
     // sums (order-free), one final division
@@ -2313,6 +2356,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_source_terms" -> sourceTerms,
       "pl_winnow" -> winnow,
       "pl_pmi" -> pmi,
+      "pl_textrank" -> textRankSql,
       "pl_dsir" -> dsir,
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,

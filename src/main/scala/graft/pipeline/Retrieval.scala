@@ -322,4 +322,71 @@ object Retrieval {
     raw.unpersist()
     out
   }
+
+  /** TextRank keyword salience (Mihalcea & Tarau, EMNLP 2004): PageRank
+    * (Brin & Page 1998) over the corpus's directed bigram graph — an
+    * edge per distinct adjacent token pair — scoring every vocabulary
+    * word by how central it is to the corpus's phrase structure. The
+    * curation read: rank-weighted vocab beats raw frequency for picking
+    * domain terms (frequency rewards boilerplate; centrality rewards
+    * words that connect many contexts).
+    *
+    * Determinism contract: ranks are integers on a 1e-8 grid. With
+    * damping 3/4, each iteration is
+    *   r'(v) = ⌊r₀/4⌋ + ⌊3·Σ_{u→v}⌊r(u)/out(u)⌋ / 4⌋,  r₀ = ⌊S/N⌋
+    * — integer sums are order-free, and the two floored divisions are
+    * float divides whose operands stay < 2^53 with quotients ≥ 1/out(u)
+    * away from integer boundaries, so Spark and DuckDB floor
+    * identically. Dangling mass (words that only end documents) is
+    * dropped, not redistributed — both engines drop it alike.
+    *
+    * 100 TB shape: the edge list is |vocab²|-bounded but corpus-sparse
+    * (one explode + distinct), degrees are one map-side-combined
+    * groupBy, and each of the `iters` rounds is one shuffle join of the
+    * rank frame (|V| rows) against the static edge frame plus one
+    * keyed aggregation — the canonical distributed PageRank; nothing is
+    * ever collected to the driver.
+    */
+  def textRank(docs: DataFrame, iters: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val Scale = 100000000L
+    val w = TextAnalysis.tokens(col(textCol))
+    val edges = docs
+      .select(explode(zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val vertices = edges.select(col("src").as("word"))
+      .union(edges.select(col("dst"))).distinct().persist()
+    val nv = vertices.count()
+    val r0 = Math.floorDiv(Scale, nv)
+    val tele = Math.floorDiv(r0, 4)
+    // static (src, dst, out) frame reused every round
+    val ed = edges.join(
+      edges.groupBy("src").agg(count(lit(1)).as("out")), "src").persist()
+    ed.count()
+    var ranks = vertices.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks.withColumnRenamed("word", "src"), "src")
+        .select(col("dst"),
+          floor(col("r").cast("double") / col("out")).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = vertices
+        .join(contrib.withColumnRenamed("dst", "word"), Seq("word"), "left")
+        .select(col("word"),
+          (lit(tele) + floor(lit(3) * coalesce(col("s"), lit(0L)) / 4.0)
+            .cast("long")).as("r"))
+    }
+    val out = ranks
+      .select(col("word"), (col("r") / Scale.toDouble).as("rank"))
+      .orderBy("word")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    edges.unpersist(); vertices.unpersist(); ed.unpersist()
+    out
+  }
 }

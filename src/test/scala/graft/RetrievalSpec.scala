@@ -194,6 +194,22 @@ class RetrievalSpec extends SparkSpec {
       s"shift at 31 should alarm after it, got ${alarms.sorted.take(5).toSeq}")
   }
 
+  test("textRank: a word linked from many contexts outranks a leaf") {
+    // "hub" follows five different words; each "leaf_i" appears once.
+    // Edges: leaf_i -> hub (x5), hub -> tail
+    val docs = (1 to 5).map(i => (i.toLong, s"leaf$i hub tail"))
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.Retrieval.textRank(docs, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > r("leaf1"), s"hub should outrank a leaf: $r")
+    // tail is fed by hub alone but hub is heavy; leaf has only teleport
+    assert(r("tail") > r("leaf1"), s"hub's successor should beat a leaf: $r")
+    // integer-grid ranks: a rerun is bit-identical
+    val r2 = graft.pipeline.Retrieval.textRank(docs, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === r2)
+  }
+
   test("pmi: a bigram that always co-occurs beats one with independent parts") {
     // "tightly coupled" appears only together; "loose"/"parts" also occur
     // apart, diluting their PMI
