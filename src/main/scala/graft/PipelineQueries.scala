@@ -554,6 +554,14 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // embedding outlier scan: bottom-50 vectors by cosine to the
+    // integer-grid corpus centroid — one map-side-combined d-dim sum
+    // pass, broadcast centroid literal, TakeOrdered bottom-k
+    "pl_embed_outlier" -> { (s, dir) =>
+      Similarity.centroidOutliers(emb(s, dir), k = 50)
+        .orderBy("rank")
+    },
+
     // SemDeDup: the pl_kmeans clustering + within-cluster cosine pairs
     // ≥ 0.4 + hash-min components; cid = kept representative
     "pl_semdedup" -> { (s, dir) =>
@@ -1658,6 +1666,40 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |${kmAssign("c2", "a3")}
          |SELECT id, cid FROM a3 ORDER BY id""".stripMargin
 
+    // centroid-outlier oracle: identical integer pipeline — 1e-4
+    // component grid, per-dim INTEGER sums (order-free), floor-mean
+    // centroid, integer dot products through the one fixed float shape
+    // dot/(sqrt(q2)*sqrt(m2)), 1e-4-rounded before ranking
+    val embedOutlier =
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5 + 1e-6) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM q),
+         |cent AS MATERIALIZED (
+         |  SELECT x.i AS i,
+         |    CAST(floor(sum(q[x.i]) / (SELECT n FROM nn)) AS BIGINT) AS m
+         |  FROM q CROSS JOIN LATERAL unnest(range(1, len(q) + 1)) AS x(i)
+         |  GROUP BY x.i),
+         |cl AS (SELECT list(m ORDER BY i) AS mv, sum(m * m) AS m2 FROM cent),
+         |sc AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * mv[i])) AS dot,
+         |    list_sum(list_transform(q, x -> x * x)) AS q2
+         |  FROM q CROSS JOIN cl),
+         |sc2 AS (
+         |  SELECT vec_id, CASE WHEN q2 = 0 THEN 0.0 ELSE
+         |    floor(CAST(dot AS DOUBLE)
+         |      / (sqrt(CAST(q2 AS DOUBLE)) * sqrt(CAST(cl.m2 AS DOUBLE)))
+         |      * 10000 + 0.5 + 1e-6) / 10000.0 END AS cos_centroid
+         |  FROM sc CROSS JOIN cl),
+         |ranked AS (
+         |  SELECT vec_id, cos_centroid,
+         |    CAST(row_number() OVER (ORDER BY cos_centroid, vec_id) AS BIGINT) AS rank
+         |  FROM sc2)
+         |SELECT vec_id, cos_centroid, rank FROM ranked
+         |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
     // PQ oracle: the kmeans replay per subspace over sliced vectors,
     // then codes; the assignment/update generators mirror kmAssign/
     // kmUpdate with the subspace's slice bounds and dims
@@ -2404,6 +2446,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_knn_lsh" -> lshKnn,
       "pl_embed_prep" -> embedPrep,
       "pl_kmeans" -> kmeans,
+      "pl_embed_outlier" -> embedOutlier,
       "pl_pq_encode" -> pqEncodeSql,
       "pl_knn_pq" -> pqKnnSql,
       "pl_knn_ivfpq" -> ivfPqSql,

@@ -812,4 +812,51 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("cos"))
   }
+
+  /** Embedding outlier scan: the `k` vectors least cosine-similar to the
+    * corpus centroid — the standard screen for mis-embedded / off-domain
+    * rows before they poison ANN indexes or cluster-balanced sampling.
+    *
+    * Determinism contract: components quantize to the 1e-4 integer grid,
+    * the centroid is a floor-mean of exact INTEGER per-dim sums
+    * (order-free; the pl_corpus_stats recipe, not the float-sum-then-
+    * round one), and each row's cosine is integer dot products through
+    * one fixed shape `dot/(√q2·√m2)` — bit-identical across engines.
+    *
+    * 100 TB shape: ONE map-side-combined pass produces the d+1 partial
+    * sums (the only shuffle rows are partitions×1 aggregation buffers),
+    * the centroid returns to the plan as a broadcast literal, scoring is
+    * per-row Column math, and the bottom-k is orderBy+limit =
+    * TakeOrdered (per-partition heaps, never a global sort); the rank
+    * window runs on the k-row result, not the corpus.
+    */
+  def centroidOutliers(emb: DataFrame, k: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 10000 + 0.5 + 1e-6).cast("long"))
+    val pts = emb.select(col(idCol).cast("long").as("id"), q.as("q"))
+    val row = pts.agg(
+      count(lit(1)).as("n"),
+      array((0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1))): _*).as("s")).head
+    val n = row.getAs[Long]("n")
+    val m = row.getAs[Seq[Long]]("s").map(Math.floorDiv(_, n)).toArray
+    val m2 = m.map(x => x * x).sum
+    val mLit = array(m.map(lit(_)): _*)
+    val dot = aggregate(
+      zip_with(col("q"), mLit, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val q2 = aggregate(
+      transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x)
+    val scored = pts
+      .withColumn("cos_centroid", when(q2 === 0L, lit(0.0)).otherwise(
+        floor(dot.cast("double") / (sqrt(q2.cast("double")) * math.sqrt(m2.toDouble))
+          * 10000 + 0.5 + 1e-6) / 10000.0))
+      .select(col("id").as(idCol), col("cos_centroid"))
+      .orderBy(col("cos_centroid"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("cos_centroid"), col(idCol)))
+        .cast("long"))
+  }
 }

@@ -609,6 +609,21 @@ class PipelineSpec extends SparkSpec {
     assert(hit.count() === emb.count())
   }
 
+  test("centroidOutliers: the planted anti-centroid vector ranks first") {
+    // 20 vectors near +e1, one pointed the opposite way
+    val rows = (0L until 20L).map(i =>
+      (i, Array(1.0f, 0.01f * i, 0f, 0f))) :+ (99L, Array(-1.0f, 0f, 0f, 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, k = 3).collect()
+    assert(out.head.getAs[Long]("vec_id") === 99L,
+      s"anti-centroid vector should be rank 1: ${out.toSeq}")
+    assert(out.head.getAs[Double]("cos_centroid") < 0, "negative cosine")
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    // deterministic integer pipeline: rerun is bit-identical
+    val again = Similarity.centroidOutliers(df, k = 3).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("kmeans degenerates cleanly at k=1") {
     val a = Similarity.kmeans(emb, k = 1, iters = 1)
     assert(a.select("cid").distinct().as[Long].collect().toSeq === Seq(0L))
