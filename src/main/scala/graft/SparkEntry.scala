@@ -818,6 +818,19 @@ object SparkEntry {
           .orderBy("skey", "ts")
       },
 
+      // BEYOND-REFERENCE SAX symbolic representation (Lin et al. 2003):
+      // hourly PAA buckets z-normalized per series onto a 4-letter
+      // alphabet — one word per series for motif/anomaly indexing
+      "q_sax" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "click" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+        graft.query.Forecast.sax(d, bucketMs = 3600000L)
+          .orderBy("skey")
+      },
+
       // BEYOND-REFERENCE value-distribution histogram: per event type,
       // 20 equal-width bins over the type's [min, max] — the two-pass
       // profile shape (tiny bounds frame broadcast back against the
@@ -1686,6 +1699,43 @@ object SparkEntry {
            |SELECT c.skey, c.ts, c.s / 10000.0 AS score, c.s > s.hq AS alarm
            |FROM cu c JOIN st2 s ON c.skey = s.skey
            |ORDER BY c.skey, c.ts""".stripMargin),
+
+      // SAX oracle: identical integer PAA floor-means and series stats
+      // (floor-mean μ, one fixed-shape sqrt for σ — the cusum recipe);
+      // each symbol compares an exact integer deviation against the
+      // same ±0.6745σ doubles, so both engines emit identical words
+      "q_sax" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |qq AS MATERIALIZED (
+           |  SELECT skey, CAST(floor(ts / 3600000.0) AS BIGINT) AS b,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q
+           |  FROM dedup),
+           |paa AS MATERIALIZED (
+           |  SELECT skey, b,
+           |         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS p
+           |  FROM qq GROUP BY skey, b),
+           |st AS MATERIALIZED (
+           |  SELECT skey, count(*) AS n,
+           |         CAST(floor(CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+           |  FROM paa GROUP BY skey),
+           |sg AS MATERIALIZED (
+           |  SELECT p.skey,
+           |         sqrt(CAST(sum((p.p - s.mu) * (p.p - s.mu)) AS DOUBLE) / s.n) AS sig
+           |  FROM paa p JOIN st s USING (skey) GROUP BY p.skey, s.n),
+           |sym AS (
+           |  SELECT p.skey, p.b, CASE
+           |    WHEN CAST(p.p - s.mu AS DOUBLE) < -0.6745 * g.sig THEN 'a'
+           |    WHEN p.p - s.mu < 0 THEN 'b'
+           |    WHEN CAST(p.p - s.mu AS DOUBLE) < 0.6745 * g.sig THEN 'c'
+           |    ELSE 'd' END AS c
+           |  FROM paa p JOIN st s USING (skey) JOIN sg g USING (skey))
+           |SELECT s.skey, s.n AS n_seg, string_agg(y.c, '' ORDER BY y.b) AS sax
+           |FROM sym y JOIN st s USING (skey)
+           |GROUP BY s.skey, s.n ORDER BY s.skey""".stripMargin),
 
       // histogram oracle: same two-pass bounds + IEEE bin math
       "q_histogram" ->

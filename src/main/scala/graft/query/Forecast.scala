@@ -103,6 +103,56 @@ object Forecast {
     out.toDF(keyCol, "h", "forecast")
   }
 
+  /** SAX symbolic series representation (Lin, Keogh, Lonardi & Chiu,
+    * DMKD 2003): PAA time-bucket means, z-normalized per series, mapped
+    * onto a 4-letter alphabet by the N(0,1) quartile breakpoints
+    * (±0.6745, 0) — the classic symbolic index for motif/anomaly search
+    * over TSDB series, emitted as one word per series.
+    *
+    * Determinism contract ([[cusum]]'s recipe): 1e-4 integer grid,
+    * integer floor-means for the PAA buckets and the series mean, σ from
+    * the exact integer sum of squared deviations through ONE fixed-shape
+    * sqrt; breakpoint thresholds are the two doubles `±0.6745·σ`, and
+    * each comparison pits an exact integer deviation against them — both
+    * engines compare bit-identical doubles. Same 100 TB shape: one keyed
+    * exchange, O(buckets) state per series.
+    */
+  def sax(series: DataFrame, bucketMs: Long = 3600000L,
+      keyCol: String = "skey", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val out: Dataset[(String, Long, String)] = series
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        floor(col(valCol) * 10000 + 0.5 + 1e-6).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val paa = it.toArray
+          .groupBy(r => Math.floorDiv(r._2, bucketMs))
+          .toArray.sortBy(_._1)
+          .map { case (b, rows) =>
+            var s = 0L; rows.foreach(s += _._3)
+            b -> math.floor(s.toDouble / rows.length).toLong
+          }
+        val n = paa.length
+        var sum = 0L
+        paa.foreach(sum += _._2)
+        val mu = math.floor(sum.toDouble / n).toLong
+        var vn = 0L
+        paa.foreach { p => val d = p._2 - mu; vn += d * d }
+        val sig = math.sqrt(vn.toDouble / n)
+        val lo = -0.6745 * sig
+        val hi = 0.6745 * sig
+        val word = paa.map { case (_, p) =>
+          val d = (p - mu).toDouble
+          if (d < lo) 'a' else if (d < 0) 'b' else if (d < hi) 'c' else 'd'
+        }.mkString
+        (key, n.toLong, word)
+      }
+    out.toDF(keyCol, "n_seg", "sax")
+  }
+
   /** One-sided upper CUSUM change detection (Page 1954): per series,
     * `S_i = max(0, S_{i−1} + y_i − μ − κ)` with slack `κ = σ/2` and
     * alarm threshold `H = 5σ` — the classic drift detector for

@@ -181,6 +181,22 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("sax: square wave maps to alternating extreme symbols") {
+    // two hourly buckets low, two high, repeating: word should swing
+    // between 'a'/'b' (below mean) and 'c'/'d' (above)
+    val h = 3600000L
+    val rows = (0 until 8).map { i =>
+      val v = if ((i / 2) % 2 == 0) 1.0 else 9.0
+      ("s1", i * h + 5L, v)
+    }
+    val df = rows.toDF("skey", "ts", "value")
+    val out = graft.query.Forecast.sax(df, bucketMs = h).collect()
+    assert(out.length === 1)
+    val word = out.head.getAs[String]("sax")
+    assert(out.head.getAs[Long]("n_seg") === 8L)
+    assert(word.matches("[ab]{2}[cd]{2}[ab]{2}[cd]{2}"), s"word=$word")
+  }
+
   test("cusum: level shift alarms, stable series never does") {
     val stable = (1 to 60).map(i => ("s1", i.toLong, 10.0 + (i % 2) * 0.2))
     val shifted = (1 to 30).map(i => ("s2", i.toLong, 10.0 + (i % 2) * 0.2)) ++
