@@ -390,6 +390,13 @@ object PipelineQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // source-pair vocabulary Jaccard: the redundancy matrix for mixture
+    // design — one (source, token) distinct shuffle, a vocab-bounded
+    // self-join, broadcast set sizes
+    "pl_source_overlap" -> { (s, dir) =>
+      Retrieval.sourceOverlap(docs(s, dir))
+    },
+
     // TextRank keyword salience (Mihalcea & Tarau 2004): integer-grid
     // PageRank over the corpus bigram graph, 5 iterations, damping 3/4 —
     // each round one |V|-row join against the static edge frame + one
@@ -2234,6 +2241,23 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT w1, w2, c12, pmi, rank FROM ranked
          |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+    // source-overlap oracle: same distinct (source, token) relation,
+    // integer intersection/union sizes, one quantized division
+    val sourceOverlapSql =
+      s"""WITH d AS (
+         |  SELECT DISTINCT source AS src, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |sz AS (SELECT src, count(*) AS n FROM d GROUP BY src),
+         |ix AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+         |  FROM d a JOIN d b ON a.t = b.t AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT ix.src_a, ix.src_b, ix.n_common,
+         |  floor(CAST(ix.n_common AS DOUBLE) / (na.n + nb.n - ix.n_common)
+         |        * 10000 + 0.5 + 1e-6) / 10000.0 AS jaccard
+         |FROM ix JOIN sz na ON ix.src_a = na.src JOIN sz nb ON ix.src_b = nb.src
+         |ORDER BY ix.src_a, ix.src_b""".stripMargin
+
     // TextRank oracle: identical integer PageRank walked as 5 unrolled
     // MATERIALIZED CTE rounds — per-edge contributions floor(r/out) and
     // the damped update floor(3·Σ/4) are the same float-divide-then-
@@ -2399,6 +2423,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_winnow" -> winnow,
       "pl_pmi" -> pmi,
       "pl_textrank" -> textRankSql,
+      "pl_source_overlap" -> sourceOverlapSql,
       "pl_dsir" -> dsir,
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,

@@ -323,6 +323,45 @@ object Retrieval {
     out
   }
 
+  /** Source-pair vocabulary overlap: Jaccard similarity between every
+    * two sources' distinct-token sets — the redundancy matrix a mixture
+    * designer reads before weighting sources (two near-identical crawls
+    * shouldn't both get full weight). Pairs sharing no token are omitted
+    * (inner join) — identically in the oracle.
+    *
+    * Determinism: intersection/union sizes are exact integers; the one
+    * final division is quantized at 4 dp. 100 TB shape: one distinct
+    * shuffle on (source, token); the self-join key is a token that
+    * appears at most n_sources times post-distinct, so the join is
+    * |vocab|·n_sources-bounded, never corpus-sized; per-source set
+    * sizes ride in via a broadcast of an n_sources-row frame.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(groupCol).as("src"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .distinct()
+      .persist()
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = st.toDF("src_a", "t")
+      .join(st.toDF("src_b", "t"), "t")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    val out = inter
+      .join(broadcast(sizes.toDF("src_a", "na")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        (floor(col("n_common").cast("double")
+            / (col("na") + col("nb") - col("n_common"))
+            * 10000 + 0.5 + 1e-6) / 10000.0).as("jaccard"))
+      .orderBy("src_a", "src_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    st.unpersist()
+    out
+  }
+
   /** TextRank keyword salience (Mihalcea & Tarau, EMNLP 2004): PageRank
     * (Brin & Page 1998) over the corpus's directed bigram graph — an
     * edge per distinct adjacent token pair — scoring every vocabulary

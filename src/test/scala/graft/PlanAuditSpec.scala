@@ -60,6 +60,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("textrank: no cartesian/BNLJ across the unrolled PageRank rounds") {
+    val (f, plan) = fp("pl_textrank")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"PageRank round degenerated\n$plan")
+    assert(f.sortAggregates == 0, "contribution sums must stay hash-agg")
+  }
+
+  test("embed outlier: aggregate + per-row scoring, no join anywhere") {
+    val (f, plan) = fp("pl_embed_outlier")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"centroid must be a literal, not a join\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must be TakeOrdered, not a global sort\n$plan")
+  }
+
+  test("source overlap: token self-join is equi, set sizes broadcast") {
+    val (f, plan) = fp("pl_source_overlap")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"vocab self-join degenerated\n$plan")
+    assert(f.broadcastJoins >= 2, s"size frames must broadcast\n$plan")
+  }
+
+  test("seasonal forecast and sax: one keyed exchange each, pushdown intact") {
+    Seq("q_hw_forecast", "q_sax").foreach { q =>
+      val (f, plan) = fp(q)
+      assert(f.pushedFilters, s"$q: ts/metric bounds must reach the scan")
+      assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+        s"$q grew a join\n$plan")
+    }
+  }
+
   test("decontamination broadcasts the eval side (train never shuffles first)") {
     val (f, plan) = fp("pl_decontam")
     assert(f.pushedFilters)

@@ -226,6 +226,22 @@ class RetrievalSpec extends SparkSpec {
     assert(r === r2)
   }
 
+  test("sourceOverlap: identical vocabularies score 1, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "gamma alpha beta", "s2"),
+      (3L, "delta epsilon", "s3"),
+      (4L, "alpha zeta", "s4")).toDF("doc_id", "text", "source")
+    val r = graft.pipeline.Retrieval.sourceOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("n_common"), x.getAs[Double]("jaccard"))).toMap
+    assert(r(("s1", "s2")) === ((3L, 1.0)), s"same vocab = jaccard 1: $r")
+    // s1 ∩ s4 = {alpha}; union = {alpha,beta,gamma,zeta} → 1/4
+    assert(r(("s1", "s4")) === ((1L, 0.25)))
+    assert(!r.keySet.exists(p => p._1 == "s3" || p._2 == "s3"),
+      "disjoint source must not pair")
+  }
+
   test("pmi: a bigram that always co-occurs beats one with independent parts") {
     // "tightly coupled" appears only together; "loose"/"parts" also occur
     // apart, diluting their PMI
