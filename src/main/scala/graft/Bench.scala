@@ -113,8 +113,18 @@ object Bench {
       // gates, and the r5 sweep showed 1-2 s gates drifting >2× the same
       // way): take extra samples up to 5 so a single inflated run can't
       // reach the median. Costs <2 s per such query.
+      // a >2x max/min spread marks a contaminated gate regardless of
+      // its median: a genuinely heavy query times consistently, while a
+      // gate caught in a neighbor's cache-eviction wake mixes clean and
+      // inflated samples (r7 full sweep: pl_source_overlap 8.9 s
+      // mid-sweep median vs 1.1 s targeted, every sample in the wake) —
+      // resample those too so clean runs can reach the median
+      def spreadOf(xs: Seq[Double]): Double = {
+        val pos = xs.filter(_ > 0)
+        if (pos.isEmpty) 1.0 else pos.max / pos.min
+      }
       val times =
-        if (medianOf(base) < 3.0 && runs < 5)
+        if ((medianOf(base) < 3.0 || spreadOf(base) > 2.0) && runs < 5)
           base ++ (0 until (5 - runs)).map(_ => timed())
         else base
       val median = medianOf(times)
