@@ -221,6 +221,15 @@ object PipelineQueries {
         .orderBy("contained", "container")
     },
 
+    // MinHash-ESTIMATED containment: the at-scale sibling of the exact
+    // pl_containment quadratic — LSH candidates + signature-match
+    // Jaccard estimate + exact set sizes; only 8 slots and a count per
+    // doc cross the shuffle, never a shingle set
+    "pl_containment_est" -> { (s, dir) =>
+      Dedup.containmentEstimate(docs(s, dir), n = 3, threshold = 0.5)
+        .orderBy("contained", "container")
+    },
+
     // prefix-filter all-pairs join (Bayardo et al. 2007): the LOSSLESS
     // scale path for exact Jaccard — only each set's rarest
     // |S|−⌈t·|S|⌉+1 shingles enter the self-join; oracle = exact
@@ -1192,6 +1201,37 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
          |WHERE p.jac >= 0.8
          |ORDER BY p.id1, p.id2""".stripMargin
+
+    // estimated-containment oracle: same signatures/bands/cap, the
+    // signature match count as an exact eighth, exact per-doc set sizes,
+    // and the one left-associated estimate shape quantized at 4 dp
+    val containmentEstSql = {
+      val m = (0 until 8).map(i =>
+        s"(CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $shingleCte,
+         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    $sigCols,
+         |    count(*) AS nsh
+         |  FROM hs GROUP BY id),
+         |$bandCandCtes,
+         |ce AS MATERIALIZED (
+         |  SELECT c.id1, c.id2,
+         |    CAST($m AS DOUBLE) / 8.0 AS jhat,
+         |    s1.nsh AS n1, s2.nsh AS n2
+         |  FROM cand c JOIN sig s1 ON c.id1 = s1.id
+         |              JOIN sig s2 ON c.id2 = s2.id),
+         |est AS (
+         |  SELECT id1 AS contained, id2 AS container,
+         |         jhat / (jhat + 1.0) * (n1 + n2) / n1 AS e FROM ce
+         |  UNION ALL
+         |  SELECT id2, id1, jhat / (jhat + 1.0) * (n1 + n2) / n2 FROM ce)
+         |SELECT contained, container,
+         |       floor(e * 10000 + 0.5 + 1e-6) / 10000.0 AS est
+         |FROM est WHERE e >= 0.5
+         |ORDER BY contained, container""".stripMargin
+    }
 
     // incremental dedup: replay corpus/fresh construction, minhash both
     // sides, band-join fresh signatures against the corpus index, verify
@@ -2438,6 +2478,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_dedup_ngram_hot" -> ngramHot,
       "pl_dedup_prefix" -> prefixJoin,
       "pl_containment" -> containment,
+      "pl_containment_est" -> containmentEstSql,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_incr" -> dedupIncr,
       "pl_dup_windows" -> dupWindows,

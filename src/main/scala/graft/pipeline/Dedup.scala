@@ -373,6 +373,70 @@ object Dedup {
     materializeAndRelease(oriented, sh0)
   }
 
+  /** MinHash-ESTIMATED containment — the at-scale sibling of the exact
+    * [[containmentPairs]] quadratic: LSH band buckets propose candidate
+    * pairs, the signature match fraction estimates Jaccard
+    * (ĵ = matches/8), and containment follows from the
+    * inclusion–exclusion identity |A∩B| = J·(|A|+|B|)/(1+J) with exact
+    * per-doc shingle-set sizes. Nothing ever hauls a shingle SET across
+    * the shuffle — only 8 signature slots and one count per doc — so the
+    * verify stage is O(candidates), not O(candidates · set size).
+    *
+    * Determinism: match counts are integers, ĵ is an exact eighth, set
+    * sizes are exact integers, and the one estimate expression
+    * `ĵ/(1+ĵ)·(n1+n2)/n_contained` is the same left-associated IEEE
+    * shape in both engines, quantized at 4 dp.
+    */
+  def containmentEstimate(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hp") * a + b, lit(MinhashP))).as(s"m$i")
+    }
+    val base = shingleHashes(docs, n)
+      .groupBy("id")
+      .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded0 = bandRows(base)
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0.join(
+        banded0.groupBy("band", "x", "y").agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") <= maxBucket).drop("_bc"),
+        Seq("band", "x", "y"), "left_semi")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+          col("a.y") === col("b.y") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    def sigAs(suffix: String) = base.select(
+      (col("id").as(s"id$suffix") +: col("nsh").as(s"n$suffix") +:
+        (0 until 8).map(i => col(s"m$i").as(s"m${i}_$suffix"))): _*)
+    val matches = (0 until 8).map(i =>
+      when(col(s"m${i}_1") === col(s"m${i}_2"), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = cand
+      .join(sigAs("1"), "id1").join(sigAs("2"), "id2")
+      .withColumn("jhat", matches.cast("double") / 8.0)
+      .select(col("id1"), col("id2"), col("jhat"), col("n1"), col("n2"))
+    // both orientations in ONE traversal of the scored candidates (a
+    // unionAll of two selects would recompute the candidate joins twice)
+    def estExpr(nc: Column) =
+      col("jhat") / (col("jhat") + 1.0) * (col("n1") + col("n2")) / nc
+    val oriented = scored
+      .select(explode(array(
+        struct(col("id1").as("contained"), col("id2").as("container"),
+          estExpr(col("n1")).as("e")),
+        struct(col("id2").as("contained"), col("id1").as("container"),
+          estExpr(col("n2")).as("e")))).as("o"))
+      .select(col("o.contained").as("contained"),
+        col("o.container").as("container"), col("o.e").as("e"))
+      .filter(col("e") >= threshold)
+      .select(col("contained"), col("container"),
+        (floor(col("e") * 10000 + 0.5 + 1e-6) / 10000.0).as("est"))
+    materializeAndRelease(oriented, base)
+  }
+
   /** MinHash parameters shared with the oracle SQL: universal hashes
     * `g_i(h) = (a_i*h + b_i) mod P` over the 60-bit md5 shingle hash
     * reduced mod P. 8 hashes in 4 bands of 2.

@@ -667,6 +667,24 @@ class PipelineSpec extends SparkSpec {
     assert(r === Map(1L -> 1L))
   }
 
+  test("containmentEstimate: a subset doc is flagged contained in its superset") {
+    val a = "q w e r t y u i o p"                 // 8 shingles (n=3)
+    val b = a + " extra tokens beyond the base"   // superset of a's shingles
+    val c = "完全 different words nothing shared here at all ok"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = Dedup.containmentEstimate(docs, n = 3, threshold = 0.5)
+      .collect().map(x => (x.getAs[Long]("contained"),
+        x.getAs[Long]("container")) -> x.getAs[Double]("est")).toMap
+    assert(r.contains((1L, 2L)), s"subset must be flagged: $r")
+    assert(r((1L, 2L)) >= 0.5 && r((1L, 2L)) <= 1.5,
+      s"estimate in a plausible band: $r")  // ±noise from 8 slots
+    assert(!r.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc must not pair: $r")
+    // estimates agree with the exact operator's direction: containment
+    // of the small doc in the big one exceeds the reverse
+    assert(r.get((2L, 1L)).forall(_ <= r((1L, 2L))), s"orientation: $r")
+  }
+
   test("contaminationReport: per-eval-doc dirty gram counts and fraction") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),
