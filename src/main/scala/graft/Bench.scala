@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   * reports the per-query MEDIAN — a single sample carries one-off
   * GC/JIT noise worth ~50% of the steady-state total, and the driver
   * invokes this main exactly once per round.
+  *
+  * Trust, then verify: a gate whose in-sweep median lands >2× its
+  * COMMITTED expectation (`bench_expected_<sf>.json` resource), or
+  * whose samples still spread >2× after resampling, is re-measured in
+  * a fresh child JVM and the isolated number is recorded — shared-JVM
+  * cache/GC contamination can only inflate, so the committed floor +
+  * escalation makes the sweep-of-record match targeted reruns.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,6 +79,12 @@ object Bench {
       .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(3))
+    // committed per-gate expectations: the escalation trigger's baseline
+    val expected = expectedFor(sfDir)
+    // cap fresh-JVM escalations per sweep (~10 s each) so a systemic
+    // shift (e.g. a config change slowing every gate) degrades to the
+    // in-process numbers instead of 146 child JVMs
+    var escalationsLeft = 20
     val results = picked.map { case (name, fn) =>
       // let the ContextCleaner reclaim the previous queries' shuffle
       // files/broadcasts before timing: 98 queries × 3 runs accumulate
@@ -123,8 +136,13 @@ object Bench {
         val pos = xs.filter(_ > 0)
         if (pos.isEmpty) 1.0 else pos.max / pos.min
       }
+      // the spread trigger is bounded to sub-10 s medians: a genuinely
+      // heavy gate (the 100 s-class quadratic baselines at sf1) can have
+      // a naturally >2× max/min spread, and two extra full runs of it
+      // would triple its sweep cost for no information
       val times =
-        if ((medianOf(base) < 3.0 || spreadOf(base) > 2.0) && runs < 5)
+        if ((medianOf(base) < 3.0 ||
+             (spreadOf(base) > 2.0 && medianOf(base) < 10.0)) && runs < 5)
           base ++ (0 until (5 - runs)).map(_ => timed())
         else base
       val median = medianOf(times)
@@ -141,7 +159,29 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!inputRddIds.contains(id)) rdd.unpersist(blocking = true)
       }
-      name -> median
+      // ESCALATION: the in-process mitigations above (GC, warmup,
+      // resampling, blocking cache release) shrank but never killed
+      // shared-JVM contamination — r7's sweep-of-record still reported
+      // six gates at 3-7× their targeted cost. When a gate's median
+      // exceeds 2× its committed expectation, or its samples still
+      // spread >2× after resampling, the in-process number is not
+      // trustworthy: rerun the gate in a fresh child JVM and record
+      // THAT. Full sweeps only (args = gate filters = dev iteration;
+      // and children are invoked with their gate name, so this also
+      // can't recurse). The 0.2 s expectation floor keeps 0.05 s gates
+      // from buying a 10 s child JVM over absolute noise.
+      val overExpected = expected.get(name)
+        .exists(e => median > 2.0 * math.max(e, 0.2))
+      val stillSpread = spreadOf(times) > 2.0 && median < 10.0
+      val finalMedian =
+        if (args.isEmpty && (overExpected || stillSpread) && escalationsLeft > 0) {
+          escalationsLeft -= 1
+          val iso = runChild(name)
+          System.err.println(
+            s"[bench-escalate] $name in-sweep $median -> isolated $iso")
+          if (iso > 0) iso else median
+        } else median
+      name -> finalMedian
     }
     emit(results, sfDir)
     spark.stop()
@@ -153,39 +193,67 @@ object Bench {
     * records -1.0 for its gate and the sweep continues.
     */
   private def isolated(args: Array[String]): Unit = {
-    import scala.jdk.CollectionConverters._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.contains))
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
-    val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val results = names.map { name =>
-      val cmd = (Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
-      // the child prints its own headline line; route it (and Spark's
-      // stderr noise) away from this process's single-JSON-line stdout
-      val log = java.nio.file.Files.createTempFile("bench_iso_", ".log").toFile
-      pb.redirectErrorStream(true)
-      pb.redirectOutput(log)
-      val rc = pb.start().waitFor()
-      // the child's bench_full.json has exactly one entry: this gate
-      val med =
-        if (rc != 0) -1.0
-        else {
-          val txt = java.nio.file.Files.readString(
-            java.nio.file.Paths.get("bench_full.json"))
-          val m = ("\"" + java.util.regex.Pattern.quote(name) + "\":([-0-9.]+)")
-            .r.findFirstMatchIn(txt)
-          m.map(_.group(1).toDouble).getOrElse(-1.0)
-        }
+      val med = runChild(name)
       System.err.println(s"[bench-isolate] $name -> $med")
       name -> med
     }
     emit(results, sfDir)
+  }
+
+  /** Run ONE gate in a fresh child JVM (same classpath + JVM flags,
+    * its own temp working dir so its `bench_full.json` can't clobber
+    * the parent's) and return its median, or -1.0 on child failure.
+    * This is the ground-truth measurement: nothing from the sweep's
+    * shared JVM — cache residue, shuffle files, GC debt — exists in
+    * the child.
+    */
+  private def runChild(name: String): Double = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
+    val dir = java.nio.file.Files.createTempDirectory("bench_child_")
+    pb.directory(dir.toFile)
+    // the child prints its own headline line; route it (and Spark's
+    // stderr noise) away from this process's single-JSON-line stdout
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(dir.resolve("child.log").toFile)
+    val rc = pb.start().waitFor()
+    // the child's bench_full.json has exactly one entry: this gate
+    if (rc != 0) -1.0
+    else {
+      val txt = java.nio.file.Files.readString(dir.resolve("bench_full.json"))
+      val m = ("\"" + java.util.regex.Pattern.quote(name) + "\":([-0-9.]+)")
+        .r.findFirstMatchIn(txt)
+      m.map(_.group(1).toDouble).getOrElse(-1.0)
+    }
+  }
+
+  /** Committed per-gate expected medians for this dataset (classpath
+    * resource `bench_expected_<sfbase>.json`, e.g. sf0.1 → the driver's
+    * scale). Measured as per-gate minima across clean sweeps — a floor
+    * is the right expectation because measurement contamination only
+    * ever INFLATES a gate. Empty when no table is committed for the
+    * dataset (dev sf0.01 runs, ad-hoc dirs).
+    */
+  private def expectedFor(sfDir: String): Map[String, Double] = {
+    val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val in = getClass.getResourceAsStream(s"/bench_expected_$base.json")
+    if (in == null) Map.empty
+    else try {
+      val txt = new String(in.readAllBytes(), "UTF-8")
+      "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } finally in.close()
   }
 
   private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {

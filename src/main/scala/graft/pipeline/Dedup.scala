@@ -241,10 +241,12 @@ object Dedup {
     * Without this, each call would pin a shingle-sized cache for the
     * session lifetime.
     */
-  private def materializeAndRelease(result: DataFrame, sh: DataFrame): DataFrame = {
+  private def materializeAndRelease(result: DataFrame, sh: DataFrame,
+      more: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sh.unpersist()
+    more.foreach(_.unpersist())
     out
   }
 
@@ -312,23 +314,72 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("h"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
-    val pref = ranked
-      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "h")
-    val cand = pref.as("a")
-      .join(pref.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val sets = sh0.groupBy("id").agg(collect_set(col("h")).as("hs"))
-    val pairs = cand
-      .join(sets.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
-      .withColumn("i", size(array_intersect(col("hs1"), col("hs2"))).cast("double"))
+    // ASYMMETRIC prefixes (SSJoin/ppjoin): orient every pair smaller ⊠
+    // larger. The larger (probe) side needs the full Jaccard prefix
+    // |S|−⌈t·|S|⌉+1, but the smaller (index) side only
+    // |S|−⌈2t/(1+t)·|S|⌉+1 — about half at t=0.8 — because a pair with
+    // J ≥ t overlaps by α = ⌈t/(1+t)·(|x|+|y|)⌉ ≥ ⌈2t/(1+t)·|x|⌉ and a
+    // shared token must land within each side's first |S|−α+1 slots.
+    // The −1e-9 inside each ceil keeps the prefix from losing a slot to
+    // binary-float drift (0.8·5 evaluates to 4.0000000000000002, whose
+    // bare ceil is 5 → a one-short, LOSSY prefix); erring longer is
+    // always lossless.
+    val idxFrac = 2.0 * threshold / (1.0 + threshold)
+    // one persisted frame for both prefixes (the index prefix is a
+    // subset of the probe prefix): the asymmetric self-join's sides are
+    // no longer identical subplans, so without this the df-rank window
+    // pipeline would execute once PER SIDE (ReuseExchange only
+    // deduplicates identical plans)
+    val prefProbe = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n") - 1e-9) + 1)
+      .withColumn("inIdx",
+        col("pos") <= col("n") - ceil(lit(idxFrac) * col("n") - 1e-9) + 1)
+      .select("id", "h", "pos", "n", "inIdx")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefIdx = prefProbe.filter(col("inIdx"))
+    // Candidate join: smaller-side index prefix ⊠ larger-side probe
+    // prefix on the shingle, with the LENGTH filter (J ≥ t forces
+    // |x| ≥ t·|y|) fused into the join condition, then the PPJOIN
+    // POSITIONAL FILTER (Xiao et al., WWW 2008), still lossless:
+    // because every document's shingles sit in the SAME global (df, h)
+    // order, the first prefix∩prefix match w of a pair is the pair's
+    // globally first common shingle (any earlier common shingle would
+    // itself be a prefix∩prefix match on both sides), so
+    //   |A∩B| ≤ 1 + min(|A|−pos_A(w), |B|−pos_B(w)),
+    // and J ≥ t needs |A∩B| ≥ t·(|A|+|B|)/(1+t). The groupBy replaces a
+    // distinct() — same shuffle — and these filters are what keep the
+    // verify stage from expanding pairs that can't possibly pass
+    // (measured sf1: 1.19 M symmetric-prefix candidates, ~25 true pairs).
+    val cand = prefIdx.as("a")
+      .join(prefProbe.as("b"), col("a.h") === col("b.h") &&
+        (col("a.n") < col("b.n") ||
+          (col("a.n") === col("b.n") && col("a.id") < col("b.id"))) &&
+        col("a.n").cast("double") >= lit(threshold) * col("b.n") - 1e-9)
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(min(col("a.pos")).as("p1"), min(col("b.pos")).as("p2"))
+      .filter(lit(1.0) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
+        lit(threshold) / (1.0 + threshold) * (col("n1") + col("n2")) - 1e-9)
+    // Verify without ever shipping a shingle SET: expand each candidate
+    // pair by its smaller (id1) side's (id,h) rows, equi-join the
+    // expansion against the larger side's rows on (id,h) to count the
+    // intersection, and derive the union from exact per-doc set sizes
+    // (shingleHashes dedupes per doc, so n == |S|). Every shuffled row
+    // is fixed-width — a doc in P candidate pairs costs P·|S_min|
+    // 24-byte rows, not P full arrays — and zero-intersection
+    // candidates drop out of the inner join for free.
+    val inter = cand
+      .join(sh0.select(col("id").as("id1"), col("h")), Seq("id1"))
+      .join(sh0.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("i"))
+    val pairs = inter
       .withColumn("jaccard",
-        col("i") / (size(col("hs1")) + size(col("hs2")) - col("i")))
+        col("i").cast("double") / (col("n1") + col("n2") - col("i")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
-    materializeAndRelease(pairs, sh0)
+      // canonical id1 < id2 output regardless of the size orientation
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("jaccard"))
+    materializeAndRelease(pairs, sh0, prefProbe)
   }
 
   /** Asymmetric CONTAINMENT pairs: `C(A→B) = |A∩B| / |A| ≥ threshold`

@@ -236,6 +236,20 @@ class PipelineSpec extends SparkSpec {
       s"prefix relation $prefRows should be well under half of $allRows")
   }
 
+  test("prefix length survives the float-ceil boundary (J exactly at t)") {
+    // x ⊂ y with |x|=4, |y|=5 shingles → J = 4/5 = 0.8 exactly. y's
+    // extra shingle ("z a b") is the corpus's rarest (df=1), so the
+    // pair's first common shingle sits at y's prefix slot 2 — and
+    // ⌈0.8·5⌉ computed on raw doubles is ceil(4.0000000000000002) = 5,
+    // a one-short prefix that silently drops the pair. The −1e-9 slack
+    // inside the ceil is what keeps this lossless.
+    val two = Seq((1L, "a b c d e f"), (2L, "z a b c d e f"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.prefixFilterPairs(two, n = 3, threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("lr training learns the separating feature's sign") {
     // label = "wordy": long, punctuation-free prose vs short noisy docs —
     // ntok_norm separates, punct_ratio anti-separates
