@@ -607,6 +607,30 @@ object PipelineQueries {
         .orderBy("id", "frame_idx")
     },
 
+    // REAL image decode end-to-end: deterministic 8×8 grayscale
+    // patterns are encoded as actual PNGs (ImageIO.write) and decoded
+    // back (ImageIO.read) partition-locally, then aHashed from the
+    // decoded pixel plane. PNG is lossless, so the DuckDB oracle
+    // replays the pixel FORMULA + hash math and skips the codec — a
+    // hash-exact gate whose Spark side exercises the real decoder.
+    "pl_mm_decode" -> { (s, dir) =>
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val px = Array.tabulate(64) { k =>
+            (((id * 2654435761L + k.toLong * 40503L) % 256L + 256L) % 256L).toInt
+          }
+          (id, Multimodal.encodeGrayPng(8, 8, px))
+        }
+      }
+      Multimodal.decodeGray(media)
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          Multimodal.aHash60Of(slice(col("px"), 1, 60)).as("ahash"))
+        .orderBy("id")
+    },
+
     // perceptual-hash (aHash) image near-dup with the pixel source
     // stubbed: 60 sampled "pixels" → mean-threshold bits → 60-bit hash,
     // then near-dup grouping on the hash (keep_id = group min). Pixels
@@ -1984,6 +2008,25 @@ ORDER BY qid, nid"""
 
     // aHash: 60 sampled pixels (ascii of evenly-spaced chars), mean
     // threshold, MSB-first bit fold — bit-identical to Multimodal.aHash60Of
+    // replays pl_mm_decode's pixel pattern + aHash math directly — the
+    // PNG encode/decode between them is lossless, so the formula IS the
+    // decoded plane
+    val mmDecode =
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |    list_transform(range(0, 60),
+        |      k -> ((CAST(doc_id AS BIGINT) * 2654435761 + k * 40503) % 256
+        |            + 256) % 256) AS px
+        |  FROM documents)
+        |SELECT id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(px,
+        |        x -> CASE WHEN x > list_sum(px) / 60.0
+        |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |    (a, b) -> a * 2 + b) AS ahash
+        |FROM p ORDER BY id""".stripMargin
+
     val mmPhash =
       """WITH t AS (
         |  SELECT doc_id, text, greatest(length(text), 1) - 1 AS li FROM documents),
@@ -2521,6 +2564,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_neardup_cos" -> nearDup,
       "pl_mm_meta" -> mmMeta,
       "pl_mm_frames" -> mmFrames,
+      "pl_mm_decode" -> mmDecode,
       "pl_mm_phash" -> mmPhash,
       "pl_pack_concat" -> packConcat,
       "pl_strip_html" -> stripHtml,

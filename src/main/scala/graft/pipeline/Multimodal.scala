@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns + typed metadata structs, with decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * The actual codecs are NOT available in this environment, so the decode
-  * step is a clearly-marked deterministic STUB ([[fakeDecode]]); the
-  * Spark-side contract — binary schema, batched partition-local
-  * processing, metadata struct shape — is real and tested. Swap
-  * [[fakeDecode]] for a real codec (e.g. via mapInPandas/mapPartitions
-  * over an image library) without touching callers.
+  * IMAGE decode is REAL: `javax.imageio.ImageIO` ships with the base
+  * JDK and decodes PNG/JPEG/BMP/GIF ([[decodeImage]]); the typed path
+  * ([[decodePartitions]], [[decodeGray]]) runs it partition-local on
+  * executors. Audio/video codecs are genuinely absent from this
+  * environment, so non-image payloads fall back to the clearly-marked
+  * deterministic STUB ([[fakeDecode]]) — swap it for ffmpeg-style
+  * decoding (mapInPandas or a JNI codec) without touching callers.
   */
 object Multimodal {
 
@@ -29,10 +30,78 @@ object Multimodal {
       col(idCol).as("id"),
       encode(col(srcCol), "UTF-8").as("payload"))
 
-  /** STUB decode — deterministic fake in place of a real image decode.
-    * Real implementation: `ds.mapPartitions` batching payloads through a
-    * native decoder (or Python `mapInPandas` for PIL/ffmpeg), one codec
-    * init per partition, not per row.
+  /** A REAL decoded image: dimensions + row-major 8-bit grayscale
+    * plane. Single-band sources (gray PNG etc.) read raw raster samples
+    * — no color-space conversion, so a gray PNG round-trips its pixel
+    * values exactly (PNG is lossless; `getRGB` would gamma-shift them).
+    * Multi-band sources reduce via the integer BT.601 luma
+    * `(299·R + 587·G + 114·B) / 1000` — order-free integer math, the
+    * same on every JVM.
+    */
+  case class DecodedImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF).
+    * Returns None when the payload is not a decodable image — callers
+    * fall back to the non-image stub. Pure function of the bytes;
+    * safe inside `mapPartitions`.
+    */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        val raster = img.getRaster
+        val singleBand = raster.getNumBands == 1
+        var j = 0
+        var idx = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            gray(idx) =
+              if (singleBand) raster.getSample(i, j, 0)
+              else {
+                val rgb = img.getRGB(i, j)
+                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+              }
+            idx += 1
+            i += 1
+          }
+          j += 1
+        }
+        DecodedImage(w, h, gray)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Encode an 8-bit grayscale plane as a (lossless) PNG — the test/
+    * fixture side of [[decodeImage]]: encode(decode(x)) round-trips the
+    * raster samples exactly.
+    */
+  def encodeGrayPng(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var j = 0
+    var idx = 0
+    while (j < height) {
+      var i = 0
+      while (i < width) {
+        raster.setSample(i, j, 0, gray(idx) & 0xff)
+        idx += 1
+        i += 1
+      }
+      j += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode — deterministic fake for the payloads this
+    * environment has NO codec for (audio/video). Image payloads never
+    * reach it ([[decodePartitions]] tries [[decodeImage]] first).
     */
   def fakeDecode(payload: Array[Byte]): MediaMeta = {
     val len = payload.length.toLong
@@ -57,15 +126,43 @@ object Multimodal {
       pmod(length(col("payload")), lit(480)).cast("int").as("height"),
       md5(col("payload")).as("checksum"))
 
-  /** The real-codec path: batched, partition-local decode with typed
-    * output — this is where an actual image library would run.
+  /** The typed decode path: batched, partition-local. Image payloads
+    * decode for REAL (ImageIO → true width/height + checksum); anything
+    * else falls back to the deterministic non-image stub. One codec
+    * registry lookup per row is what ImageIO costs; a heavier codec
+    * would init once per partition here.
     */
   def decodePartitions(media: Dataset[(Long, Array[Byte])]): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here
-      it.map { case (id, payload) => MediaRow(id, payload, fakeDecode(payload)) }
+      it.map { case (id, payload) =>
+        val meta = decodeImage(payload) match {
+          case Some(d) => MediaMeta(
+            byteLen = payload.length.toLong,
+            width = d.width,
+            height = d.height,
+            checksum = java.security.MessageDigest.getInstance("MD5")
+              .digest(payload).map("%02x".format(_)).mkString)
+          case None => fakeDecode(payload)
+        }
+        MediaRow(id, payload, meta)
+      }
     }
+  }
+
+  /** Real pixel extraction: decode every image payload and return
+    * `(id, width, height, px)` with the row-major grayscale plane as an
+    * array column — the hand-off point from codec land to declarative
+    * Column math ([[aHash60Of]] etc.). Non-image payloads are dropped
+    * (they have no pixels).
+    */
+  def decodeGray(media: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        decodeImage(payload).map(d => (id, d.width, d.height, d.gray))
+      }
+    }.toDF("id", "width", "height", "px")
   }
 
   /** 60 evenly-spaced "pixel" samples from the stub decode: byte k of 60

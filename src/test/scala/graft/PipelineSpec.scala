@@ -600,6 +600,42 @@ class PipelineSpec extends SparkSpec {
     assert(typed === declarative)
   }
 
+  test("multimodal: real PNG decode round-trips the pixel plane exactly") {
+    val px = Array.tabulate(64)(k => (k * 37 + 11) % 256)
+    val png = Multimodal.encodeGrayPng(8, 8, px)
+    // it really is a PNG container
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val dec = Multimodal.decodeImage(png).get
+    assert(dec.width === 8 && dec.height === 8)
+    assert(dec.gray.toSeq === px.toSeq, "PNG is lossless: decode(encode(px)) == px")
+    // non-image bytes are not an image
+    assert(Multimodal.decodeImage("plain text".getBytes("UTF-8")).isEmpty)
+    // decodePartitions reports REAL dimensions for image payloads
+    val media = Seq((1L, png)).toDS()
+    val meta = Multimodal.decodePartitions(media).collect().head.meta
+    assert(meta.width === 8 && meta.height === 8 && meta.byteLen === png.length)
+  }
+
+  test("multimodal: aHash over real decoded pixels has hamming locality") {
+    def hash(px: Array[Int]): Long = {
+      val png = Multimodal.encodeGrayPng(8, 8, px)
+      val media = Seq((1L, png)).toDS()
+      Multimodal.decodeGray(media)
+        .select(Multimodal.aHash60Of(slice(col("px"), 1, 60)))
+        .as[Long].collect().head
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // a half-dark half-bright plane: every pixel is far from the mean
+    val base = Array.tabulate(64)(k => if (k < 32) 40 else 220)
+    val h0 = hash(base)
+    // one flipped pixel must move few bits; an inverted plane moves many
+    val oneFlip = base.clone(); oneFlip(5) = 220
+    val inverted = base.map(256 - _)
+    assert(hash(base) === h0, "deterministic")
+    assert(hamming(h0, hash(oneFlip)) <= 2, "near-identical images hash near")
+    assert(hamming(h0, hash(inverted)) >= 30, "opposite images hash far")
+  }
+
   test("frame sampling: fixed windows, tail kept, empties dropped") {
     val media = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(
