@@ -41,17 +41,6 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(bucket(col(idCol), salt) < math.round(fraction * 10000))
 
-  /** Weighted mixture resampling — compose a training mix from per-source
-    * rates (the "epochs" column of published LM mixture tables): rate ≤ 1
-    * keeps a deterministic rate-fraction of the source; rate > 1 emits
-    * `floor(rate)` whole copies plus a deterministically-sampled
-    * fractional epoch. Copies carry a 0-based `epoch` column so a
-    * downstream shuffle can salt repeats apart. Per-row and
-    * embarrassingly parallel — a row's copy count depends only on
-    * (id, salt, its source's rate), so the mix is reproducible and
-    * stable under corpus growth; the threshold is integer basis points
-    * of the fractional part, IEEE-identical across engines.
-    */
   /** Temperature-weighted mixture resampling (the multilingual/UniMax
     * balancing rule): per-source sampling rates derive from the corpus
     * itself as `e_s = N·c_s^(1/T) / (Σ_u c_u^(1/T) · c_s)` — T=1
@@ -81,6 +70,17 @@ object Sampling {
     mixtureSample(df, sourceCol, idCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Weighted mixture resampling — compose a training mix from per-source
+    * rates (the "epochs" column of published LM mixture tables): rate ≤ 1
+    * keeps a deterministic rate-fraction of the source; rate > 1 emits
+    * `floor(rate)` whole copies plus a deterministically-sampled
+    * fractional epoch. Copies carry a 0-based `epoch` column so a
+    * downstream shuffle can salt repeats apart. Per-row and
+    * embarrassingly parallel — a row's copy count depends only on
+    * (id, salt, its source's rate), so the mix is reproducible and
+    * stable under corpus growth; the threshold is integer basis points
+    * of the fractional part, IEEE-identical across engines.
+    */
   def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: String = "mix"): DataFrame = {

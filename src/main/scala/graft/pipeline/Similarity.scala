@@ -184,8 +184,14 @@ object Similarity {
       if (((h >>> 4) & 1L) == 0L) 1L else -1L
     }
     val s = array(signs.map(lit): _*)
-    val vq = transform(col(vecCol),
+    // guard the declared dim against the data: element_at past the end
+    // yields nulls (non-ANSI) and the aggregate would silently emit
+    // null y rows — error per offending row instead
+    val vq0 = transform(col(vecCol),
       x => floor(x.cast("double") * 10000 + 0.5 + 1e-6).cast("long"))
+    val vq = when(size(col(vecCol)) >= dim, vq0).otherwise(raise_error(
+      concat(lit(s"randomProject: embedding has fewer than dim=$dim components: "),
+        size(col(vecCol)).cast("string"))))
     val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
         (acc, i) => acc + element_at(col("vq_"), i + 1) *

@@ -139,8 +139,14 @@ object Forecast {
         var sum = 0L
         paa.foreach(sum += _._2)
         val mu = math.floor(sum.toDouble / n).toLong
+        // checked arithmetic: |d| past ~3e9 on the 1e-4 grid (≈3e5 raw
+        // units) would silently wrap a Long d*d while the DuckDB oracle
+        // promotes to HUGEINT — fail loudly instead of diverging
         var vn = 0L
-        paa.foreach { p => val d = p._2 - mu; vn += d * d }
+        paa.foreach { p =>
+          val d = p._2 - mu
+          vn = Math.addExact(vn, Math.multiplyExact(d, d))
+        }
         val sig = math.sqrt(vn.toDouble / n)
         val lo = -0.6745 * sig
         val hi = 0.6745 * sig
@@ -180,8 +186,13 @@ object Forecast {
         var sum = 0L
         rows.foreach(sum += _._3)
         val mu = math.floor(sum.toDouble / n).toLong
+        // checked like the SAX path: overflow of the squared-deviation
+        // sum must error, not silently diverge from the HUGEINT oracle
         var vn = 0L
-        rows.foreach { r => val d = r._3 - mu; vn += d * d }
+        rows.foreach { r =>
+          val d = r._3 - mu
+          vn = Math.addExact(vn, Math.multiplyExact(d, d))
+        }
         val dev = math.sqrt(vn.toDouble / n)
         val kq = math.floor(dev / 2.0).toLong
         val hq = math.floor(dev * 5.0).toLong

@@ -64,7 +64,18 @@ object Planner {
       rollup1h: Option[DataFrame] = None,
       rollup1d: Option[DataFrame] = None,
       oooMarks: Option[DataFrame] = None,
-      collectSeriesKeys: Boolean = false)
+      collectSeriesKeys: Boolean = false,
+      // Exact pNN buffers every value of a downsample bucket
+      // (collect_list): fine when the bucket spans minutes-to-hours of
+      // one series, an executor-memory risk when it spans months —
+      // `0all-p99` over a year of raw dps holds the year in one group.
+      // Buckets whose TIME SPAN reaches this threshold (the `0all`
+      // bucket spans the whole query range) route pNN to Spark's
+      // mergeable percentile_approx sketch at `percentileSketchAccuracy`
+      // instead. Default = never: exact is the reference-bit-for-bit
+      // oracle semantics; deployments set e.g. 7 days.
+      percentileSketchBucketMs: Long = Long.MaxValue,
+      percentileSketchAccuracy: Int = 10000)
 
   /** Plan one sub-query against a dp DataFrame. */
   def planSub(
@@ -126,10 +137,19 @@ object Planner {
       val bucket =
         if (ds.isAll) lit(q.startMs)
         else col("ts") - pmod(col("ts"), lit(ds.intervalMs))
+      // big-bucket pNN routes to the sketch (see Options doc): the
+      // bucket's time span is the statically-plannable proxy for its
+      // row count at any fixed ingest cadence
+      val bucketSpanMs = if (ds.isAll) q.endMs - q.startMs else ds.intervalMs
+      val dsAcc =
+        if (bucketSpanMs >= opt.percentileSketchBucketMs)
+          Some(opt.percentileSketchAccuracy)
+        else None
       df = df
         .withColumn("bucket", bucket)
         .groupBy(col("skey"), col("bucket"))
-        .agg(GraftFunctions.aggFor(ds.func, col("value"), col("ts")).as("value"))
+        .agg(GraftFunctions.aggFor(ds.func, col("value"), col("ts"), dsAcc)
+          .as("value"))
         .withColumnRenamed("bucket", "ts")
 
       // ---- 5. gap fill on the bucket spine [stepUp(start), lastBucket]

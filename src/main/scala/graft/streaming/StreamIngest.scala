@@ -120,9 +120,14 @@ object StreamIngest {
     * a live monitor scores incoming points against a trained (μ, σ) —
     * the batch [[graft.query.Forecast.cusum]] derives them corpus-side —
     * with the IDENTICAL integer recurrence on the 1e-4 grid
-    * (`S = max(0, S + y_q − μ_q − κ_q)`, κ = σ/2, alarm at 5σ), so a
+    * (`S = max(0, S + y_q − μ_q − κ_q)`, κ = σ/2, alarm at 5σ). For
+    * IN-ORDER arrival (per-series monotone ts across batches) a
     * replayed stream walks the same states as the batch walk no matter
-    * where micro-batch boundaries fall. State per series is one long —
+    * where micro-batch boundaries fall — rows are ts-sorted within each
+    * batch, but a LATE row whose ts precedes an already-processed batch
+    * is folded in arrival order and breaks parity with the batch walk
+    * (CUSUM state is order-dependent; buffering for reorder would cost
+    * O(lateness) state per series). State per series is one long —
     * O(#series). Emits (key, ts, score) rows only while S is above the
     * threshold. Input: a (key, ts, value) frame.
     */

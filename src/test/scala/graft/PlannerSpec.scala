@@ -218,6 +218,35 @@ class PlannerSpec extends SparkSpec {
     }
   }
 
+  test("big-bucket pNN routes to the sketch at the threshold, tracks exact") {
+    // 0all's single bucket spans the whole 4h query range: a threshold
+    // above that keeps the exact R-6 path, one at/below it flips the
+    // PLAN to the mergeable percentile_approx sketch
+    def plan(opt: Planner.Options) = Planner.planSub(
+      dpDf, TsQuery(0, 4 * H), SubQuery("m", "none", Some("0all-p50")), opt)
+    val exactPlan = plan(Planner.Options())
+    val sketchPlan = plan(Planner.Options(percentileSketchBucketMs = 4 * H))
+    assert(!exactPlan.queryExecution.executedPlan.toString
+      .contains("percentile_approx"), "default stays exact")
+    assert(sketchPlan.queryExecution.executedPlan.toString
+      .contains("percentile_approx"), "threshold flips the plan")
+    // a small REGULAR bucket stays exact even with the threshold set
+    val smallBucket = Planner.planSub(
+      dpDf, TsQuery(0, 4 * H), SubQuery("m", "none", Some("1h-p50")),
+      Planner.Options(percentileSketchBucketMs = 4 * H))
+    assert(!smallBucket.queryExecution.executedPlan.toString
+      .contains("percentile_approx"), "1h bucket < threshold stays exact")
+    // and the sketch tracks the exact values on the fixture: the sketch
+    // returns an actual sample while R-6 interpolates BETWEEN samples,
+    // so the bound is one inter-sample gap (h2's values step by 10)
+    val e = exactPlan.select("skey", "value").as[(String, Double)].collect().toMap
+    val a = sketchPlan.select("skey", "value").as[(String, Double)].collect().toMap
+    assert(e.keySet === a.keySet)
+    e.foreach { case (k, v) =>
+      assert(math.abs(v - a(k)) <= 10.0, s"$k exact=$v sketch=${a(k)}")
+    }
+  }
+
   test("rollup path ≡ raw path for avg/sum/min/max/count (no OOO)") {
     val raw = dpDf
     val r1h = Rollup.rollup1h(raw)
