@@ -58,6 +58,8 @@ object SparkEntry {
     * on boundary doubles).
     */
   private def sround(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6) / 10000.0
+  private def sroundSql(e: String): String =
+    s"floor(($e) * 10000 + 0.5 + 1e-6) / 10000.0"
 
   private def out(df: DataFrame): DataFrame = {
     val o = df.select(col("skey"), expr("ts div 1000").as("ts"),
@@ -875,6 +877,133 @@ object SparkEntry {
             (sum(floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
               / 10000.0).as("vsum"))
           .orderBy("metric", "bucket")
+      },
+
+      // BEYOND-REFERENCE robust anomaly detection: per-series median/MAD
+      // (median absolute deviation) outlier flagging — the robust global
+      // sibling of q_anomaly's rolling z-score (one extreme point can't
+      // drag its own threshold the way it drags a mean/σ). Values
+      // quantize to the 1e-4 integer grid first; both medians are
+      // linear-interpolated quantiles over integers (results are exact
+      // halves/quarters in IEEE, identical cross-engine), and the robust
+      // z is one fixed-shape scalar expression. Shape at scale: two hash
+      // aggregations over the deduped frame (per-series state = that
+      // series' values, the same bounded-group contract as exact pNN —
+      // the percentile sketch route exists for unbounded groups) and two
+      // broadcast joins back; the deduped+quantized frame is persisted
+      // because three passes read it.
+      "q_mad" -> { (s, dir) =>
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+          .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val med = d.groupBy("skey")
+          .agg(percentile(col("q"), lit(0.5)).as("med"))
+        val dev = d.join(broadcast(med), "skey")
+          .withColumn("ad", abs(col("q").cast("double") - col("med")))
+        val mad = dev.groupBy("skey")
+          .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+        dev.join(broadcast(mad), "skey")
+          .filter(col("mad") > 0)
+          .withColumn("rz", col("ad") / (lit(1.4826) * col("mad")))
+          .filter(col("rz") > 3.0)
+          .select(col("skey"), col("ts"), sround(col("rz")).as("rz"))
+          .orderBy("skey", "ts")
+      },
+
+      // BEYOND-REFERENCE autocorrelation profile: per series, the
+      // lag-1..4 Pearson autocorrelation of 6h-bucketed value sums — the
+      // seasonality probe that picks Holt-Winters' period. Bucket values
+      // are integer-grid sums collapsed to a 1e-2 grid (`div 100` —
+      // truncation and floor agree on the all-positive values, and the
+      // coarser grid keeps every moment term inside int64 at 100× the
+      // gate's data), lagged pairs join on the shifted bucket within the
+      // series (gaps pair only with real buckets — both engines see the
+      // same pair set), and r_k comes from five exact integer sums in
+      // one fixed-shape IEEE expression. Shape at scale: one bucket
+      // aggregation, a 4-way lag explode of the BUCKETED frame (not the
+      // raw one), one self-join on (skey, bucket), one hash aggregate.
+      "q_acf" -> { (s, dir) =>
+        val b = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+          .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+          .groupBy(col("skey"),
+            (col("ts") - pmod(col("ts"), lit(SIXH))).as("bucket"))
+          .agg(sum(col("q")).as("sq_"))
+          .select(col("skey"), col("bucket"), expr("sq_ div 100").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lagged = b
+          .select(col("skey"), col("bucket"), col("b").as("bx"),
+            explode(array((1 to 4).map(lit(_)): _*)).as("k"))
+          .select(col("skey"), col("k"),
+            (col("bucket") + col("k") * SIXH).as("bucket"), col("bx"))
+        lagged.join(b.withColumnRenamed("b", "by"), Seq("skey", "bucket"))
+          .groupBy(col("skey"), col("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bx")).as("sx"), sum(col("by")).as("sy"),
+            sum(col("bx") * col("by")).as("sxy"),
+            sum(col("bx") * col("bx")).as("sxx"),
+            sum(col("by") * col("by")).as("syy"))
+          .withColumn("vx", (col("n") * col("sxx") - col("sx") * col("sx")))
+          .withColumn("vy", (col("n") * col("syy") - col("sy") * col("sy")))
+          .filter(col("n") >= 8 && col("vx") > 0 && col("vy") > 0)
+          .withColumn("r",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt(col("vx").cast("double") * col("vy").cast("double")))
+          .select(col("skey"), col("k"), col("n"), sround(col("r")).as("r"))
+          .orderBy("skey", "k")
+      },
+
+      // BEYOND-REFERENCE linear-interpolation gap fill ("lerp" — the
+      // fill policy OpenTSDB 2.x adds and the reference does not ship;
+      // down.cpp:248-311 stops at zero/null/nan): the 1h-avg downsample
+      // of the sparse 'view' series on the full bucket spine, missing
+      // buckets interpolated between the nearest real neighbors. Real
+      // buckets round to the 1e-4 grid BEFORE interpolating, so the lerp
+      // inputs — and its one fixed-shape expression over (v0, v1, t, t0,
+      // t1) — cross the engine boundary exactly. Edge gaps with no
+      // neighbor on one side stay unfillable and drop. Shape at scale:
+      // one bucket aggregation, a spine explode per series, ONE window
+      // pass computing both directed neighbors (all four IGNORE-NULLS
+      // window functions share the (skey, bucket) sort).
+      "q_fill_linear" -> { (s, dir) =>
+        val HOUR = 3600000L
+        val d = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+          .groupBy(col("skey"),
+            (col("ts") - pmod(col("ts"), lit(HOUR))).as("bucket"))
+          .agg(sround(avg(col("value"))).as("v"))
+        val spine = d.select("skey").distinct()
+          .withColumn("bucket",
+            explode(sequence(lit(T0), lit(T1), lit(HOUR))))
+        val w = Window.partitionBy(col("skey")).orderBy(col("bucket"))
+        val before = w.rowsBetween(Window.unboundedPreceding, -1)
+        val after = w.rowsBetween(1, Window.unboundedFollowing)
+        spine.join(d, Seq("skey", "bucket"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(before))
+          .withColumn("pt", last(when(col("v").isNotNull, col("bucket")),
+            ignoreNulls = true).over(before))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(after))
+          .withColumn("nt", first(when(col("v").isNotNull, col("bucket")),
+            ignoreNulls = true).over(after))
+          .withColumn("value",
+            when(col("v").isNotNull, col("v"))
+              .otherwise(col("pv") + (col("nv") - col("pv"))
+                * (col("bucket") - col("pt")).cast("double")
+                / (col("nt") - col("pt")).cast("double")))
+          .filter(col("value").isNotNull)
+          .select(col("skey"), expr("bucket div 1000").as("ts"),
+            col("v").isNotNull.as("is_real"), sround(col("value")).as("value"))
+          .orderBy("skey", "ts")
       },
 
       // §2.10 replication checkpoints (`_cp` bookkeeping,
@@ -1771,6 +1900,110 @@ object SparkEntry {
           |         sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)) / 10000.0 AS vsum
           |  FROM events GROUP BY 1, 2)
           |ORDER BY metric, bucket""".stripMargin,
+
+      // MAD oracle: same dedup + quantization; quantile_cont mirrors
+      // Spark's interpolating `percentile` exactly on the integer grid
+      "q_mad" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |qz AS (
+           |  SELECT skey, ts,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q
+           |  FROM dedup),
+           |med AS (SELECT skey, quantile_cont(q, 0.5) AS med FROM qz GROUP BY skey),
+           |dev AS (
+           |  SELECT qz.skey, ts, abs(CAST(q AS DOUBLE) - med) AS ad
+           |  FROM qz JOIN med ON qz.skey = med.skey),
+           |mad AS (SELECT skey, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY skey)
+           |SELECT d.skey, d.ts,
+           |       ${sroundSql("d.ad / (1.4826 * m.mad)")} AS rz
+           |FROM dev d JOIN mad m ON d.skey = m.skey
+           |WHERE m.mad > 0 AND d.ad / (1.4826 * m.mad) > 3.0
+           |ORDER BY d.skey, d.ts""".stripMargin),
+
+      // ACF oracle: the same integer bucket sums (HUGEINT→BIGINT casts),
+      // the same 1e-2 collapse, lag pairs via a shifted self-join, and
+      // the identical five-sum Pearson expression
+      "q_acf" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT skey, ts - ts % $SIXH AS bucket,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup GROUP BY skey, ts - ts % $SIXH),
+           |pr AS (
+           |  SELECT x.skey, kk.k, x.b AS bx, y.b AS byy
+           |  FROM bk x
+           |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS kk(k)
+           |  JOIN bk y ON y.skey = x.skey AND y.bucket = x.bucket + kk.k * $SIXH),
+           |ag AS (
+           |  SELECT skey, k, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(bx) AS BIGINT) AS sx,
+           |         CAST(sum(byy) AS BIGINT) AS sy,
+           |         CAST(sum(bx * byy) AS BIGINT) AS sxy,
+           |         CAST(sum(bx * bx) AS BIGINT) AS sxx,
+           |         CAST(sum(byy * byy) AS BIGINT) AS syy
+           |  FROM pr GROUP BY skey, k),
+           |v AS (
+           |  SELECT skey, k, n, sxy, sx, sy,
+           |         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+           |  FROM ag)
+           |SELECT skey, k, n,
+           |       ${sroundSql(
+                      "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                      "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS r
+           |FROM v WHERE n >= 8 AND vx > 0 AND vy > 0
+           |ORDER BY skey, k""".stripMargin),
+
+      // linear-fill oracle: identical bucket rounding, the same directed
+      // IGNORE-NULLS neighbor windows, the same single lerp expression
+      "q_fill_linear" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT skey, ts - ts % 3600000 AS bucket,
+           |         floor(avg(value) * 10000 + 0.5 + 1e-6) / 10000.0 AS v
+           |  FROM dedup GROUP BY skey, ts - ts % 3600000),
+           |spine AS (
+           |  SELECT skey, unnest(range($T0, ${T1 + 1}, 3600000)) AS bucket
+           |  FROM (SELECT DISTINCT skey FROM bk)),
+           |j AS (
+           |  SELECT s.skey, s.bucket, bk.v
+           |  FROM spine s LEFT JOIN bk ON bk.skey = s.skey AND bk.bucket = s.bucket),
+           |wnd AS (
+           |  SELECT skey, bucket, v,
+           |    last_value(v IGNORE NULLS) OVER wb AS pv,
+           |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           |      OVER wb AS pt,
+           |    first_value(v IGNORE NULLS) OVER wa AS nv,
+           |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+           |      OVER wa AS nt
+           |  FROM j
+           |  WINDOW
+           |    wb AS (PARTITION BY skey ORDER BY bucket
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |    wa AS (PARTITION BY skey ORDER BY bucket
+           |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+           |f AS (
+           |  SELECT skey, bucket, v,
+           |    CASE WHEN v IS NOT NULL THEN v
+           |         ELSE pv + (nv - pv) * CAST(bucket - pt AS DOUBLE)
+           |                             / CAST(nt - pt AS DOUBLE) END AS value
+           |  FROM wnd)
+           |SELECT skey, bucket // 1000 AS ts, (v IS NOT NULL) AS is_real,
+           |       ${sroundSql("value")} AS value
+           |FROM f WHERE value IS NOT NULL
+           |ORDER BY skey, ts""".stripMargin),
 
       // last-wins per (leader, channel) over the well-formed checkpoint
       // stream — seq order is application order, so arg_max by seq
