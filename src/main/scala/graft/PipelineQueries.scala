@@ -455,6 +455,18 @@ object PipelineQueries {
         .orderBy("token")
     },
 
+    // context-length profile per source from the mergeable grid-quantile
+    // sketch: p50/p90/p99 of per-doc token counts with ≤ cell−1 error —
+    // the bounded-memory percentile contract (exact pNN buffers every
+    // value; this holds O(range/cell) cells per source at any corpus
+    // size, mergeable by addition)
+    "pl_len_quantiles" -> { (s, dir) =>
+      val tc = TextAnalysis.withTokens(docs(s, dir))
+        .select(col("source"), size(col("w_")).cast("long").as("ntok"))
+      Sketches.gridQuantiles(tc, "ntok", "source", cell = 16)
+        .orderBy("source", "p")
+    },
+
     "pl_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
@@ -548,6 +560,35 @@ object PipelineQueries {
       Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("nid"), sround(col("adc")).as("adc"))
         .orderBy("qid", "nid")
+    },
+
+    // ANN + exact re-rank (the FAISS refine composite): IVF-PQ proposes
+    // 20 candidates per query from the codes index, only those 20 fetch
+    // full vectors for an exact cosine top-5 — approximate recall cost,
+    // exact final ordering, |cand| vector reads instead of the corpus
+    "pl_knn_rerank" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+      val cand = Similarity.ivfPqKnn(e, qs, k = 20)
+      Similarity.rerankCosine(cand, e, qs, k = 5)
+        .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // ANN quality harness: recall@5 of the IVF probe path against the
+    // brute-force exact top-5 — the measure-don't-guess gate that prices
+    // what the probe bound costs in recall; integer hits, exact ratio
+    "pl_ann_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteKnn(e, qs, k = 5).select(col("qid"), col("nid"))
+      val approx = Similarity.ivfKnn(e, qs, k = 5)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      brute.join(approx, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall", col("n_hit") / 5.0)
+        .orderBy("qid")
     },
 
     // embedding preprocessing: L2 norm + unit vector + symmetric int8
@@ -1855,7 +1896,9 @@ ORDER BY qid, nid"""
     // the residual-PQ chain (same generators over `res`) -> probe the
     // nprobe nearest coarse lists per query -> ADC restricted to probed
     // lists, with the gate's fixed left-to-right subspace association
-    val ivfPqSql = {
+    // IVF-PQ candidate chain (shared by pl_knn_ivfpq and the re-rank
+    // gate): WITH ... r AS (ranked residual-ADC candidates)
+    val ivfPqChain = {
       val probe =
         s""",
 res AS MATERIALIZED (
@@ -1909,10 +1952,69 @@ adc AS (
 r AS (
   SELECT qid, nid, adc,
          row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid) AS rk
-  FROM adc)
+  FROM adc)"""
+    }
+
+    val ivfPqSql = ivfPqChain + s"""
 SELECT qid, nid, ${sroundSql("adc")} AS adc FROM r WHERE rk <= 5
 ORDER BY qid, nid"""
-    }
+
+    // re-rank oracle: the same candidate chain capped at 20, then exact
+    // cosine from the raw vectors and a fresh top-5 (raw-cos ordering,
+    // nid tiebreak — the pl_knn convention)
+    val knnRerank = ivfPqChain + s"""
+, rr AS (
+  SELECT r.qid, r.nid,
+         ${cosOf("q.v", "n.v")} AS cos
+  FROM r JOIN e q ON q.id = r.qid JOIN e n ON n.id = r.nid
+  WHERE r.rk <= 20),
+rr2 AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk2
+  FROM rr)
+SELECT qid, nid, ${sroundSql("cos")} AS cos FROM rr2 WHERE rk2 <= 5
+ORDER BY qid, nid"""
+
+    // recall@5 oracle: brute top-5 and the IVF probe top-5 replayed side
+    // by side, hits counted per query — all-integer until the final /5.0
+    val annRecall =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |bs AS (
+         |  SELECT qid, vec_id AS nid, ${cosOf("qv", "v")} AS cos
+         |  FROM q JOIN e ON qid != vec_id),
+         |br AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM bs),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 16 = 0),
+         |asg AS (
+         |  SELECT nid, nv, cid FROM (
+         |    SELECT a.vec_id AS nid, a.v AS nv, c.cid,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${cosOf("a.v", "c.cv")} DESC, c.cid) AS rk
+         |    FROM e a, cent c) WHERE rk = 1),
+         |probe AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.qid, q.qv, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${cosOf("q.qv", "c.cv")} DESC, c.cid) AS rk
+         |    FROM q, cent c) WHERE rk <= 3),
+         |ivs AS (
+         |  SELECT qid, nid, ${cosOf("qv", "nv")} AS cos
+         |  FROM probe JOIN asg USING (cid) WHERE qid != nid),
+         |ivr AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+         |  FROM ivs)
+         |SELECT b.qid, CAST(count(i.nid) AS BIGINT) AS n_hit,
+         |       count(i.nid) / 5.0 AS recall
+         |FROM br b LEFT JOIN (SELECT qid, nid FROM ivr WHERE rk <= 5) i
+         |  ON i.qid = b.qid AND i.nid = b.nid
+         |WHERE b.rk <= 5
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin
 
     // SemDeDup oracle: the pl_kmeans replay, then pairs restricted to a
     // shared cluster, then the same recursive-reachability labeling as
@@ -2435,6 +2537,29 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(est AS BIGINT) AS est
          |FROM est ORDER BY token""".stripMargin
 
+    // grid-quantile sketch oracle: identical integer bucketing, cumsum
+    // walk, and ceil-division thresholds — every step is integer-exact
+    val lenQuantiles =
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, ntok // 16 AS bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM t GROUP BY source, ntok // 16),
+        |cu AS (
+        |  SELECT source, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM b),
+        |e AS (
+        |  SELECT source, bucket, cum, n, kk.p
+        |  FROM cu CROSS JOIN (VALUES (50), (90), (99)) AS kk(p)
+        |  WHERE cum >= (n * p + 99) // 100)
+        |SELECT source, p, min(bucket) AS bucket,
+        |       (min(bucket) + 1) * 16 - 1 AS est, max(n) AS n
+        |FROM e GROUP BY source, p ORDER BY source, p""".stripMargin
+
     // HLL oracle: identical registers (low 8 hash bits → bucket, rho via
     // exact integer bit-length), integer harmonic sum with absent
     // registers as 2^53 each, then the same fixed-shape double formula
@@ -2501,6 +2626,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_decontam_bloom" -> decontamBloom,
       "pl_hll_distinct" -> hllDistinct,
       "pl_cms_topk" -> cmsTopk,
+      "pl_len_quantiles" -> lenQuantiles,
       "pl_bm25" -> bm25,
       "pl_source_terms" -> sourceTerms,
       "pl_winnow" -> winnow,
@@ -2559,6 +2685,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_pq_encode" -> pqEncodeSql,
       "pl_knn_pq" -> pqKnnSql,
       "pl_knn_ivfpq" -> ivfPqSql,
+      "pl_knn_rerank" -> knnRerank,
+      "pl_ann_recall" -> annRecall,
       "pl_semdedup" -> semDedup,
       "pl_span_dedup" -> spanDedup,
       "pl_neardup_cos" -> nearDup,

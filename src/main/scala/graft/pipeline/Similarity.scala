@@ -605,6 +605,33 @@ object Similarity {
     out
   }
 
+  /** Exact re-rank of an ANN candidate list (the FAISS "refine" stage):
+    * the approximate index proposes `(qid, nid)` candidates, and only
+    * those pairs fetch their full vectors for an exact cosine, keeping
+    * the final top-`k` exact over the candidate set. This is the
+    * standard recall-restoring composite at billion scale — the codes
+    * index bounds the scan, and the exact pass touches `|cand|` vectors
+    * instead of the corpus. Shape: two shuffle joins keyed by id (the
+    * candidate frame is tiny relative to the corpus, so AQE broadcasts
+    * it against the big vector table), one per-query window.
+    * Output: (qid, nid, cos) — exact cosine, the candidate's rank ≤ k.
+    */
+  def rerankCosine(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "nid", "nv", "nn")
+    val q = prep(queries, idCol, vecCol, "qid", "qv", "qn")
+    val scored = cand.select(col("qid"), col("nid"))
+      .join(c, Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", pairCos("qv", "qn", "nv", "nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023 shape):
     * k-means the corpus ([[kmeans]]), then compute cosine pairs ONLY
     * within each cluster. The pairwise work drops from the corpus-global

@@ -94,6 +94,50 @@ object Sketches {
       .select(col("grp").as(groupCol), col("est"))
   }
 
+  /** Fixed-grid (equi-width histogram) quantile sketch per group: values
+    * floor-divide into `cell`-wide buckets, the sketch is the (group,
+    * bucket, count) relation — one map-side-combined aggregation,
+    * mergeable across partitions/days/streams by cell-wise addition, and
+    * O(range/cell) rows per group no matter how many values feed it.
+    * Quantile read-out walks the cumulative counts: the answer for
+    * percentile `p` is the first bucket whose cumulative count reaches
+    * `ceil(n·p/100)`, reported as the bucket's inclusive upper edge —
+    * a one-sided error of at most `cell − 1` in value space.
+    *
+    * This is the 100 TB alternative to exact percentiles (which buffer
+    * every group value — the `Planner.Options.percentileSketchBucketMs`
+    * concern): the sketch never holds more than the grid. Everything is
+    * integer arithmetic — thresholds via ceil-division `(n·p + 99) div
+    * 100` — so any engine replays the exact same buckets and edges.
+    *
+    * Returns `(groupCol, p, bucket, est, n)`: percentile, winning
+    * bucket, its upper-edge estimate `((bucket+1)·cell − 1)`, and the
+    * group's total count.
+    */
+  def gridQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      cell: Long = 16, percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(cell > 0, "cell > 0")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST($valueCol AS BIGINT) div $cell").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .select(col("grp"), col("bucket"), col("cum"), col("n"),
+        explode(array(percents.map(lit(_)): _*)).as("p"))
+      .filter(col("cum") >= expr("(n * p + 99) div 100"))
+      .groupBy(col("grp").as(groupCol), col("p"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .withColumn("est", (col("bucket") + 1) * cell - 1)
+      .select(col(groupCol), col("p"), col("bucket"), col("est"), col("n"))
+  }
+
   /** Heavy hitters with their CMS estimates: the true top-`k` tokens by
     * exact count, each annotated with the sketch's point estimate
     * (min over the depth rows of the addressed cells). The estimate
