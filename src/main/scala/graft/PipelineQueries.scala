@@ -312,6 +312,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // trigram Stupid Backoff scoring (Brants 2007): eval-half docs
+    // scored against train-half counts, so unseen trigrams actually
+    // back off; per-doc NLL + how many positions backed off
+    "pl_sbo_nll" -> { (s, dir) =>
+      TextAnalysis.sboNll(docs(s, dir))
+        .select(col("doc_id"), sround(col("nll")).as("nll"), col("n_backoff"))
+        .orderBy("doc_id")
+    },
+
     // deterministic salted-hash train/val/test assignment — reproducible
     // across engines/runs and stable under corpus growth
     "pl_split" -> { (s, dir) =>
@@ -471,6 +480,40 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy("id1", "id2")
+    },
+
+    // URL-canonicalization dedup: the crawl-side first-stage dedup that
+    // collapses scheme/case/www/trailing-slash/tracking-param variants
+    // of one page before any content hashing. The corpus has no URL
+    // column, so a deterministic per-doc URL exercising every
+    // canonicalization rule is synthesized in-plan (the pl_redact
+    // marker convention); docs without a URL key to themselves. One
+    // canonical-key groupBy + a join back — both shuffles on the canon
+    // key, per-row regex work is codegen'd.
+    "pl_dedup_url" -> { (s, dir) =>
+      val id = col("doc_id")
+      val m = pmod(id, lit(40)).cast("string")
+      val host = when(pmod(id, lit(3)) === 0, lit("WWW.Example.com"))
+        .when(pmod(id, lit(3)) === 1, lit("example.com"))
+        .otherwise(lit("www.example.COM"))
+      val url = when(pmod(id, lit(10)) === 9, lit(""))
+        .otherwise(concat(
+          lit("https://"), host, lit("/p/"), m,
+          when(pmod(id, lit(4)) === 0, lit("/")).otherwise(lit("")),
+          lit("?id="), m,
+          lit("&utm_campaign=c"), id.cast("string"),
+          when(pmod(id, lit(6)) === 0,
+            concat(lit("&gclid=g"), id.cast("string"))).otherwise(lit("")),
+          when(pmod(id, lit(5)) === 0,
+            concat(lit("#sec"), id.cast("string"))).otherwise(lit(""))))
+      val c = docs(s, dir).select(id, url.as("url"))
+        .withColumn("canon",
+          when(col("url") === "", concat(lit("~"), id.cast("string")))
+            .otherwise(TextAnalysis.canonicalUrl(col("url"))))
+      val keep = c.groupBy("canon").agg(min(id).as("keeper"))
+      c.join(keep, Seq("canon"))
+        .select(id, col("canon"), (id === col("keeper")).as("keep"))
+        .orderBy("doc_id")
     },
 
     // ---- similarity search ----------------------------------------------
@@ -1444,6 +1487,103 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM bg JOIN c2 USING (g)
          |JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1, v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    // Stupid Backoff oracle: identical train/eval split, positional gram
+    // relations, and the same three-level CASE (doubles via explicit
+    // casts and e-notation constants — the BM25 DECIMAL-literal lesson;
+    // 4e-1 * 4e-1 replays Spark's alpha² double product exactly)
+    val sboNll =
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tr AS (SELECT doc_id, w FROM tok WHERE doc_id % 2 = 0),
+         |ev AS (SELECT doc_id, w FROM tok WHERE doc_id % 2 = 1),
+         |tg AS (
+         |  SELECT doc_id, w[p] AS w1, w[p+1] AS w2, w[p+2] AS w3
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+         |        FROM tr WHERE len(w) >= 3)),
+         |bgr AS (
+         |  SELECT w[p] AS w1, w[p+1] AS w2
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS p
+         |        FROM tr WHERE len(w) >= 2)),
+         |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bgr GROUP BY w1, w2),
+         |c1 AS (SELECT t, count(*) AS c1
+         |       FROM (SELECT unnest(w) AS t FROM tr) GROUP BY t),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_,
+         |              CAST(count(DISTINCT t) AS BIGINT) AS v_
+         |       FROM (SELECT unnest(w) AS t FROM tr)),
+         |pe AS (
+         |  SELECT doc_id, w[p] AS w1, w[p+1] AS w2, w[p+2] AS w3
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+         |        FROM ev WHERE len(w) >= 3)),
+         |sc AS (
+         |  SELECT pe.doc_id,
+         |    CASE WHEN c3.c3 IS NOT NULL
+         |           THEN CAST(c3.c3 AS DOUBLE) / cb12.cb
+         |         WHEN cb23.cb IS NOT NULL
+         |           THEN 4e-1 * cb23.cb / cu2.c1
+         |         ELSE (4e-1 * 4e-1) * (coalesce(cu3.c1, 0) + 1e-1)
+         |              / (nv.n_ + 1e-1 * nv.v_) END AS score,
+         |    CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS bo
+         |  FROM pe
+         |  LEFT JOIN c3 ON c3.w1 = pe.w1 AND c3.w2 = pe.w2 AND c3.w3 = pe.w3
+         |  LEFT JOIN cb cb12 ON cb12.w1 = pe.w1 AND cb12.w2 = pe.w2
+         |  LEFT JOIN cb cb23 ON cb23.w1 = pe.w2 AND cb23.w2 = pe.w3
+         |  LEFT JOIN c1 cu2 ON cu2.t = pe.w2
+         |  LEFT JOIN c1 cu3 ON cu3.t = pe.w3, nv)
+         |SELECT doc_id, ${sroundSql("-avg(ln(score))")} AS nll,
+         |       CAST(sum(bo) AS BIGINT) AS n_backoff
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    // URL-dedup oracle: the same synthetic URL construction and the
+    // same canonicalization steps, spelled as chained CTEs
+    val dedupUrl =
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 9 THEN '' ELSE
+         |      'https://' ||
+         |      (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.com'
+         |            WHEN doc_id % 3 = 1 THEN 'example.com'
+         |            ELSE 'www.example.COM' END) ||
+         |      '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+         |      (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+         |      '?id=' || CAST(doc_id % 40 AS VARCHAR) ||
+         |      '&utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+         |      (CASE WHEN doc_id % 6 = 0
+         |            THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+         |      (CASE WHEN doc_id % 5 = 0
+         |            THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         |    END AS url
+         |  FROM documents),
+         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u0
+         |       FROM d WHERE url != ''),
+         |c1 AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(regexp_extract(u0, '^[a-zA-Z]+://([^/?#]+)', 1)),
+         |                   '^www\\.', '') AS host,
+         |    regexp_replace(u0, '^[a-zA-Z]+://[^/?#]+', '') AS rest
+         |  FROM c0),
+         |c2 AS (
+         |  SELECT doc_id, host,
+         |    regexp_replace(split_part(rest, '?', 1), '/+$$', '') AS path,
+         |    regexp_extract(rest, '\\?(.*)$$', 1) AS q
+         |  FROM c1),
+         |c3 AS (
+         |  SELECT doc_id,
+         |    host || path || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS canon
+         |  FROM (
+         |    SELECT doc_id, host, path,
+         |      array_to_string(list_filter(string_split(q, '&'),
+         |        p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+         |                  OR starts_with(p, 'gclid='))), '&') AS kq
+         |    FROM c2)),
+         |cc AS (
+         |  SELECT doc_id, canon FROM c3
+         |  UNION ALL
+         |  SELECT doc_id, '~' || CAST(doc_id AS VARCHAR) FROM d WHERE url = ''),
+         |k AS (SELECT canon, min(doc_id) AS keeper FROM cc GROUP BY canon)
+         |SELECT cc.doc_id, cc.canon, cc.doc_id = k.keeper AS keep
+         |FROM cc JOIN k ON cc.canon = k.canon
+         |ORDER BY cc.doc_id""".stripMargin
 
     val redact =
       s"""SELECT doc_id,
@@ -2665,6 +2805,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_collapse" -> collapse,
       "pl_unigram_nll" -> unigramNll,
       "pl_bigram_nll" -> bigramNll,
+      "pl_sbo_nll" -> sboNll,
+      "pl_dedup_url" -> dedupUrl,
       "pl_split" -> split,
       "pl_sample" -> sample,
       "pl_mixture" -> mixture,

@@ -509,6 +509,94 @@ object TextAnalysis {
       regexp_extract_all(text, lit("https?://([^/\\s]+)"), lit(1)),
       h => regexp_replace(lower(h), "^www\\.", ""))
 
+  /** Canonical form of a URL for dedup keys: fragment dropped, host
+    * lowercased with one leading `www.` stripped, scheme dropped, the
+    * path's trailing slashes trimmed, and tracking query parameters
+    * (`utm_*`, `fbclid`, `gclid`) removed with the remaining parameters
+    * kept in their original order. Pure per-row Column work (codegen'd,
+    * no UDF); every regex is lookaround-free so Java regex (Spark) and
+    * RE2 (DuckDB) agree. The path's case is preserved — RFC 3986 makes
+    * only scheme+host case-insensitive.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u0 = regexp_replace(url, "#.*", "")
+    val host = regexp_replace(
+      lower(regexp_extract(u0, "^[a-zA-Z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val rest = regexp_replace(u0, "^[a-zA-Z]+://[^/?#]+", "")
+    val path = regexp_replace(substring_index(rest, "?", 1), "/+$", "")
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(
+      filter(split(q, "&"), p =>
+        !(p.startsWith("utm_") || p.startsWith("fbclid=")
+          || p.startsWith("gclid="))),
+      "&")
+    concat(host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Per-document trigram NLL under a Stupid Backoff LM (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * web-scale scoring recipe: no normalization, a fixed 0.4 backoff
+    * multiplier per level, counts straight from the corpus). Counts come
+    * from the TRAIN half (`idCol % 2 = 0`), scoring runs on the EVAL
+    * half — that split is what makes backoff fire (a corpus scored
+    * against its own counts never sees an unseen trigram).
+    *
+    *   S(w₃|w₁w₂) = c₃/c₂(w₁w₂)            if the trigram is in train
+    *              = 0.4·c₂(w₂w₃)/c₁(w₂)     else if the bigram is
+    *              = 0.4²·(c₁(w₃)+0.1)/(N+0.1V)  else (smoothed unigram)
+    *
+    * Shape at scale: the count relations are shuffled gram-keyed
+    * aggregates (vocabulary-sized, map-side-combined; never collected),
+    * the probe is the eval trigram relation joined against them — the
+    * [[bigramNll]] contract with one more level. N and V ride in one
+    * broadcast scalar frame.
+    */
+  def sboNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4): DataFrame = {
+    // positional (w1..wn) gram relation from a pre-tokenized frame;
+    // size-guard BEFORE the explode (Spark's sequence() runs DESCENDING
+    // when end < start — a too-short doc would emit phantom positions)
+    def grams(tok: DataFrame, n: Int): DataFrame = {
+      val w = col("w_")
+      val cols = (0 until n).map(j => element_at(w, col("p") + j).as(s"w${j + 1}"))
+      tok.where(size(w) >= n)
+        .select(col(idCol), w,
+          explode(sequence(lit(1), size(w) - (n - 1))).as("p"))
+        .select(col(idCol) +: cols: _*)
+    }
+    // the train token frame feeds FOUR branches (tri/bi/unigram counts,
+    // N·V scalars) — cached or the tokenize pass runs four times
+    // (the bigramNll lesson; session-lifetime entry)
+    val tt = withTokens(docs.filter(col(idCol) % 2 === 0), textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = grams(tt, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val cb = grams(tt, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb"))
+    val c1 = tt.select(explode(col("w_")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val nv = tt.select(explode(col("w_")).as("t"))
+      .agg(count(lit(1)).as("n_"), count_distinct(col("t")).as("v_"))
+    val probe = grams(withTokens(docs.filter(col(idCol) % 2 === 1), textCol), 3)
+    probe
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(cb.withColumnRenamed("cb", "cb12"), Seq("w1", "w2"), "left")
+      .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("t").as("w2"), col("c1").as("cu2")), Seq("w2"), "left")
+      .join(c1.select(col("t").as("w3"), col("c1").as("cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("score",
+        when(col("c3").isNotNull, col("c3") / col("cb12"))
+          .when(col("cb23").isNotNull, lit(alpha) * col("cb23") / col("cu2"))
+          .otherwise(lit(alpha * alpha) * (coalesce(col("cu3"), lit(0L)) + 0.1)
+            / (col("n_") + lit(0.1) * col("v_"))))
+      .groupBy(col(idCol))
+      .agg((-avg(log(col("score")))).as("nll"),
+        count(when(col("c3").isNull, lit(1))).as("n_backoff"))
+  }
+
   /** Merge every non-overlapping left-to-right occurrence of the adjacent
     * pair `(a, b)` in a symbol sequence — the single-step primitive shared
     * by the BPE trainer and encoder. The scan resumes AFTER a merged
