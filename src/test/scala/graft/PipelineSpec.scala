@@ -1179,4 +1179,71 @@ class PipelineSpec extends SparkSpec {
     assert(hosts(1L) === Seq("example.com", "foo.org"))
     assert(hosts(2L) === Seq.empty)
   }
+
+  test("canonicalUrl: host case/www/slash/tracking/fragment normalization") {
+    val cases = Seq(
+      // every rule at once
+      "https://WWW.Example.com/p/3/?id=3&utm_campaign=c9&gclid=g1#sec9"
+        -> "example.com/p/3?id=3",
+      // bare host, no path/query
+      "http://example.com" -> "example.com",
+      // kept params preserve their original order; only tracking drops
+      "https://example.com/a?b=2&utm_a=1&c=3" -> "example.com/a?b=2&c=3",
+      // all params tracking ⇒ no '?' at all
+      "https://example.com/a?utm_a=1&fbclid=f" -> "example.com/a",
+      // path case is preserved (RFC 3986: only scheme+host fold)
+      "https://Example.com/CaseSensitive" -> "example.com/CaseSensitive")
+    val d = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("i", "u")
+    val got = d.select($"i", TextAnalysis.canonicalUrl($"u").as("c"))
+      .as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) === want, s"canonicalUrl($u)")
+    }
+  }
+
+  test("gridQuantiles: cumulative walk hits exact bucket edges") {
+    // 100 values 0..99, cell 10 → ten buckets of ten; thresholds are
+    // ceil(n·p/100): p50→50 (bucket 4, edge 49), p90→90 (bucket 8,
+    // edge 89), p99→99 (bucket 9, edge 99)
+    val d = (0L until 100L).map(v => ("g", v)).toDF("grp", "v")
+    val got = graft.pipeline.Sketches
+      .gridQuantiles(d, "v", "grp", cell = 10)
+      .select($"p", $"bucket", $"est", $"n")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(50) === ((50, 4L, 49L, 100L)))
+    assert(got(90) === ((90, 8L, 89L, 100L)))
+    assert(got(99) === ((99, 9L, 99L, 100L)))
+  }
+
+  test("sboNll: seen trigram scores exact ratio, unseen walks the backoff") {
+    // train doc (id 0): N=6, V=3; c(abc)=2, c(ab)=2 → P(abc)=1
+    // eval doc (id 1): abc seen; bcd + cde back off to the smoothed
+    // unigram floor (c(d)=c(e)=0)
+    val d = Seq((0L, "a b c a b c"), (1L, "a b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.sboNll(d)
+      .select($"doc_id", $"nll", $"n_backoff")
+      .as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val (nll, nBackoff) = r(1L)
+    assert(nBackoff === 2L)
+    val floor = 0.4 * 0.4 * 0.1 / (6 + 0.1 * 3)
+    val want = -(math.log(1.0) + 2 * math.log(floor)) / 3
+    assert(math.abs(nll - want) < 1e-12, s"nll=$nll want=$want")
+  }
+
+  test("rerankCosine: exact cosine re-ranks the candidate list only") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), // query
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    // candidates deliberately EXCLUDE the best corpus vector (id 1):
+    // re-rank must stay within the proposals, proving it never rescans
+    val cand = Seq((0L, 2L), (0L, 3L)).toDF("qid", "nid")
+    val got = Similarity.rerankCosine(cand, vecs, q, k = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L))) // cos(q,2)≈0.707 beats cos(q,3)=0
+  }
 }

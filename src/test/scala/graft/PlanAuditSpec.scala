@@ -154,4 +154,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(f.nestedLoopJoins <= 1,
       s"corpus-side assignment regressed to a join\n$plan")
   }
+
+  test("mad: pushdown, broadcast-only joins back to the deduped frame") {
+    val (f, plan) = fp("q_mad")
+    assert(f.pushedFilters, "ts/metric bounds must reach the scan")
+    assert(f.sortMergeJoins == 0 && f.nestedLoopJoins == 0,
+      s"median/MAD frames must broadcast, not shuffle-join\n$plan")
+  }
+
+  test("acf: bucketed self-join is equi, moments stay hash-aggregated") {
+    val (f, plan) = fp("q_acf")
+    assert(f.pushedFilters)
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"lag pairing degenerated\n$plan")
+    assert(f.sortAggregates == 0, "moment sums must stay hash-agg")
+  }
+
+  test("linear fill: spine join equi, one window pass for both neighbors") {
+    val (f, plan) = fp("q_fill_linear")
+    assert(f.pushedFilters)
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"spine join degenerated\n$plan")
+    // the IGNORE-NULLS neighbor columns may split across chained Window
+    // execs, but they must all ride ONE (skey, bucket) sort — the only
+    // other Sort in the plan is the output presentation sort
+    assert("(?m)^\\s*(?:\\+- |:- )?Sort ".r.findAllIn(plan).size <= 2,
+      s"neighbor windows re-sorted between passes\n$plan")
+  }
+
+  test("grid quantiles: no joins; sketch agg + cumsum window + readout") {
+    val (f, plan) = fp("pl_len_quantiles")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"sketch readout grew a join\n$plan")
+    assert(f.exchanges <= 4, s"pl_len_quantiles shuffles: ${f.exchanges}\n$plan")
+  }
+
+  test("url dedup: both shuffles keyed by canon, no cartesian") {
+    val (f, plan) = fp("pl_dedup_url")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"canon-key join degenerated\n$plan")
+  }
+
+  test("stupid backoff: count joins all equi on gram keys, hash-agg") {
+    val (f, plan) = fp("pl_sbo_nll")
+    assert(f.nestedLoopJoins <= 1, // the 1-row N·V scalar frame broadcast
+      s"count join degenerated\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian\n$plan")
+    assert(f.sortAggregates == 0, "gram counts must stay hash-agg")
+  }
+
+  test("ANN re-rank and recall: candidate-bounded, no corpus cartesian") {
+    Seq("pl_knn_rerank", "pl_ann_recall").foreach { q =>
+      val (_, plan) = fp(q)
+      assert(!plan.contains("CartesianProduct"), s"$q corpus cartesian\n$plan")
+    }
+  }
 }
