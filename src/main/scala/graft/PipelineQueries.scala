@@ -60,6 +60,38 @@ object PipelineQueries {
       TextAnalysis.vocabulary(docs(s, dir), topK = 100)
     },
 
+    // per-source PII exposure report: match counts for the redaction
+    // chain's email/URL/IPv4 patterns (counted independently on the raw
+    // text) plus how many docs carry any hit — the audit a pipeline runs
+    // BEFORE deciding to redact. Markers appended as in pl_redact so
+    // every pattern fires; per-row regex work, one map-side-combined
+    // groupBy
+    "pl_pii_stats" -> { (s, dir) =>
+      val id = col("doc_id")
+      val marked = docs(s, dir).select(id, col("source"),
+        concat(col("text"),
+          when(pmod(id, lit(3)) === 0, lit(" reach ops@example.org"))
+            .otherwise(lit("")),
+          when(pmod(id, lit(4)) === 0, lit(" see https://ex.org/doc"))
+            .otherwise(lit("")),
+          when(pmod(id, lit(5)) === 0, lit(" from 192.168.0.1"))
+            .otherwise(lit(""))).as("text"))
+      marked.select(col("source"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.RedactEmail), lit(0))).as("ne"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.RedactUrl), lit(0))).as("nu"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.RedactIp), lit(0))).as("ni"))
+        .groupBy("source")
+        .agg(sum(col("ne")).as("n_email"), sum(col("nu")).as("n_url"),
+          sum(col("ni")).as("n_ip"),
+          count(when(col("ne") + col("nu") + col("ni") > 0, lit(1)))
+            .as("n_docs_pii"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
     // per-source corpus report: the dashboard aggregation every pipeline
     // runs after filtering — doc/token volumes and mean quality signals
     // per source, one map-side-combined groupBy
@@ -1488,6 +1520,32 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1, v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+    // PII-stats oracle: the same markers and the same pattern constants
+    // (interpolated from TextAnalysis so gate and oracle can never
+    // drift), counted with regexp_extract_all
+    val piiStats =
+      s"""WITH m AS (
+         |  SELECT doc_id, source, text ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN ' reach ops@example.org' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/doc' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.0.1' ELSE '' END)
+         |    AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '${TextAnalysis.RedactEmail}')) AS ne,
+         |    len(regexp_extract_all(text, '${TextAnalysis.RedactUrl}')) AS nu,
+         |    len(regexp_extract_all(text, '${TextAnalysis.RedactIp}')) AS ni
+         |  FROM m)
+         |SELECT source,
+         |  CAST(sum(ne) AS BIGINT) AS n_email,
+         |  CAST(sum(nu) AS BIGINT) AS n_url,
+         |  CAST(sum(ni) AS BIGINT) AS n_ip,
+         |  CAST(sum(CASE WHEN ne + nu + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_pii,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+
     // Stupid Backoff oracle: identical train/eval split, positional gram
     // relations, and the same three-level CASE (doubles via explicit
     // casts and e-notation constants — the BM25 DECIMAL-literal lesson;
@@ -2807,6 +2865,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_bigram_nll" -> bigramNll,
       "pl_sbo_nll" -> sboNll,
       "pl_dedup_url" -> dedupUrl,
+      "pl_pii_stats" -> piiStats,
       "pl_split" -> split,
       "pl_sample" -> sample,
       "pl_mixture" -> mixture,

@@ -657,6 +657,42 @@ object SparkEntry {
           .orderBy("event_id")
       },
 
+      // BEYOND-REFERENCE streaming exact dedup:
+      // `dropDuplicatesWithinWatermark` keyed by ingest seq — the
+      // Spark-native at-scale answer to duplicate delivery (at-least-once
+      // transports, WAL replays): state holds only keys INSIDE the
+      // watermark horizon instead of forever. Batch 1 replays the click
+      // stream; batch 2 re-delivers every seq%3==0 row byte-identically
+      // (a late duplicate well inside the 30-day horizon). The emitted
+      // set must equal the original stream — first arrival wins, and
+      // since resends are identical the oracle is just the base rows.
+      "q_dedup_stream" -> { (s, dir) =>
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = DpView.dp(s, dir)
+          .filter(col("metric") === "click" && col("ts").between(T0, T1))
+          .select(graft.model.Dp.seriesKey(col("metric"), col("tags"))
+            .as("skey"), col("ts"), col("value"), col("seq"))
+          .as[(String, Long, Double, Long)].collect().sortBy(_._2)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, Double, Long)]
+        val out = mem.toDS().toDF("skey", "ts", "value", "seq")
+          .withColumn("ets", timestamp_millis(col("ts")))
+          .withWatermark("ets", "30 days")
+          .dropDuplicatesWithinWatermark("seq")
+          .drop("ets")
+        val qn = s"q_dedup_stream_${streamGateSeq.incrementAndGet()}"
+        runReplay(s, out, qn) { () =>
+          val dups = rows.filter(_._4 % 3 == 0)
+          Seq(
+            () => mem.addData(rows.toSeq: _*),
+            () => mem.addData(dups.toSeq: _*))
+        }
+        s.table(qn)
+          .select(col("skey"), col("ts"), col("value"), col("seq"))
+          .orderBy("seq")
+      },
+
       // §2.10 maintained metadata end-to-end: ingest batches update
       // series_index + slice_state (write-time OOO marks, reference
       // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
@@ -958,6 +994,39 @@ object SparkEntry {
               / sqrt(col("vx").cast("double") * col("vy").cast("double")))
           .select(col("skey"), col("k"), col("n"), sround(col("r")).as("r"))
           .orderBy("skey", "k")
+      },
+
+      // BEYOND-REFERENCE Theil–Sen robust trend: per series, the median
+      // of all pairwise slopes between 6h bucket values — the estimator
+      // that shrugs off the outliers that bend a least-squares line
+      // (breakdown point 29%). Bucket values are the ACF gate's 1e-2
+      // integer-grid sums; each slope is an exact-integer Δvalue over an
+      // exact-integer Δbuckets division (identical IEEE doubles in both
+      // engines), and the median interpolates like q_mad's. Pair work is
+      // quadratic in BUCKETS PER SERIES — bounded by the query window
+      // (108 buckets here), never by corpus size; the self-join keys on
+      // skey, so each series' pairs co-locate on one task.
+      "q_theilsen" -> { (s, dir) =>
+        val b = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+          .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+          .groupBy(col("skey"),
+            (col("ts") - pmod(col("ts"), lit(SIXH))).as("t"))
+          .agg(sum(col("q")).as("sq_"))
+          .select(col("skey"), col("t"), expr("sq_ div 100").as("b"))
+        b.as("x").join(b.as("y"),
+            col("x.skey") === col("y.skey") && col("x.t") < col("y.t"))
+          .select(col("x.skey").as("skey"),
+            ((col("y.b") - col("x.b")).cast("double")
+              / expr(s"(y.t - x.t) div $SIXH")).as("slope"))
+          .groupBy("skey")
+          .agg(count(lit(1)).as("n_pairs"),
+            percentile(col("slope"), lit(0.5)).as("m"))
+          .select(col("skey"), col("n_pairs"), sround(col("m")).as("slope"))
+          .orderBy("skey")
       },
 
       // BEYOND-REFERENCE linear-interpolation gap fill ("lerp" — the
@@ -1563,6 +1632,14 @@ object SparkEntry {
            |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.asof_ts
            |ORDER BY c.event_id""".stripMargin,
 
+      // streaming-dedup oracle: re-delivered rows are byte-identical and
+      // the op keeps first arrival, so the surviving set IS the base
+      // click stream
+      "q_dedup_stream" -> (dpCte + "\n" +
+        s"""SELECT skey, ts, value, seq FROM dp
+           |WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |ORDER BY seq""".stripMargin),
+
       // the streaming replay finalizes exactly the batch interval join's
       // pairs on the replay's deterministic user sample — same truth
       "q_interval_stream" ->
@@ -1961,6 +2038,27 @@ object SparkEntry {
                       "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS r
            |FROM v WHERE n >= 8 AND vx > 0 AND vy > 0
            |ORDER BY skey, k""".stripMargin),
+
+      // Theil–Sen oracle: the ACF gate's bucket grid, all ordered pairs,
+      // the same exact-integer slope division, quantile_cont median
+      "q_theilsen" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT skey, ts - ts % $SIXH AS t,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup GROUP BY skey, ts - ts % $SIXH),
+           |sl AS (
+           |  SELECT x.skey,
+           |         CAST(y.b - x.b AS DOUBLE) / ((y.t - x.t) // $SIXH) AS slope
+           |  FROM bk x JOIN bk y ON y.skey = x.skey AND x.t < y.t)
+           |SELECT skey, CAST(count(*) AS BIGINT) AS n_pairs,
+           |       ${sroundSql("quantile_cont(slope, 0.5)")} AS slope
+           |FROM sl GROUP BY skey ORDER BY skey""".stripMargin),
 
       // linear-fill oracle: identical bucket rounding, the same directed
       // IGNORE-NULLS neighbor windows, the same single lerp expression

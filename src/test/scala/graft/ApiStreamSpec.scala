@@ -641,4 +641,29 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.contains("date"))
     assert(back.select("value").as[Double].head() === 5.5)
   }
+
+  test("streaming dedup within watermark: re-delivered keys dropped, " +
+    "first arrival wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val mem = MemoryStream[(Long, Long, Double)] // (seq, ts, value)
+    val out = mem.toDS().toDF("seq", "ts", "value")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("seq")
+      .drop("ets")
+    val q = out.writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0))
+      q.processAllAvailable()
+      // re-delivery of seq=1 with a DIFFERENT value: must be dropped
+      // (first arrival won), while the new seq=3 passes
+      mem.addData((1L, 1500L, 99.0), (3L, 3000L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT seq, value FROM dedup_wm_test")
+        .as[(Long, Double)].collect().toSet
+      assert(rows === Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    } finally q.stop()
+  }
 }
