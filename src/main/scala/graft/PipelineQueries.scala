@@ -686,6 +686,24 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // clustering quality report: per-cluster size + inertia on the
+    // integer grid — the check before trusting cluster-based dedup or
+    // IVF routing; one assignment pass + one map-side-combined agg
+    "pl_cluster_stats" -> { (s, dir) =>
+      Similarity.clusterStats(emb(s, dir), k = 8, iters = 2)
+        .orderBy("cid")
+    },
+
+    // MMR diversified top-5 from the query's 20 ANN candidates
+    // (Carbonell & Goldstein 1998): greedy relevance-minus-redundancy
+    // on quantized scores; candidate generation and the pairwise-sim
+    // frame are distributed, the greedy loop runs on the bounded
+    // candidate set
+    "pl_mmr" -> { (s, dir) =>
+      Similarity.mmrSelect(emb(s, dir), queryId = 0L, kCand = 20, k = 5)
+        .orderBy("rank")
+    },
+
     // embedding outlier scan: bottom-50 vectors by cosine to the
     // integer-grid corpus centroid — one map-side-combined d-dim sum
     // pass, broadcast centroid literal, TakeOrdered bottom-k
@@ -1976,6 +1994,78 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |${kmAssign("c2", "a3")}
          |SELECT id, cid FROM a3 ORDER BY id""".stripMargin
 
+    // cluster-stats oracle: the kmeans replay + per-point squared
+    // distance to the assigned centroid, quantized per point BEFORE the
+    // sum (order-free integer inertia)
+    val clusterStats =
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "a3")},
+         |j AS (
+         |  SELECT a.cid,
+         |    list_transform(range(1, 65), d -> a.v[d] - c.cv[d]) AS dv
+         |  FROM a3 a JOIN c2 c ON a.cid = c.cid),
+         |d2 AS (
+         |  SELECT cid,
+         |    CAST(floor(list_dot_product(dv, dv) * 10000 + 0.5 + 1e-6)
+         |         AS BIGINT) AS d2q
+         |  FROM j)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(d2q) AS BIGINT) / 10000.0 AS inertia
+         |FROM d2 GROUP BY cid ORDER BY cid""".stripMargin
+
+    // MMR oracle: the brute-knn candidate chain capped at 20, the
+    // symmetric quantized pair-sim relation, then the five greedy picks
+    // unrolled as chained CTEs (argmax per step, smaller-nid ties)
+    val mmr = {
+      val steps = (2 to 5).map { i =>
+        s""",
+m$i AS (
+  SELECT c.nid, c.relq - (
+    SELECT max(s.simq) FROM sims s
+    WHERE s.x = c.nid AND s.y IN (SELECT nid FROM pk${i - 1})) AS score
+  FROM cand c WHERE c.nid NOT IN (SELECT nid FROM pk${i - 1})),
+p$i AS (SELECT nid, score FROM m$i ORDER BY score DESC, nid LIMIT 1),
+pk$i AS (SELECT nid FROM pk${i - 1} UNION ALL SELECT nid FROM p$i)"""
+      }.mkString
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v FROM e WHERE id = 0),
+         |sc AS (
+         |  SELECT e.id AS nid, ${cosOf("e.v", "q.v")} AS cos
+         |  FROM e, q WHERE e.id != 0),
+         |cand AS MATERIALIZED (
+         |  SELECT nid, CAST(floor(cos * 10000 + 0.5 + 1e-6) AS BIGINT) AS relq
+         |  FROM (SELECT nid, cos,
+         |          row_number() OVER (ORDER BY cos DESC, nid) AS rk FROM sc)
+         |  WHERE rk <= 20),
+         |cv AS MATERIALIZED (
+         |  SELECT e.id AS nid, e.v FROM e JOIN cand ON cand.nid = e.id),
+         |sp AS MATERIALIZED (
+         |  SELECT a.nid AS x, b.nid AS y,
+         |    CAST(floor(${cosOf("a.v", "b.v")} * 10000 + 0.5 + 1e-6) AS BIGINT)
+         |      AS simq
+         |  FROM cv a JOIN cv b ON a.nid < b.nid),
+         |sims AS MATERIALIZED (
+         |  SELECT x, y, simq FROM sp UNION ALL SELECT y, x, simq FROM sp),
+         |p1 AS (SELECT nid, relq AS score FROM cand ORDER BY relq DESC, nid LIMIT 1),
+         |pk1 AS (SELECT nid FROM p1)""".stripMargin + steps + s"""
+SELECT * FROM (
+  SELECT 1 AS rank, nid, score FROM p1
+  UNION ALL SELECT 2, nid, score FROM p2
+  UNION ALL SELECT 3, nid, score FROM p3
+  UNION ALL SELECT 4, nid, score FROM p4
+  UNION ALL SELECT 5, nid, score FROM p5)
+ORDER BY rank"""
+    }
+
     // centroid-outlier oracle: identical integer pipeline — 1e-4
     // component grid, per-dim INTEGER sums (order-free), floor-mean
     // centroid, integer dot products through the one fixed float shape
@@ -2882,6 +2972,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_knn_lsh" -> lshKnn,
       "pl_embed_prep" -> embedPrep,
       "pl_kmeans" -> kmeans,
+      "pl_cluster_stats" -> clusterStats,
+      "pl_mmr" -> mmr,
       "pl_embed_outlier" -> embedOutlier,
       "pl_pq_encode" -> pqEncodeSql,
       "pl_knn_pq" -> pqKnnSql,

@@ -996,6 +996,37 @@ object SparkEntry {
           .orderBy("skey", "k")
       },
 
+      // BEYOND-REFERENCE cohort series-outlier scan: which whole SERIES
+      // deviates from its metric's cohort ("which host is broken") — a
+      // two-level aggregation: per-series integer-grid mean level, then
+      // each series' z against the cohort's mean/σ of those levels.
+      // Integer means via floor division (all-positive values), cohort
+      // moments from exact int64 sums, z one fixed-shape expression; the
+      // 1-row cohort frame broadcasts back. |z| > 1 flags.
+      "q_series_outlier" -> { (s, dir) =>
+        val per = graft.model.Dp.withSeriesKey(
+          DpView.dp(s, dir)
+            .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+          .groupBy(col("skey"), col("ts"))
+          .agg(max_by(col("value"), col("seq")).as("value"))
+          .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+          .groupBy("skey")
+          .agg(sum(col("q")).as("sq_"), count(lit(1)).as("n"))
+          .select(col("skey"), expr("sq_ div n").as("mq"))
+        val stats = per.agg(count(lit(1)).as("ns"), sum(col("mq")).as("sm"),
+          sum(col("mq") * col("mq")).as("sm2"))
+        per.crossJoin(broadcast(stats))
+          .withColumn("mu", col("sm").cast("double") / col("ns"))
+          .withColumn("varq",
+            col("sm2").cast("double") / col("ns") - col("mu") * col("mu"))
+          .filter(col("varq") > 0)
+          .withColumn("z",
+            (col("mq").cast("double") - col("mu")) / sqrt(col("varq")))
+          .filter(abs(col("z")) > 1.0)
+          .select(col("skey"), col("mq"), sround(col("z")).as("z"))
+          .orderBy("skey")
+      },
+
       // BEYOND-REFERENCE Theil–Sen robust trend: per series, the median
       // of all pairwise slopes between 6h bucket values — the estimator
       // that shrugs off the outliers that bend a least-squares line
@@ -2038,6 +2069,38 @@ object SparkEntry {
                       "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS r
            |FROM v WHERE n >= 8 AND vx > 0 AND vy > 0
            |ORDER BY skey, k""".stripMargin),
+
+      // series-outlier oracle: identical integer means, cohort moments,
+      // and the same fixed-shape z expression
+      "q_series_outlier" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |per AS (
+           |  SELECT skey,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // count(*) AS mq
+           |  FROM dedup GROUP BY skey),
+           |st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS ns,
+           |         CAST(sum(mq) AS BIGINT) AS sm,
+           |         CAST(sum(mq * mq) AS BIGINT) AS sm2
+           |  FROM per),
+           |sc AS (
+           |  SELECT p.skey, p.mq,
+           |         CAST(sm AS DOUBLE) / ns AS mu,
+           |         CAST(sm2 AS DOUBLE) / ns
+           |           - (CAST(sm AS DOUBLE) / ns) * (CAST(sm AS DOUBLE) / ns)
+           |           AS varq
+           |  FROM per p, st)
+           |SELECT skey, mq,
+           |       ${sroundSql("(CAST(mq AS DOUBLE) - mu) / sqrt(varq)")} AS z
+           |FROM sc
+           |WHERE varq > 0
+           |  AND abs((CAST(mq AS DOUBLE) - mu) / sqrt(varq)) > 1.0
+           |ORDER BY skey""".stripMargin),
 
       // Theil–Sen oracle: the ACF gate's bucket grid, all ordered pairs,
       // the same exact-integer slope division, quantile_cont median

@@ -285,6 +285,88 @@ object Similarity {
     out
   }
 
+  /** k-means clustering quality report: per-cluster membership count and
+    * inertia (Σ squared distance to the assigned centroid) — the metric
+    * every curation pipeline reads before trusting cluster-based dedup
+    * (SemDeDup) or routing (IVF). Distances quantize per POINT to the
+    * 1e-4 integer grid before summing (order-free across engines — the
+    * corpus-stats recipe); centroids are the shared deterministic Lloyd
+    * state, so the whole report replays in the oracle. One distributed
+    * assignment pass + one map-side-combined aggregation.
+    * Output: (cid, n, inertia) with inertia on the 1e-4 grid.
+    */
+  def clusterStats(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydCentroids(pts, k, iters)
+    val centsDf = cents.toDF("cid", "cv")
+    val out = assignTo(pts, cents)
+      .join(broadcast(centsDf), Seq("cid"))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("d2q", floor(col("d2") * 10000 + 0.5 + 1e-6).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), (sum(col("d2q")) / 10000.0).as("inertia"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pts.unpersist()
+    out
+  }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * from the query's top-`kCand` cosine candidates, greedily pick `k`
+    * results maximizing `relevance − max-similarity-to-already-picked`
+    * (the λ=0.5 MMR objective up to a constant factor) — the standard
+    * diversified-retrieval step after ANN. Distributed work is the
+    * candidate generation and the kCand² pairwise similarity frame; the
+    * greedy loop runs on the BOUNDED candidate set at the driver
+    * (kCand + kCand² rows — the union-find/centroid-collect contract).
+    * Scores quantize to the 1e-4 integer grid first, ties break to the
+    * smaller id, so the selection sequence is engine-replayable.
+    * Output: (rank, nid, score) — score = the quantized objective at
+    * selection time (pure relevance for rank 1).
+    */
+  def mmrSelect(corpus: DataFrame, queryId: Long, kCand: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = bruteKnn(corpus, corpus.filter(col(idCol) === queryId), kCand,
+        idCol, vecCol)
+      .select(col("nid"),
+        floor(col("cos") * 10000 + 0.5 + 1e-6).cast("long").as("relq"))
+    val rel = cand.as[(Long, Long)].collect().toMap
+    val ids = rel.keySet
+    val cv = prep(corpus.filter(col(idCol).isin(ids.toSeq: _*)), idCol,
+      vecCol, "nid", "nv", "nn")
+    val simPairs = cv.as("a")
+      .join(cv.select(col("nid").as("mid"), col("nv").as("mv"),
+        col("nn").as("mn")).as("b"), col("nid") < col("mid"))
+      .withColumn("simq", floor(
+        pairCos("nv", "nn", "mv", "mn") * 10000 + 0.5 + 1e-6).cast("long"))
+      .select(col("nid"), col("mid"), col("simq"))
+      .as[(Long, Long, Long)].collect()
+    val sim = simPairs.flatMap { case (a, b, s) =>
+      Seq((a, b) -> s, (b, a) -> s)
+    }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ ids
+    for (rank <- 1 to math.min(k, ids.size)) {
+      val best = remaining.map { c =>
+        val pen = if (picked.isEmpty) 0L
+          else picked.map(p => sim.getOrElse((c, p._2), 0L)).max
+        (rel(c) - pen, c)
+      }.maxBy { case (score, c) => (score, -c) }
+      picked += ((rank, best._2, best._1))
+      remaining -= best._2
+    }
+    picked.toSeq.toDF("rank", "nid", "score")
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split the `dim`-d space
     * into `m` subspaces of dim/m and Lloyd-train an independent

@@ -1232,6 +1232,32 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(nll - want) < 1e-12, s"nll=$nll want=$want")
   }
 
+  test("mmrSelect: redundancy penalty diversifies past pure relevance") {
+    // query [1,0,0]; a and b are EXACT duplicates (sim 1.0), c trails
+    // slightly in relevance but is diverse — pure top-2 is (a,b) on the
+    // nid tiebreak; MMR's full-similarity penalty must demote b for c
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // a
+      (2L, Array(0.9f, 0.1f, 0.0f)),  // b = a
+      (3L, Array(0.9f, 0.0f, 0.44f))) // c
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(vecs, queryId = 0L, kCand = 3, k = 2)
+      .select($"rank", $"nid").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, 1L), (2, 3L)))
+  }
+
+  test("clusterStats: perfect clusters give zero inertia, exact counts") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(4.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(4.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterStats(vecs, k = 2, iters = 1)
+      .select($"cid", $"n", $"inertia")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((0L, 2L, 0.0), (1L, 2L, 0.0)))
+  }
+
   test("rerankCosine: exact cosine re-ranks the candidate list only") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), // query

@@ -209,4 +209,20 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q corpus cartesian\n$plan")
     }
   }
+
+  test("cluster stats: assignment is an expression, centroids broadcast") {
+    val (f, plan) = fp("pl_cluster_stats")
+    assert(!plan.contains("CartesianProduct"), s"corpus cartesian\n$plan")
+    assert(f.sortMergeJoins == 0,
+      s"k-row centroid frame must broadcast, not shuffle-join\n$plan")
+    assert(f.sortAggregates == 0, "inertia sums must stay hash-agg")
+  }
+
+  test("series outlier: two-level agg, cohort frame broadcast, pushdown") {
+    val (f, plan) = fp("q_series_outlier")
+    assert(f.pushedFilters, "ts/metric bounds must reach the scan")
+    assert(f.sortMergeJoins == 0,
+      s"1-row cohort stats must broadcast\n$plan")
+    assert(f.sortAggregates == 0)
+  }
 }
