@@ -328,6 +328,25 @@ object PipelineQueries {
       kept.select(col("doc_id")).orderBy("doc_id")
     },
 
+    // SoftDeDup-direction duplicate REWEIGHTING: instead of dropping a
+    // near-dup cluster's non-representatives, every member keeps weight
+    // 1/|cluster| — total corpus mass per distinct content stays 1, and
+    // downstream samplers consume the weight column. Composition of the
+    // minhash pair machinery + hash-min clustering + one size join;
+    // exact-rational weights cross engines bit-for-bit
+    "pl_soft_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, n = 3, threshold = 0.8)
+      val labels = Dedup.clusters(pairs,
+        d.select(col("doc_id").cast("long").as("id")))
+      pairs.unpersist()
+      val sizes = labels.groupBy("cid").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "cid")
+        .select(col("id").as("doc_id"), col("csize"),
+          (lit(1.0) / col("csize")).as("weight"))
+        .orderBy("doc_id")
+    },
+
     // CCNet-style unigram LM proxy: per-doc mean -ln p(token) under the
     // corpus unigram distribution
     "pl_unigram_nll" -> { (s, dir) =>
@@ -1513,6 +1532,17 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |SELECT id AS doc_id FROM (
          |  SELECT id, min(r) AS cid FROM reach GROUP BY id)
          |WHERE id = cid ORDER BY doc_id""".stripMargin
+
+    // soft-dedup oracle: the same cluster labels + a size join; weight
+    // via float (not DECIMAL) division so 1/3-style values match IEEE
+    val softDedup =
+      s"""$clustersCtes,
+         |lab AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS csize
+         |       FROM lab GROUP BY cid)
+         |SELECT lab.id AS doc_id, sz.csize, 1e0 / sz.csize AS weight
+         |FROM lab JOIN sz ON lab.cid = sz.cid
+         |ORDER BY doc_id""".stripMargin
 
     val unigramNll =
       s"""WITH tokx AS (
@@ -2951,6 +2981,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_corpus_stats" -> corpusStats,
       "pl_dedup_clusters" -> clusters,
       "pl_collapse" -> collapse,
+      "pl_soft_dedup" -> softDedup,
       "pl_unigram_nll" -> unigramNll,
       "pl_bigram_nll" -> bigramNll,
       "pl_sbo_nll" -> sboNll,
