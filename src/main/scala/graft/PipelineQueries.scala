@@ -337,14 +337,9 @@ object PipelineQueries {
     "pl_soft_dedup" -> { (s, dir) =>
       val d = docs(s, dir)
       val pairs = Dedup.minhashLshPairs(d, n = 3, threshold = 0.8)
-      val labels = Dedup.clusters(pairs,
-        d.select(col("doc_id").cast("long").as("id")))
+      val out = Dedup.softDedupWeights(d, pairs).orderBy("doc_id")
       pairs.unpersist()
-      val sizes = labels.groupBy("cid").agg(count(lit(1)).as("csize"))
-      labels.join(sizes, "cid")
-        .select(col("id").as("doc_id"), col("csize"),
-          (lit(1.0) / col("csize")).as("weight"))
-        .orderBy("doc_id")
+      out
     },
 
     // CCNet-style unigram LM proxy: per-doc mean -ln p(token) under the

@@ -826,6 +826,23 @@ object Dedup {
     docs.join(drop, docs(idCol).cast("long") === drop("id"), "left_anti")
   }
 
+  /** SoftDeDup-direction duplicate REWEIGHTING: every member of a
+    * near-dup cluster keeps weight `1/|cluster|` instead of the
+    * non-representatives being dropped — total corpus mass per distinct
+    * content stays exactly 1, and downstream samplers consume the weight
+    * column. Isolated docs weigh 1.0. Weights are exact rationals of
+    * small integers, so they cross engines bit-for-bit.
+    * Output: (doc_id, csize, weight).
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = clusters(pairs, docs.select(col(idCol).cast("long").as("id")))
+    val sizes = labels.groupBy("cid").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "cid")
+      .select(col("id").as(idCol), col("csize"),
+        (lit(1.0) / col("csize")).as("weight"))
+  }
+
   /** Benchmark decontamination: flag TRAIN documents that share any word
     * n-gram with the EVAL set (the test-set-leakage scrub every
     * pre-training pipeline runs before releasing a corpus). Returns

@@ -1232,6 +1232,20 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(nll - want) < 1e-12, s"nll=$nll want=$want")
   }
 
+  test("softDedupWeights: cluster mass sums to 1, isolates weigh 1.0") {
+    // pairs: {1,2,3} one cluster, {5,6} another, 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val d = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(d, pairs)
+      .select($"doc_id", $"csize", $"weight")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(w === Set(
+      (1L, 3L, 1.0 / 3), (2L, 3L, 1.0 / 3), (3L, 3L, 1.0 / 3),
+      (4L, 1L, 1.0), (5L, 2L, 0.5), (6L, 2L, 0.5)))
+    // invariant: total mass = number of distinct contents (clusters)
+    assert(math.abs(w.toSeq.map(_._3).sum - 3.0) < 1e-12)
+  }
+
   test("mmrSelect: redundancy penalty diversifies past pure relevance") {
     // query [1,0,0]; a and b are EXACT duplicates (sim 1.0), c trails
     // slightly in relevance but is diverse — pure top-2 is (a,b) on the
