@@ -331,14 +331,17 @@ object PipelineQueries {
     // SoftDeDup-direction duplicate REWEIGHTING: instead of dropping a
     // near-dup cluster's non-representatives, every member keeps weight
     // 1/|cluster| — total corpus mass per distinct content stays 1, and
-    // downstream samplers consume the weight column. Composition of the
-    // minhash pair machinery + hash-min clustering + one size join;
+    // downstream samplers consume the weight column. Pair source here is
+    // the cheap simhash pass (any pair producer plugs in — the API is
+    // pair-agnostic); then hash-min clustering + one size join;
     // exact-rational weights cross engines bit-for-bit
     "pl_soft_dedup" -> { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.minhashLshPairs(d, n = 3, threshold = 0.8)
+      val pairs = Dedup.simhashPairs(d, nBits = 60, maxHamming = 3)
+        .select(col("id1"), col("id2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val out = Dedup.softDedupWeights(d, pairs).orderBy("doc_id")
-      pairs.unpersist()
+      pairs.unpersist() // softDedupWeights materialized its labels
       out
     },
 
@@ -1528,17 +1531,6 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT id, min(r) AS cid FROM reach GROUP BY id)
          |WHERE id = cid ORDER BY doc_id""".stripMargin
 
-    // soft-dedup oracle: the same cluster labels + a size join; weight
-    // via float (not DECIMAL) division so 1/3-style values match IEEE
-    val softDedup =
-      s"""$clustersCtes,
-         |lab AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
-         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS csize
-         |       FROM lab GROUP BY cid)
-         |SELECT lab.id AS doc_id, sz.csize, 1e0 / sz.csize AS weight
-         |FROM lab JOIN sz ON lab.cid = sz.cid
-         |ORDER BY doc_id""".stripMargin
-
     val unigramNll =
       s"""WITH tokx AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -1802,8 +1794,10 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val bits = (0 until nBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    val simhash =
-      s"""WITH tokx AS (
+    // shared simhash chain (ends at `cand(id1, id2, hamming)`) — reused
+    // by pl_dedup_simhash and the soft-dedup oracle's pair source
+    val simhashCtes =
+      s"""tokx AS (
          |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
          |hs AS (SELECT id, ${h60Sql("t")} AS h FROM tokx),
          |votes AS (
@@ -1820,9 +1814,33 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT DISTINCT a.id AS id1, b.id AS id2,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.id < b.id
-         |  JOIN okc o ON a.c = o.c AND a.v = o.v)
+         |  JOIN okc o ON a.c = o.c AND a.v = o.v)""".stripMargin
+    val simhash =
+      s"""WITH $simhashCtes
          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
+
+    // soft-dedup oracle: simhash pair source (the cheap near-dup pass),
+    // recursive-reachability cluster labels, a size join; weight via
+    // float (not DECIMAL) division so 1/3-style values match IEEE
+    val softDedup =
+      s"""WITH RECURSIVE $simhashCtes,
+         |fpairs AS (SELECT id1, id2 FROM cand WHERE hamming <= 3),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM fpairs
+         |  UNION ALL
+         |  SELECT id2, id1 FROM fpairs),
+         |nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM reach JOIN edges e ON e.b = reach.id),
+         |lab AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS csize
+         |       FROM lab GROUP BY cid)
+         |SELECT lab.id AS doc_id, sz.csize, 1e0 / sz.csize AS weight
+         |FROM lab JOIN sz ON lab.cid = sz.cid
+         |ORDER BY doc_id""".stripMargin
 
     val cosExpr =
       """list_dot_product(qv, nv) /
