@@ -86,6 +86,7 @@ object Bench {
     // shift (e.g. a config change slowing every gate) degrades to the
     // in-process numbers instead of 146 child JVMs
     var escalationsLeft = 20
+    val toEscalate = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = picked.map { case (name, fn) =>
       // let the ContextCleaner reclaim the previous queries' shuffle
       // files/broadcasts before timing: 98 queries × 3 runs accumulate
@@ -160,39 +161,48 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!inputRddIds.contains(id)) rdd.unpersist(blocking = true)
       }
-      // ESCALATION: the in-process mitigations above (GC, warmup,
-      // resampling, blocking cache release) shrank but never killed
-      // shared-JVM contamination — r7's sweep-of-record still reported
-      // six gates at 3-7× their targeted cost. When a gate's median
-      // exceeds 2× its committed expectation, or its samples still
-      // spread >2× after resampling, the in-process number is not
-      // trustworthy: rerun the gate in a fresh child JVM and record
-      // THAT. Full sweeps only (args = gate filters = dev iteration;
-      // and children are invoked with their gate name, so this also
-      // can't recurse). The 0.2 s expectation floor keeps 0.05 s gates
-      // from buying a 10 s child JVM over absolute noise.
+      // ESCALATION (flag now, run later): the in-process mitigations
+      // above (GC, warmup, resampling, blocking cache release) shrank
+      // but never killed shared-JVM contamination — r7's sweep-of-record
+      // still reported six gates at 3-7× their targeted cost. When a
+      // gate's median exceeds 2× its committed expectation, or its
+      // samples still spread >2× after resampling, the in-process
+      // number is not trustworthy. The fresh-JVM rerun happens AFTER
+      // the sweep (and after spark.stop()): a child launched mid-sweep
+      // contends with this process's resident 48g heap and measures the
+      // contention, not the gate (measured: q_theilsen 0.59 s targeted,
+      // 8.9 s in-sweep, 15.9 s in a mid-sweep child — the child on an
+      // idle machine reads 0.7 s). Full sweeps only (args = gate
+      // filters = dev iteration; children are invoked with their gate
+      // name, so this can't recurse). The 0.2 s expectation floor keeps
+      // 0.05 s gates from buying a 10 s child JVM over absolute noise.
       val overExpected = expected.get(name)
         .exists(e => median > 2.0 * math.max(e, 0.2))
       val stillSpread = spreadOf(times) > 2.0 && median < 10.0
-      val finalMedian =
-        if (args.isEmpty && (overExpected || stillSpread) && escalationsLeft > 0) {
-          escalationsLeft -= 1
-          val iso = runChild(name)
-          System.err.println(
-            s"[bench-escalate] $name in-sweep $median -> isolated $iso")
-          // record the SMALLER of the two: contamination only ever
-          // inflates, and each measurement carries its own inflation
-          // source — shared-JVM cache/GC wake here, cold-JIT ramp in
-          // the child (measured: pl_dsir 1.19 s in-sweep vs 2.78 s
-          // isolated; pl_dedup_clusters 2.5 vs 18.1 the other way
-          // round on a contaminated sweep) — so min() is the best
-          // attested true cost
-          if (iso > 0) math.min(iso, median) else median
-        } else median
-      name -> finalMedian
+      if (args.isEmpty && (overExpected || stillSpread) && escalationsLeft > 0) {
+        escalationsLeft -= 1
+        toEscalate += name
+      }
+      name -> median
     }
-    emit(results, sfDir)
+    // free the sweep JVM's executors/heap BEFORE the ground-truth
+    // children run — they need the machine to themselves
     spark.stop()
+    val finalResults = results.map { case (name, median) =>
+      if (!toEscalate.contains(name)) name -> median
+      else {
+        val iso = runChild(name)
+        System.err.println(
+          s"[bench-escalate] $name in-sweep $median -> isolated $iso")
+        // record the SMALLER of the two: contamination only ever
+        // inflates, and each measurement carries its own inflation
+        // source — shared-JVM cache/GC wake here, cold-JIT ramp in
+        // the child (measured: pl_dsir 1.19 s in-sweep vs 2.78 s
+        // isolated) — so min() is the best attested true cost
+        name -> (if (iso > 0) math.min(iso, median) else median)
+      }
+    }
+    emit(finalResults, sfDir)
   }
 
   /** Parent side of `SPARK_GRAFT_BENCH_ISOLATE`: one child JVM per gate,
