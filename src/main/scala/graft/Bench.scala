@@ -68,7 +68,10 @@ object Bench {
     // everything cached beyond these is a query's leaked intermediate
     val inputRddIds = spark.sparkContext.getPersistentRDDs.keySet
 
-    // optional substring filter over query names (dev iteration aid);
+    // optional substring filter over query names (dev iteration aid;
+    // an arg prefixed with `=` matches exactly — escalation children use
+    // this so escalating a prefix-named gate like pl_knn doesn't drag
+    // every same-prefix sibling into the child's "fresh JVM" measurement);
     // driver invokes with no args = full run. The two streaming replay
     // gates run LAST: each spins up micro-batch machinery (state stores,
     // streaming threads, memory-sink tables) whose teardown churn
@@ -77,7 +80,8 @@ object Bench {
     val streamLast = Set("q_interval_stream", "q_asof_stream")
     val picked = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (streamLast.contains(n), n) }
-      .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
+      .filter { case (n, _) => args.isEmpty || args.exists(a =>
+        if (a.startsWith("=")) n == a.drop(1) else n.contains(a)) }
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(3))
     // committed per-gate expectations: the escalation trigger's baseline
@@ -213,7 +217,8 @@ object Bench {
   private def isolated(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => args.isEmpty || args.exists(n.contains))
+      .filter(n => args.isEmpty || args.exists(a =>
+        if (a.startsWith("=")) n == a.drop(1) else n.contains(a)))
     val results = names.map { name =>
       val med = runChild(name)
       System.err.println(s"[bench-isolate] $name -> $med")
@@ -236,7 +241,7 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"), "graft.Bench", name)).asJava
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench", "=" + name)).asJava
     val pb = new ProcessBuilder(cmd)
     pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
     val dir = java.nio.file.Files.createTempDirectory("bench_child_")

@@ -838,9 +838,13 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val labels = clusters(pairs, docs.select(col(idCol).cast("long").as("id")))
     val sizes = labels.groupBy("cid").agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "cid")
+    val out = labels.join(sizes, "cid")
       .select(col("id").as(idCol), col("csize"),
         (lit(1.0) / col("csize")).as("weight"))
+    // clusters() returns its labels frame persisted (node-count-sized);
+    // materialize the weights and release it here rather than pinning a
+    // corpus-sized cache entry for the session lifetime
+    materializeAndRelease(out, labels)
   }
 
   /** Benchmark decontamination: flag TRAIN documents that share any word

@@ -73,7 +73,13 @@ object Multimodal {
         }
         DecodedImage(w, h, gray)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw unchecked exceptions (ArrayIndexOutOfBounds,
+      // NegativeArraySize, IllegalArgument, ...) on truncated/corrupt
+      // payloads, not just IOException; the contract is "None when the
+      // payload is not a decodable image", so catch anything non-fatal.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Encode an 8-bit grayscale plane as a (lossless) PNG — the test/
     * fixture side of [[decodeImage]]: encode(decode(x)) round-trips the

@@ -95,8 +95,9 @@ object Sketches {
   }
 
   /** Fixed-grid (equi-width histogram) quantile sketch per group: values
-    * floor-divide into `cell`-wide buckets, the sketch is the (group,
-    * bucket, count) relation — one map-side-combined aggregation,
+    * floor-divide into `cell`-wide buckets (true floor division — works
+    * for negative values too, matching engines whose `//` floors), the
+    * sketch is the (group, bucket, count) relation — one map-side-combined aggregation,
     * mergeable across partitions/days/streams by cell-wise addition, and
     * O(range/cell) rows per group no matter how many values feed it.
     * Quantile read-out walks the cumulative counts: the answer for
@@ -119,7 +120,12 @@ object Sketches {
     require(cell > 0, "cell > 0")
     val counts = df
       .select(col(groupCol).as("grp"),
-        expr(s"CAST($valueCol AS BIGINT) div $cell").as("bucket"))
+        // Spark's `div` truncates toward zero; floor-divide instead so
+        // negative values land in the right bucket and `(bucket+1)·cell−1`
+        // is the inclusive upper edge for every sign (pmod is ≥ 0, so
+        // (v − pmod(v, cell)) is an exact multiple of cell at or below v).
+        expr(s"(CAST($valueCol AS BIGINT) - pmod(CAST($valueCol AS BIGINT), $cell)) div $cell")
+          .as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("bucket")

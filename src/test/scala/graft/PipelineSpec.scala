@@ -1216,6 +1216,21 @@ class PipelineSpec extends SparkSpec {
     assert(got(99) === ((99, 9L, 99L, 100L)))
   }
 
+  test("gridQuantiles: negative values floor-divide (no toward-zero drift)") {
+    // -25..-1 with cell 10: floor division puts -25..-21 in bucket -3
+    // (upper edge -21), -20..-11 in -2 (edge -11), -10..-1 in -1 (edge
+    // -1). Truncating division would wrongly merge -9..9 into bucket 0.
+    // n=25: p50 threshold ceil(25·50/100)=13 → cum reaches 13 in bucket
+    // -2 (5+10=15ᵗʰ value is -11's bucket); p99 → 25 → bucket -1.
+    val d = (-25L to -1L).map(v => ("g", v)).toDF("grp", "v")
+    val got = graft.pipeline.Sketches
+      .gridQuantiles(d, "v", "grp", cell = 10, percents = Seq(50, 99))
+      .select($"p", $"bucket", $"est", $"n")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(50) === ((50, -2L, -11L, 25L)))
+    assert(got(99) === ((99, -1L, -1L, 25L)))
+  }
+
   test("sboNll: seen trigram scores exact ratio, unseen walks the backoff") {
     // train doc (id 0): N=6, V=3; c(abc)=2, c(ab)=2 → P(abc)=1
     // eval doc (id 1): abc seen; bcd + cde back off to the smoothed
