@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, FilterChain, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Dedup, FilterChain, Layout, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -501,6 +501,52 @@ object PipelineQueries {
         .join(est, "source")
         .select(col("source"), col("n_exact"), sround(col("est")).as("est"))
         .orderBy("source")
+    },
+
+    // HLL SET ALGEBRA: vocabulary overlap between source pairs computed
+    // from MERGED register sketches (bucket-wise max), never from raw
+    // tokens — union by merge, intersection by inclusion-exclusion,
+    // Jaccard from both. The raw corpus is read once; the pairwise stage
+    // costs |groups|²·256 register rows regardless of corpus size — how
+    // a catalog prices overlap between any two of 10,000 shards
+    "pl_hll_overlap" -> { (s, dir) =>
+      val t = TextAnalysis.withTokens(docs(s, dir))
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("source"), explode(col("w_")).as("token"))
+      Sketches.hllOverlap(t, "token", "source")
+        .select(col("g1"), col("g2"), sround(col("est_union")).as("est_union"),
+          sround(col("est_inter")).as("est_inter"), sround(col("jacc")).as("jacc"))
+        .orderBy("g1", "g2")
+    },
+
+    // exact-count stratified sample: EXACTLY ceil(n/4) docs per source
+    // (smallest salted hash wins, id tiebreak) — the per-stratum
+    // precision a bucket-threshold sample only hits in expectation;
+    // quota test is pure integer arithmetic, one rank window per stratum
+    "pl_sample_strat" -> { (s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "source",
+        num = 1, den = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // Z-order (Morton) layout audit: interleave 8-bit buckets of doc
+    // length × source id onto the space-filling curve, range-split into
+    // 32 "files", report each file's envelope in BOTH dimensions — the
+    // write-side clustering that lets parquet min/max stats prune scans
+    // on either predicate (Delta/Iceberg OPTIMIZE ZORDER, as plain ops)
+    "pl_zorder" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("srcid", expr("CAST(substring(source, 4) AS BIGINT)"))
+      val z = Layout.zValue16(
+        Layout.bucket8(col("n_chars"), cell = 4),
+        col("srcid") * 13)
+      d.withColumn("fid", Layout.zFile(z, 32))
+        .groupBy("fid")
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_len"), max(col("n_chars")).as("max_len"),
+          countDistinct(col("srcid")).as("n_src"))
+        .orderBy("fid")
     },
 
     // count-min-sketch heavy hitters: fixed 4×1024 integer grid (the
@@ -2929,6 +2975,102 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
          |       floor(est * 10000 + 0.5 + 1e-6) / 10000.0 AS est
          |FROM ex JOIN hll USING (source) ORDER BY source""".stripMargin
 
+    // HLL overlap oracle: identical registers restricted to the five
+    // gate sources, pair unions via bucket-wise max over two equi-joins,
+    // and the SAME estimate CTE text (emitted by one helper for singles
+    // and unions, so the double math cannot drift between the two uses)
+    def hllEstCte(regsName: String, keys: String, pfx: String): String =
+      s"""${pfx}agg AS (
+         |  SELECT $keys, count(*) AS nb,
+         |    sum(CAST(round(power(2, 53 - M)) AS BIGINT)) AS zp
+         |  FROM $regsName GROUP BY $keys),
+         |${pfx}f AS (
+         |  SELECT $keys,
+         |    CAST(zp + (256 - nb) * 9007199254740992 AS BIGINT) AS zint,
+         |    256 - nb AS v
+         |  FROM ${pfx}agg),
+         |${pfx}e AS (
+         |  SELECT $keys, v,
+         |    (0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0
+         |      / (CAST(zint AS DOUBLE) / 9007199254740992.0e0) AS eraw
+         |  FROM ${pfx}f),
+         |${pfx}est AS (
+         |  SELECT $keys,
+         |    CASE WHEN eraw <= 640.0e0 AND v > 0
+         |         THEN 256.0e0 * ln(256.0e0 / CAST(v AS DOUBLE))
+         |         ELSE eraw END AS est
+         |  FROM ${pfx}e)""".stripMargin
+
+    val hllOverlap =
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |  WHERE source IN ('src0','src1','src2','src3','src4')),
+         |hs AS (SELECT source, ${h60Sql("token")} AS h FROM tok),
+         |regs AS MATERIALIZED (
+         |  SELECT source AS grp, h & 255 AS bucket,
+         |    max(CASE WHEN (h >> 8) = 0 THEN 53
+         |             ELSE 53 - length(bin(h >> 8)) END) AS M
+         |  FROM hs GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a.grp AS g1, b.grp AS g2
+         |  FROM (SELECT DISTINCT grp FROM regs) a
+         |  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp),
+         |uregs AS (
+         |  SELECT g1, g2, bucket, max(M) AS M FROM (
+         |    SELECT p.g1, p.g2, r.bucket, r.M
+         |    FROM prs p JOIN regs r ON r.grp = p.g1
+         |    UNION ALL
+         |    SELECT p.g1, p.g2, r.bucket, r.M
+         |    FROM prs p JOIN regs r ON r.grp = p.g2) u
+         |  GROUP BY 1, 2, 3),
+         |""".stripMargin +
+        hllEstCte("regs", "grp", "s") + ",\n" +
+        hllEstCte("uregs", "g1, g2", "u") + "\n" +
+        s"""SELECT u.g1, u.g2,
+           |  ${sroundSql("u.est")} AS est_union,
+           |  ${sroundSql("greatest(0.0e0, s1.est + s2.est - u.est)")} AS est_inter,
+           |  ${sroundSql("greatest(0.0e0, s1.est + s2.est - u.est) / u.est")} AS jacc
+           |FROM uest u
+           |JOIN sest s1 ON s1.grp = u.g1
+           |JOIN sest s2 ON s2.grp = u.g2
+           |ORDER BY u.g1, u.g2""".stripMargin
+
+    // stratified-sample oracle: the same salted-hash rank and the same
+    // integer quota test (rn·4 ≤ n + 3 ⇔ rn ≤ ceil(n/4))
+    val sampleStrat =
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h60Sql("CAST(doc_id AS VARCHAR) || '_strat'")}, doc_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents)
+         |SELECT doc_id, source FROM r
+         |WHERE rn * 4 <= n * 1 + 3
+         |ORDER BY doc_id""".stripMargin
+
+    // Z-order oracle: the same unrolled 16-bit Morton interleave (exact
+    // integer shifts/masks), same saturating 8-bit buckets, same
+    // equi-width file split
+    val zInterleave = (0 until 8).map { i =>
+      s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val zorder =
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(substr(source, 4) AS BIGINT) AS srcid,
+         |    least(n_chars // 4, 255) AS x,
+         |    CAST(substr(source, 4) AS BIGINT) * 13 AS y
+         |  FROM documents),
+         |z AS (
+         |  SELECT doc_id, n_chars, srcid, $zInterleave AS zv FROM b),
+         |f AS (SELECT *, (zv * 32) // 65536 AS fid FROM z)
+         |SELECT fid, count(*) AS n,
+         |       min(n_chars) AS min_len, max(n_chars) AS max_len,
+         |       count(DISTINCT srcid) AS n_src
+         |FROM f GROUP BY fid ORDER BY fid""".stripMargin
+
     // Bloom decontam oracle: rebuild the identical position set (4
     // md5 hashes per eval gram mod 2^22), probe each train gram's 4
     // positions, flag on all-hit
@@ -2956,6 +3098,9 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
     Map(
       "pl_decontam_bloom" -> decontamBloom,
       "pl_hll_distinct" -> hllDistinct,
+      "pl_hll_overlap" -> hllOverlap,
+      "pl_sample_strat" -> sampleStrat,
+      "pl_zorder" -> zorder,
       "pl_cms_topk" -> cmsTopk,
       "pl_len_quantiles" -> lenQuantiles,
       "pl_bm25" -> bm25,

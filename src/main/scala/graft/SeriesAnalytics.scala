@@ -1,0 +1,474 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{Dp, DpView}
+import graft.SparkEntry.{dpCte, sround, sroundSql, DAY, SIXH, T0, T1}
+
+/** BEYOND-REFERENCE per-series statistical analytics over the dp view —
+  * the model-fitting / diagnosis layer a monitoring stack runs on top of
+  * the reference's raw query engine (the reference stops at downsample +
+  * cross-series aggregation, `src/core/query.cpp`): OLS trend fit with
+  * R², cross-metric correlation, tie-broken Spearman rank correlation,
+  * STL-style seasonal decomposition, single change-point detection, and
+  * a seasonal-naive forecast backtest.
+  *
+  * Determinism recipe shared with [[SparkEntry]]'s q_acf/q_theilsen
+  * family: values land on a 1e-4 integer grid at dedup, 6h bucket sums
+  * collapse to a 1e-2 grid (`div 100` — all values positive), every
+  * moment is an exact int64 sum, and each reported statistic is ONE
+  * fixed-shape IEEE expression over those integers — so DuckDB replays
+  * the math bit-for-bit and the driver's hash oracle holds.
+  *
+  * 100 TB shape: everything is (a) one dedup aggregation, (b) one bucket
+  * aggregation (map-side combined), (c) per-series windows or a keyed
+  * self-join on (skey, bucket) — the window width (28 six-hour buckets
+  * here) bounds per-series state, never the corpus; nothing collects to
+  * the driver and no join lacks an equi-key.
+  */
+object SeriesAnalytics {
+
+  /** Deduped (last-write-wins) 6h bucket grid for one metric:
+    * `(skey, t, b)` with `b` = bucket sum on the 1e-2 integer grid —
+    * the q_acf recipe, shared by every gate in this object.
+    */
+  private def buckets6h(s: SparkSession, dir: String,
+      metric: String): DataFrame =
+    Dp.withSeriesKey(
+      DpView.dp(s, dir)
+        .filter(col("metric") === metric && col("ts").between(T0, T1)))
+      .groupBy(col("skey"), col("ts"))
+      .agg(max_by(col("value"), col("seq")).as("value"))
+      .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+      .groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(SIXH))).as("t"))
+      .agg(sum(col("q")).as("sq_"))
+      .select(col("skey"), col("t"), expr("sq_ div 100").as("b"))
+
+  /** Oracle-side twin of [[buckets6h]]: dedup + bucket CTEs (names
+    * `dedup`, `bk` with columns skey/t/b).
+    */
+  private def bucketsCte(metric: String): String =
+    s"""dedup AS (
+       |  SELECT skey, ts, arg_max(value, seq) AS value
+       |  FROM dp
+       |  WHERE metric = '$metric' AND ts BETWEEN $T0 AND $T1
+       |  GROUP BY skey, ts),
+       |bk AS (
+       |  SELECT skey, ts - ts % $SIXH AS t,
+       |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+       |              AS BIGINT) // 100 AS b
+       |  FROM dedup GROUP BY skey, ts - ts % $SIXH)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- OLS trend fit with R² --------------------------------------
+    // Per series: least-squares line over (bucket index, bucket value)
+    // plus the fit quality the Theil-Sen gate doesn't report. Bucket
+    // index i = (t-T0)/6h keeps every moment product (i ≤ 28) inside
+    // int64; slope/intercept/R² are three fixed-shape expressions over
+    // six exact integer sums. One aggregation per series — the least
+    // data a trend fit can touch.
+    "q_ols_fit" -> { (s, dir) =>
+      buckets6h(s, dir, "view")
+        .withColumn("i", expr(s"(t - ${T0}L) div ${SIXH}L"))
+        .groupBy("skey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("i")).as("si"), sum(col("i") * col("i")).as("sii"),
+          sum(col("b")).as("sb"), sum(col("b") * col("b")).as("sbb"),
+          sum(col("i") * col("b")).as("sib"))
+        .withColumn("dx", col("n") * col("sii") - col("si") * col("si"))
+        .withColumn("dy", col("n") * col("sbb") - col("sb") * col("sb"))
+        .withColumn("num", col("n") * col("sib") - col("si") * col("sb"))
+        .filter(col("n") >= 8 && col("dx") > 0 && col("dy") > 0)
+        .withColumn("slope", col("num").cast("double") / col("dx").cast("double"))
+        .withColumn("icept",
+          (col("sb").cast("double") - col("slope") * col("si").cast("double"))
+            / col("n").cast("double"))
+        .withColumn("r2",
+          (col("num").cast("double") * col("num").cast("double"))
+            / (col("dx").cast("double") * col("dy").cast("double")))
+        .select(col("skey"), col("n"), sround(col("slope") / 100).as("slope"),
+          sround(col("icept") / 100).as("icept"), sround(col("r2")).as("r2"))
+        .orderBy("skey")
+    },
+
+    // ---- cross-metric Pearson correlation ---------------------------
+    // Which entities' `view` and `click` series move together: bucket
+    // grids of both metrics joined on (tag suffix, bucket), five-sum
+    // Pearson per entity. The join is equi-keyed on (tkey, t) — at
+    // scale both sides are the already-tiny bucket aggregates, not raw
+    // points, and co-partition on the same key.
+    "q_xcorr" -> { (s, dir) =>
+      val a = buckets6h(s, dir, "view")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("bx"))
+      val c = buckets6h(s, dir, "click")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("by"))
+      a.join(c, Seq("tkey", "t"))
+        .groupBy("tkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("bx")).as("sx"), sum(col("by")).as("sy"),
+          sum(col("bx") * col("by")).as("sxy"),
+          sum(col("bx") * col("bx")).as("sxx"),
+          sum(col("by") * col("by")).as("syy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("n") >= 8 && col("vx") > 0 && col("vy") > 0)
+        .withColumn("r",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(col("vx").cast("double") * col("vy").cast("double")))
+        .select(col("tkey"), col("n"), sround(col("r")).as("r"))
+        .orderBy("tkey")
+    },
+
+    // ---- Spearman rank correlation (tie-broken) ---------------------
+    // The robust sibling of q_xcorr: Pearson over RANKS, so monotone
+    // but non-linear co-movement still scores. Ranks are row_numbers
+    // ordered by (value, bucket) — the bucket tiebreak makes ranks
+    // deterministic integers (documented variant: ties broken by time,
+    // not averaged), and the whole statistic is then exact-integer
+    // until one final division. Windows partition by entity — bounded
+    // state, no extra shuffle beyond the rank sort.
+    "q_spearman" -> { (s, dir) =>
+      val a = buckets6h(s, dir, "view")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("bx"))
+      val c = buckets6h(s, dir, "click")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("by"))
+      val j = a.join(c, Seq("tkey", "t"))
+      val rx = Window.partitionBy("tkey").orderBy(col("bx"), col("t"))
+      val ry = Window.partitionBy("tkey").orderBy(col("by"), col("t"))
+      j.withColumn("rx", row_number().over(rx).cast("long"))
+        .withColumn("ry", row_number().over(ry).cast("long"))
+        .groupBy("tkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("n") >= 8 && col("vx") > 0 && col("vy") > 0)
+        .withColumn("rho",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(col("vx").cast("double") * col("vy").cast("double")))
+        .select(col("tkey"), col("n"), sround(col("rho")).as("rho"))
+        .orderBy("tkey")
+    },
+
+    // ---- STL-style seasonal decomposition ---------------------------
+    // value = trend + seasonal + residual on the 6h grid with a daily
+    // period (4 buckets): trend = centered 5-point moving average
+    // (full windows only), detrended values quantized to a 1e-1 grid
+    // then phase-averaged into the seasonal component (exact integer
+    // sums → one division), residual = detrended − seasonal. One
+    // window pass + one phase aggregation per series; per-series state
+    // is the 5-bucket window, constant at any corpus size.
+    "q_stl" -> { (s, dir) =>
+      val w = Window.partitionBy("skey").orderBy("t").rowsBetween(-2, 2)
+      val det = buckets6h(s, dir, "view")
+        .withColumn("tsum", sum(col("b")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") === 5)
+        .withColumn("trend", col("tsum").cast("double") / 5.0)
+        .withColumn("qdet",
+          floor((col("b").cast("double") - col("trend")) * 10 + 0.5 + 1e-6)
+            .cast("long"))
+        .withColumn("phase", expr(s"((t - ${T0}L) div ${SIXH}L) % 4"))
+      val seas = det.groupBy("skey", "phase")
+        .agg(sum(col("qdet")).as("sq"), count(lit(1)).as("nq"))
+        .withColumn("seasonal",
+          col("sq").cast("double") / (col("nq").cast("double") * 10.0))
+        .select("skey", "phase", "seasonal")
+      det.join(seas, Seq("skey", "phase"))
+        .select(col("skey"), expr("t div 1000").as("ts"),
+          sround(col("trend") / 100).as("trend"),
+          sround(col("seasonal") / 100).as("seasonal"),
+          sround((col("qdet").cast("double") / 10.0 - col("seasonal")) / 100)
+            .as("resid"))
+        .orderBy("skey", "ts")
+    },
+
+    // ---- single change-point detection ------------------------------
+    // Per series, the split of the bucket sequence that maximizes the
+    // between-segment variance reduction (the CART/Fisher split — the
+    // batch cousin of the CUSUM gate's sequential detector): gain(i) ∝
+    // diff²/(n₁·n₂) with diff = S₁·n₂ − S₂·n₁ from prefix sums. diff is
+    // exact int64; it is cast to double BEFORE squaring so the score
+    // never overflows. Deterministic argmax: ties break to the earliest
+    // split. One cumulative window + one rank window per series.
+    "q_changepoint" -> { (s, dir) =>
+      val wc = Window.partitionBy("skey").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy("skey")
+      val scored = buckets6h(s, dir, "view")
+        .withColumn("s1", sum(col("b")).over(wc))
+        .withColumn("n1", count(lit(1)).over(wc))
+        .withColumn("st", sum(col("b")).over(wa))
+        .withColumn("nt", count(lit(1)).over(wa))
+        .filter(col("n1") < col("nt") && col("nt") >= 8)
+        .withColumn("n2", col("nt") - col("n1"))
+        .withColumn("diff",
+          (col("s1") * col("n2") - (col("st") - col("s1")) * col("n1"))
+            .cast("double"))
+        .withColumn("gain",
+          col("diff") * col("diff")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+      val pick = Window.partitionBy("skey")
+        .orderBy(col("gain").desc, col("t"))
+      scored.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("skey"), expr("(t + " + SIXH + "L) div 1000").as("split_ts"),
+          col("n1").as("n_left"), col("n2").as("n_right"),
+          sround(col("s1").cast("double") / col("n1") / 100).as("mean_left"),
+          sround((col("st") - col("s1")).cast("double") / col("n2") / 100)
+            .as("mean_right"))
+        .orderBy("skey")
+    },
+
+    // ---- seasonal-naive forecast backtest ---------------------------
+    // The measure-don't-guess gate for the forecasting family: hold out
+    // the window's last day, forecast each held-out bucket two ways —
+    // seasonal-naive (same bucket yesterday) and naive (previous
+    // bucket) — and report per-series sMAPE for both plus the winner.
+    // Forecasts come from equi-joins on the shifted bucket key (gaps
+    // pair only with real buckets, same as q_acf); each sMAPE term is
+    // quantized to the 1e-4 grid and summed as integers, so the
+    // winner comparison crosses engines exactly.
+    "q_snaive_eval" -> { (s, dir) =>
+      val bk = buckets6h(s, dir, "view")
+      val cut = T1 - DAY
+      val eval0 = bk.filter(col("t") >= cut)
+        .select(col("skey"), col("t"), col("b").as("actual"))
+      val joined = eval0
+        .join(bk.select(col("skey"), (col("t") + DAY).as("t"),
+          col("b").as("fs")), Seq("skey", "t"))
+        .join(bk.select(col("skey"), (col("t") + SIXH).as("t"),
+          col("b").as("fn")), Seq("skey", "t"))
+        .filter(abs(col("fs")) + abs(col("actual")) > 0 &&
+          abs(col("fn")) + abs(col("actual")) > 0)
+      def term(f: Column): Column =
+        floor(lit(2.0) * abs(f - col("actual")).cast("double")
+          / (abs(f) + abs(col("actual"))).cast("double") * 10000 + 0.5 + 1e-6)
+          .cast("long")
+      joined
+        .withColumn("qs", term(col("fs")))
+        .withColumn("qn", term(col("fn")))
+        .groupBy("skey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qs")).as("ss"), sum(col("qn")).as("sn"))
+        .withColumn("smape_snaive",
+          col("ss").cast("double") / (col("n").cast("double") * 10000.0))
+        .withColumn("smape_naive",
+          col("sn").cast("double") / (col("n").cast("double") * 10000.0))
+        .select(col("skey"), col("n"),
+          sround(col("smape_snaive")).as("smape_snaive"),
+          sround(col("smape_naive")).as("smape_naive"),
+          when(col("ss") < col("sn"), "snaive")
+            .when(col("ss") > col("sn"), "naive")
+            .otherwise("tie").as("winner"))
+        .orderBy("skey")
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val fiveSumR = (pre: String) =>
+      s"""ag AS (
+         |  SELECT $pre, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(bx) AS BIGINT) AS sx,
+         |         CAST(sum(byy) AS BIGINT) AS sy,
+         |         CAST(sum(bx * byy) AS BIGINT) AS sxy,
+         |         CAST(sum(bx * bx) AS BIGINT) AS sxx,
+         |         CAST(sum(byy * byy) AS BIGINT) AS syy
+         |  FROM pr GROUP BY $pre),
+         |v AS (
+         |  SELECT $pre, n, sxy, sx, sy,
+         |         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+         |  FROM ag)""".stripMargin
+
+    Map(
+      "q_ols_fit" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""ix AS (
+           |  SELECT skey, (t - $T0) // $SIXH AS i, b FROM bk),
+           |ag AS (
+           |  SELECT skey, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(i) AS BIGINT) AS si,
+           |         CAST(sum(i * i) AS BIGINT) AS sii,
+           |         CAST(sum(b) AS BIGINT) AS sb,
+           |         CAST(sum(b * b) AS BIGINT) AS sbb,
+           |         CAST(sum(i * b) AS BIGINT) AS sib
+           |  FROM ix GROUP BY skey),
+           |d AS (
+           |  SELECT skey, n, n * sii - si * si AS dx, n * sbb - sb * sb AS dy,
+           |         n * sib - si * sb AS num, si, sb
+           |  FROM ag),
+           |f AS (
+           |  SELECT skey, n, dx, dy, num, si, sb,
+           |         CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) AS slope
+           |  FROM d WHERE n >= 8 AND dx > 0 AND dy > 0)
+           |SELECT skey, n,
+           |       ${sroundSql("slope / 100")} AS slope,
+           |       ${sroundSql(
+                "((CAST(sb AS DOUBLE) - slope * CAST(si AS DOUBLE))" +
+                " / CAST(n AS DOUBLE)) / 100")} AS icept,
+           |       ${sroundSql(
+                "(CAST(num AS DOUBLE) * CAST(num AS DOUBLE))" +
+                " / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))")} AS r2
+           |FROM f ORDER BY skey""".stripMargin),
+
+      "q_xcorr" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric IN ('view', 'click') AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT substr(skey, instr(skey, ',') + 1) AS tkey,
+           |         CASE WHEN skey LIKE 'view%' THEN 'view' ELSE 'click' END AS m,
+           |         ts - ts % $SIXH AS t,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup
+           |  GROUP BY 1, 2, 3),
+           |pr AS (
+           |  SELECT x.tkey, x.b AS bx, y.b AS byy
+           |  FROM bk x JOIN bk y ON y.tkey = x.tkey AND y.t = x.t
+           |  WHERE x.m = 'view' AND y.m = 'click'),
+           |${fiveSumR("tkey")}
+           |SELECT tkey, n,
+           |       ${sroundSql(
+                "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS r
+           |FROM v WHERE n >= 8 AND vx > 0 AND vy > 0
+           |ORDER BY tkey""".stripMargin),
+
+      "q_spearman" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric IN ('view', 'click') AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT substr(skey, instr(skey, ',') + 1) AS tkey,
+           |         CASE WHEN skey LIKE 'view%' THEN 'view' ELSE 'click' END AS m,
+           |         ts - ts % $SIXH AS t,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup
+           |  GROUP BY 1, 2, 3),
+           |j AS (
+           |  SELECT x.tkey, x.t, x.b AS vbx, y.b AS vby
+           |  FROM bk x JOIN bk y ON y.tkey = x.tkey AND y.t = x.t
+           |  WHERE x.m = 'view' AND y.m = 'click'),
+           |rk AS (
+           |  SELECT tkey,
+           |         CAST(row_number() OVER
+           |           (PARTITION BY tkey ORDER BY vbx, t) AS BIGINT) AS bx,
+           |         CAST(row_number() OVER
+           |           (PARTITION BY tkey ORDER BY vby, t) AS BIGINT) AS byy
+           |  FROM j),
+           |pr AS (SELECT tkey, bx, byy FROM rk),
+           |${fiveSumR("tkey")}
+           |SELECT tkey, n,
+           |       ${sroundSql(
+                "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS rho
+           |FROM v WHERE n >= 8 AND vx > 0 AND vy > 0
+           |ORDER BY tkey""".stripMargin),
+
+      "q_stl" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""tr AS (
+           |  SELECT skey, t, b,
+           |         CAST(sum(b) OVER w AS BIGINT) AS tsum,
+           |         count(*) OVER w AS cnt
+           |  FROM bk
+           |  WINDOW w AS (PARTITION BY skey ORDER BY t
+           |               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+           |det AS (
+           |  SELECT skey, t, CAST(tsum AS DOUBLE) / 5.0 AS trend,
+           |         CAST(floor((CAST(b AS DOUBLE) - CAST(tsum AS DOUBLE) / 5.0)
+           |              * 10 + 0.5 + 1e-6) AS BIGINT) AS qdet,
+           |         ((t - $T0) // $SIXH) % 4 AS phase
+           |  FROM tr WHERE cnt = 5),
+           |seas AS (
+           |  SELECT skey, phase,
+           |         CAST(sum(qdet) AS DOUBLE)
+           |           / (CAST(count(*) AS DOUBLE) * 10.0) AS seasonal
+           |  FROM det GROUP BY skey, phase)
+           |SELECT d.skey, d.t // 1000 AS ts,
+           |       ${sroundSql("d.trend / 100")} AS trend,
+           |       ${sroundSql("s.seasonal / 100")} AS seasonal,
+           |       ${sroundSql(
+                "(CAST(d.qdet AS DOUBLE) / 10.0 - s.seasonal) / 100")} AS resid
+           |FROM det d JOIN seas s ON d.skey = s.skey AND d.phase = s.phase
+           |ORDER BY d.skey, ts""".stripMargin),
+
+      "q_changepoint" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""pf AS (
+           |  SELECT skey, t,
+           |         CAST(sum(b) OVER (PARTITION BY skey ORDER BY t
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |              AS BIGINT) AS s1,
+           |         CAST(count(*) OVER (PARTITION BY skey ORDER BY t
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |              AS BIGINT) AS n1,
+           |         CAST(sum(b) OVER (PARTITION BY skey) AS BIGINT) AS st,
+           |         CAST(count(*) OVER (PARTITION BY skey) AS BIGINT) AS nt
+           |  FROM bk),
+           |sc AS (
+           |  SELECT skey, t, s1, n1, st, nt, nt - n1 AS n2,
+           |         CAST(s1 * (nt - n1) - (st - s1) * n1 AS DOUBLE) AS diff
+           |  FROM pf WHERE n1 < nt AND nt >= 8),
+           |gn AS (
+           |  SELECT skey, t, s1, n1, st, n2,
+           |         diff * diff / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           |           AS gain
+           |  FROM sc),
+           |pick AS (
+           |  SELECT *, row_number() OVER
+           |           (PARTITION BY skey ORDER BY gain DESC, t) AS rn
+           |  FROM gn)
+           |SELECT skey, (t + $SIXH) // 1000 AS split_ts,
+           |       n1 AS n_left, n2 AS n_right,
+           |       ${sroundSql("CAST(s1 AS DOUBLE) / n1 / 100")} AS mean_left,
+           |       ${sroundSql("CAST(st - s1 AS DOUBLE) / n2 / 100")} AS mean_right
+           |FROM pick WHERE rn = 1 ORDER BY skey""".stripMargin),
+
+      "q_snaive_eval" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""ev AS (
+           |  SELECT e.skey, e.t, e.b AS actual, s.b AS fs, n.b AS fn
+           |  FROM bk e
+           |  JOIN bk s ON s.skey = e.skey AND s.t = e.t - $DAY
+           |  JOIN bk n ON n.skey = e.skey AND n.t = e.t - $SIXH
+           |  WHERE e.t >= ${T1 - DAY}
+           |    AND abs(s.b) + abs(e.b) > 0 AND abs(n.b) + abs(e.b) > 0),
+           |qt AS (
+           |  SELECT skey,
+           |         CAST(floor(2.0 * abs(CAST(fs - actual AS DOUBLE))
+           |              / CAST(abs(fs) + abs(actual) AS DOUBLE)
+           |              * 10000 + 0.5 + 1e-6) AS BIGINT) AS qs,
+           |         CAST(floor(2.0 * abs(CAST(fn - actual AS DOUBLE))
+           |              / CAST(abs(fn) + abs(actual) AS DOUBLE)
+           |              * 10000 + 0.5 + 1e-6) AS BIGINT) AS qn
+           |  FROM ev),
+           |ag AS (
+           |  SELECT skey, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(qs) AS BIGINT) AS ss,
+           |         CAST(sum(qn) AS BIGINT) AS sn
+           |  FROM qt GROUP BY skey)
+           |SELECT skey, n,
+           |       ${sroundSql(
+                "CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)")}
+           |         AS smape_snaive,
+           |       ${sroundSql(
+                "CAST(sn AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)")}
+           |         AS smape_naive,
+           |       CASE WHEN ss < sn THEN 'snaive'
+           |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
+           |FROM ag ORDER BY skey""".stripMargin)
+    )
+  }
+}

@@ -20,18 +20,18 @@ object SparkEntry {
 
   // Fixed, deterministic query window inside the events data range
   // (2024-01-01 .. 2024-01-30 UTC).
-  private val T0 = 1704412800000L // 2024-01-05 00:00:00 UTC
-  private val T1 = 1705017600000L // 2024-01-12 00:00:00 UTC
-  private val HOUR = 3600000L
-  private val M90 = 5400000L
-  private val SIXH = 21600000L
-  private val DAY = 86400000L
+  private[graft] val T0 = 1704412800000L // 2024-01-05 00:00:00 UTC
+  private[graft] val T1 = 1705017600000L // 2024-01-12 00:00:00 UTC
+  private[graft] val HOUR = 3600000L
+  private[graft] val M90 = 5400000L
+  private[graft] val SIXH = 21600000L
+  private[graft] val DAY = 86400000L
 
   /** DuckDB CTE reconstructing the dp view + canonical series key from
     * `events` — the oracle-side twin of [[graft.model.DpView.dp]] and
     * [[graft.model.Dp.seriesKey]] (tag keys sorted: dc < host < od).
     */
-  private val dpCte: String =
+  private[graft] val dpCte: String =
     """WITH dp AS (
       |  SELECT event_type AS metric,
       |         'host' || CAST(user_id % 5 AS VARCHAR) AS host,
@@ -57,8 +57,8 @@ object SparkEntry {
     * decimal expansion, DuckDB rounds after an fp multiply — they disagree
     * on boundary doubles).
     */
-  private def sround(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6) / 10000.0
-  private def sroundSql(e: String): String =
+  private[graft] def sround(c: Column): Column = floor(c * 10000 + 0.5 + 1e-6) / 10000.0
+  private[graft] def sroundSql(e: String): String =
     s"floor(($e) * 10000 + 0.5 + 1e-6) / 10000.0"
 
   private def out(df: DataFrame): DataFrame = {
@@ -207,7 +207,7 @@ object SparkEntry {
     val cross = crossFuncs.map(fn => s"q_agg_$fn" ->
       ((s: SparkSession, dir: String) => crossQuery(fn)(s, dir))).toMap
 
-    ds ++ cross ++ PipelineQueries.queries ++ Map(
+    ds ++ cross ++ PipelineQueries.queries ++ SeriesAnalytics.queries ++ Map(
       // §2.2 scan + §2.4 exact/literal_or filters + §2.7 dedup + §1.3
       // relative-time parsing ("7d-ago" of end == T0)
       "q_scan_range" -> { (s, dir) =>
@@ -1363,7 +1363,7 @@ object SparkEntry {
     val ds = dsFuncs.map(fn => s"q_ds_$fn" -> dsOracle(fn)).toMap
     val cross = crossFuncs.map(fn => s"q_agg_$fn" -> crossOracle(fn)).toMap
 
-    ds ++ cross ++ PipelineQueries.oracleSql ++ Map(
+    ds ++ cross ++ PipelineQueries.oracleSql ++ SeriesAnalytics.oracleSql ++ Map(
       "q_scan_range" -> (dpCte + "\n" +
         s"""SELECT skey, ts // 1000 AS ts, floor((arg_max(value, seq)) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
            |FROM dp

@@ -36,6 +36,31 @@ object Sampling {
     df.withColumn("split", chain)
   }
 
+  /** EXACT-count stratified sample: from every stratum keep exactly
+    * `ceil(n·num/den)` rows — the rows with the smallest salted hash
+    * (id tiebreak). [[deterministicSample]]'s bucket filter hits the
+    * fraction only in expectation (binomial noise per stratum — ±3%
+    * at n=10⁴); evaluation and mixture builds need the per-stratum
+    * count to be exact, which takes a rank, not a threshold.
+    *
+    * The quota test is pure integer arithmetic (`rn·den ≤ n·num+den−1`
+    * ⇔ `rn ≤ ceil(n·num/den)`) — no float fraction, so no
+    * `ceil(0.8·5)=5` IEEE edge and no cross-engine drift. One
+    * rank-window per stratum; at 100 TB strata sort independently and
+    * per-task state is a row_number counter, not the stratum.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      num: Int, den: Int, salt: String = "strat"): DataFrame = {
+    require(num >= 0 && den > 0, "fraction num/den with den > 0")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5Hash60(concat(col(idCol).cast("string"), lit("_" + salt))),
+        col(idCol))
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .filter(col("_rn") * den <= col("_n") * num + (den - 1))
+      .drop("_rn", "_n")
+  }
+
   /** Keep a deterministic `fraction` of rows (bucket < fraction·10⁴). */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
       salt: String = "sample"): DataFrame =

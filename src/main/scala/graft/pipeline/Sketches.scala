@@ -65,6 +65,17 @@ object Sketches {
     * Returns `(groupCol, est)` with the raw (unrounded) estimate.
     */
   def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, groupCol, p), Seq("grp"), p)
+      .withColumnRenamed("grp", groupCol)
+
+  /** The register state of [[hllDistinct]]: `(grp, bucket, M)` — one
+    * map-side-combined `max` aggregation, fixed `2^p` longs per group.
+    * This relation IS the sketch: persist it per day/shard and any later
+    * union (across time, across sources) is a bucket-wise `max` — the
+    * merge property that makes HLL the 100 TB cardinality answer.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]")
     val m = 1 << p
@@ -73,14 +84,23 @@ object Sketches {
     val hp = shiftright(h, p)
     val rho = when(hp === 0, lit(S))
       .otherwise(lit(S) - length(bin(hp))) // S − bitlen, exact
-    val regs = df
-      .select(col(groupCol).as("grp"), h.bitwiseAND(m - 1).as("bucket"),
+    df.select(col(groupCol).as("grp"), h.bitwiseAND(m - 1).as("bucket"),
         rho.as("rho"))
       .groupBy("grp", "bucket").agg(max(col("rho")).as("M"))
+  }
+
+  /** Read an HLL estimate out of a register relation keyed by
+    * `groupCols` (integer harmonic sum, fixed-shape final formula,
+    * linear-counting small-range branch — see [[hllDistinct]]).
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val S = 61 - p
     val term = round(pow(lit(2.0), (lit(S) - col("M")).cast("double"))).cast("long")
     val alpha = 0.7213 / (1 + 1.079 / m)
     val pow2S = math.pow(2.0, S) // 2^53 for p=8 — exact in double
-    regs.groupBy("grp")
+    regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("nb"), sum(term).as("zp"))
       .withColumn("zint", col("zp") + (lit(m.toLong) - col("nb")) * lit(1L << S))
       .withColumn("v", lit(m.toLong) - col("nb")) // empty registers
@@ -91,7 +111,57 @@ object Sketches {
         when(col("eraw") <= 2.5 * m && col("v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
           .otherwise(col("eraw")))
-      .select(col("grp").as(groupCol), col("est"))
+      .select(groupCols.map(col) :+ col("est"): _*)
+  }
+
+  /** HLL SET ALGEBRA across groups — the report "how much do these
+    * sources' vocabularies overlap" computed entirely from merged
+    * sketches, never from the raw keys: for every unordered group pair,
+    * union registers = bucket-wise `max` of the two register sets →
+    * union estimate; intersection by inclusion–exclusion
+    * (`e₁ + e₂ − e_union`, floored at 0); Jaccard = inter/union.
+    *
+    * 100 TB shape: the raw keys are touched ONCE ([[hllRegisters]] —
+    * map-side-combined); everything after operates on `groups × 2^p`
+    * register rows, so the pairwise stage costs |groups|²·2^p sketch
+    * rows — independent of corpus size. Exactly how a catalog answers
+    * "overlap between any two of 10,000 daily shards" without re-reading
+    * a byte of data.
+    */
+  def hllOverlap(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    // registers feed three plan branches (two pair sides + singles) —
+    // persist so the one corpus-wide pass runs once
+    val regs = hllRegisters(df, keyCol, groupCol, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    regs.count()
+    val groups = regs.select(col("grp")).distinct()
+    val pairs = groups.as("g1").join(groups.withColumnRenamed("grp", "grp2").as("g2"),
+      col("grp") < col("grp2"))
+    // two equi-joins + union (never an OR-join → BNLJ): each pair row
+    // picks up both members' registers, bucket-wise max merges them
+    val side1 = pairs.join(regs, Seq("grp"))
+      .select(col("grp"), col("grp2"), col("bucket"), col("M"))
+    val side2 = pairs
+      .join(regs.select(col("grp").as("grp2"), col("bucket"), col("M")), Seq("grp2"))
+      .select(col("grp"), col("grp2"), col("bucket"), col("M"))
+    val unionRegs = side1.union(side2)
+      .groupBy("grp", "grp2", "bucket").agg(max(col("M")).as("M"))
+    val eu = hllEstimate(unionRegs, Seq("grp", "grp2"), p)
+      .withColumnRenamed("est", "est_union")
+    val singles = hllEstimate(regs, Seq("grp"), p)
+    val out = eu
+      .join(singles.select(col("grp"), col("est").as("e1")), "grp")
+      .join(singles.select(col("grp").as("grp2"), col("est").as("e2")), "grp2")
+      .withColumn("est_inter",
+        greatest(lit(0.0), col("e1") + col("e2") - col("est_union")))
+      .withColumn("jacc", col("est_inter") / col("est_union"))
+      .select(col("grp").as("g1"), col("grp2").as("g2"),
+        col("est_union"), col("est_inter"), col("jacc"))
+    val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    o.count()
+    regs.unpersist()
+    o
   }
 
   /** Fixed-grid (equi-width histogram) quantile sketch per group: values

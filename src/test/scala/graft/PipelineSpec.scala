@@ -1216,6 +1216,66 @@ class PipelineSpec extends SparkSpec {
     assert(got(99) === ((99, 9L, 99L, 100L)))
   }
 
+  test("stratifiedSample: exactly ceil(n·num/den) rows per stratum") {
+    val d = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    // strata sizes: s0=34, s1=33, s2=33; f=1/4 → quotas 9, 9, 9
+    val got = graft.pipeline.Sampling
+      .stratifiedSample(d, "doc_id", "src", num = 1, den = 4)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(got === Map("s0" -> 9L, "s1" -> 9L, "s2" -> 9L))
+    // determinism: same call → same ids
+    val a = graft.pipeline.Sampling
+      .stratifiedSample(d, "doc_id", "src", num = 1, den = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = graft.pipeline.Sampling
+      .stratifiedSample(d, "doc_id", "src", num = 1, den = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // num=den keeps everything
+    assert(graft.pipeline.Sampling
+      .stratifiedSample(d, "doc_id", "src", num = 1, den = 1).count() === 100L)
+  }
+
+  test("zValue16: known interleavings and locality of the curve") {
+    val d = Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L), (3L, 5L))
+      .toDF("x", "y")
+    val got = d.select($"x", $"y",
+      graft.pipeline.Layout.zValue16($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((0L, 0L)) === 0L)
+    assert(got((255L, 0L)) === 0x5555L) // x fills even bit positions
+    assert(got((0L, 255L)) === 0xAAAAL) // y fills odd bit positions
+    assert(got((255L, 255L)) === 0xFFFFL)
+    // x=3 (011) even positions → 1+4=5; y=5 (101) odd positions → 2+32=34
+    assert(got((3L, 5L)) === 39L)
+  }
+
+  test("hllOverlap: union dominates singles, identical groups overlap fully") {
+    // two disjoint vocabularies + one group equal to the first
+    val rows =
+      (0 until 600).map(i => ("a", s"tok$i")) ++
+        (0 until 600).map(i => ("b", s"other$i")) ++
+        (0 until 600).map(i => ("c", s"tok$i"))
+    val d = rows.toDF("src", "tok")
+    val ov = graft.pipeline.Sketches.hllOverlap(d, "tok", "src")
+      .select($"g1", $"g2", $"est_union", $"est_inter", $"jacc")
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    val single = graft.pipeline.Sketches.hllDistinct(d, "tok", "src")
+      .as[(String, Double)].collect().toMap
+    // disjoint pair: union ≈ e1+e2, jaccard near 0
+    val (uAb, iAb, jAb) = ov(("a", "b"))
+    assert(uAb >= math.max(single("a"), single("b")) - 1e-6)
+    assert(jAb < 0.15, s"disjoint vocabularies read jacc=$jAb")
+    assert(iAb < 0.2 * uAb)
+    // identical pair: union ≈ each single, jaccard near 1
+    val (uAc, _, jAc) = ov(("a", "c"))
+    assert(math.abs(uAc - single("a")) < 1e-6,
+      "a and c have identical registers — union must equal the single")
+    assert(jAc > 0.85, s"identical vocabularies read jacc=$jAc")
+  }
+
   test("gridQuantiles: negative values floor-divide (no toward-zero drift)") {
     // -25..-1 with cell 10: floor division puts -25..-21 in bucket -3
     // (upper edge -21), -20..-11 in -2 (edge -11), -10..-1 in -1 (edge

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-9 statistical analytics gates —
+  * the hash-exactness lives in the DuckDB oracle; these pin the math
+  * properties a refactor could silently break.
+  */
+class SeriesAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // sf0.01: the cross-metric joins and the held-out-day backtest need
+  // denser series than sf0.001 provides (n ≥ 8 joint buckets per entity)
+  private val sf = "/root/testdata/sf0.01"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_ols_fit: R² bounded in [0,1], every series reported once") {
+    val r = run("q_ols_fit").select($"skey", $"r2").as[(String, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(_._1).distinct.length === r.length, "one row per series")
+    r.foreach { case (k, r2) =>
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$k r2=$r2")
+    }
+  }
+
+  test("q_xcorr and q_spearman: coefficients bounded in [-1,1], same keys") {
+    val px = run("q_xcorr").select($"tkey", $"r").as[(String, Double)].collect()
+    val ps = run("q_spearman").select($"tkey", $"rho").as[(String, Double)].collect()
+    assert(px.nonEmpty && ps.nonEmpty)
+    (px.map(_._2) ++ ps.map(_._2)).foreach(v =>
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+    // both correlate the same (view, click) entity pairs
+    assert(px.map(_._1).sorted.toSeq === ps.map(_._1).sorted.toSeq)
+  }
+
+  test("q_stl: seasonal component is constant per (series, phase)") {
+    val r = run("q_stl")
+      .select($"skey", $"ts", $"seasonal", $"resid")
+      .as[(String, Long, Double, Double)].collect()
+    assert(r.nonEmpty)
+    // seasonal is a per-(series, phase) mean — every bucket of the same
+    // phase must carry the identical value; residuals absorb the rest
+    val T0s = 1704412800L // gate window start, seconds
+    val sixHs = 21600L
+    r.groupBy(t => (t._1, ((t._2 - T0s) / sixHs) % 4)).foreach {
+      case ((k, ph), rows) =>
+        assert(rows.map(_._3).distinct.length === 1,
+          s"$k phase $ph has non-constant seasonal")
+    }
+    // and residuals must center near zero within each phase group (the
+    // phase mean was subtracted; tolerance covers the 1e-1 grid and
+    // the 1e-4 output rounding)
+    r.groupBy(t => (t._1, ((t._2 - T0s) / sixHs) % 4)).foreach {
+      case ((k, ph), rows) =>
+        val rbar = rows.map(_._4).sum / rows.length
+        assert(math.abs(rbar) < 0.01, s"$k phase $ph resid mean $rbar")
+    }
+  }
+
+  test("q_changepoint: split partitions the bucket count, means differ") {
+    val bk = run("q_changepoint")
+      .select($"skey", $"n_left", $"n_right", $"mean_left", $"mean_right")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(bk.nonEmpty)
+    bk.foreach { case (k, nl, nr, _, _) =>
+      assert(nl >= 1 && nr >= 1, s"$k split degenerate")
+      assert(nl + nr >= 8, s"$k total below the gate's n floor")
+    }
+  }
+
+  test("q_snaive_eval: winner column agrees with the reported sMAPEs") {
+    val r = run("q_snaive_eval")
+      .select($"skey", $"smape_snaive", $"smape_naive", $"winner")
+      .as[(String, Double, Double, String)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, ss, sn, w) =>
+      assert(ss >= 0 && ss <= 2.0 + 1e-9 && sn >= 0 && sn <= 2.0 + 1e-9,
+        s"$k sMAPE out of [0,2]")
+      // winner is decided on the unrounded integer sums; the rounded
+      // columns can tie while the sums differ, so only check the
+      // strict-inequality direction
+      if (ss < sn) assert(w === "snaive", s"$k $ss < $sn but winner=$w")
+      if (ss > sn) assert(w === "naive", s"$k $ss > $sn but winner=$w")
+    }
+  }
+}
