@@ -132,24 +132,35 @@ object Sketches {
       p: Int = 8): DataFrame = {
     // registers feed three plan branches (two pair sides + singles) —
     // persist so the one corpus-wide pass runs once
+    val spark = df.sparkSession
+    import spark.implicits._
     val regs = hllRegisters(df, keyCol, groupCol, p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     regs.count()
-    val groups = regs.select(col("grp")).distinct()
-    val pairs = groups.as("g1").join(groups.withColumnRenamed("grp", "grp2").as("g2"),
-      col("grp") < col("grp2"))
+    // group names are the report's axis — bounded by construction (the
+    // caller picks which sources/shards to compare; same contract as the
+    // one-row-per-source rates in Sampling). Building the pair frame on
+    // the driver keeps every cluster-side join EQUI — a `g1 < g2`
+    // dataframe join would be a nested-loop — and the pair frame then
+    // broadcasts into the register joins.
+    val gs = regs.select(col("grp").cast("string")).distinct()
+      .as[String].collect().sorted
+    val pairs = (for {
+      i <- gs.indices; j <- (i + 1) until gs.length
+    } yield (gs(i), gs(j))).toSeq.toDF("grp", "grp2")
+    val regsS = regs.withColumn("grp", col("grp").cast("string"))
     // two equi-joins + union (never an OR-join → BNLJ): each pair row
     // picks up both members' registers, bucket-wise max merges them
-    val side1 = pairs.join(regs, Seq("grp"))
+    val side1 = pairs.join(regsS, Seq("grp"))
       .select(col("grp"), col("grp2"), col("bucket"), col("M"))
     val side2 = pairs
-      .join(regs.select(col("grp").as("grp2"), col("bucket"), col("M")), Seq("grp2"))
+      .join(regsS.select(col("grp").as("grp2"), col("bucket"), col("M")), Seq("grp2"))
       .select(col("grp"), col("grp2"), col("bucket"), col("M"))
     val unionRegs = side1.union(side2)
       .groupBy("grp", "grp2", "bucket").agg(max(col("M")).as("M"))
     val eu = hllEstimate(unionRegs, Seq("grp", "grp2"), p)
       .withColumnRenamed("est", "est_union")
-    val singles = hllEstimate(regs, Seq("grp"), p)
+    val singles = hllEstimate(regsS, Seq("grp"), p)
     val out = eu
       .join(singles.select(col("grp"), col("est").as("e1")), "grp")
       .join(singles.select(col("grp").as("grp2"), col("est").as("e2")), "grp2")

@@ -225,4 +225,64 @@ class PlanAuditSpec extends SparkSpec {
       s"1-row cohort stats must broadcast\n$plan")
     assert(f.sortAggregates == 0)
   }
+
+  test("OLS fit: single moment aggregation, no joins, pushdown") {
+    val (f, plan) = fp("q_ols_fit")
+    assert(f.pushedFilters, "ts/metric bounds must reach the scan")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"six-sum fit must be one aggregation chain, not a join\n$plan")
+    assert(f.sortAggregates == 0, "moment sums must stay hash-agg")
+  }
+
+  test("cross-metric correlation: bucket frames join equi on (tkey, t)") {
+    Seq("q_xcorr", "q_spearman").foreach { q =>
+      val (f, plan) = fp(q)
+      assert(f.pushedFilters, s"$q: metric/ts bounds must reach the scan")
+      assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+        s"$q entity join degenerated\n$plan")
+      assert(f.sortAggregates == 0, s"$q moment sums must stay hash-agg")
+    }
+  }
+
+  test("STL: one 5-bucket window + phase agg; seasonal joins back equi") {
+    val (f, plan) = fp("q_stl")
+    assert(f.pushedFilters)
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"phase join degenerated\n$plan")
+  }
+
+  test("changepoint: prefix-sum windows + rank, no joins at all") {
+    val (f, plan) = fp("q_changepoint")
+    assert(f.pushedFilters)
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"split scoring must be windows over one frame, not a join\n$plan")
+  }
+
+  test("seasonal-naive backtest: shifted self-joins stay equi-keyed") {
+    val (f, plan) = fp("q_snaive_eval")
+    assert(f.pushedFilters)
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"forecast join degenerated\n$plan")
+    assert(f.sortAggregates == 0, "sMAPE term sums must stay hash-agg")
+  }
+
+  test("stratified sample: one rank window per stratum, no joins") {
+    val (f, plan) = fp("pl_sample_strat")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"quota filter must ride the rank window, not a count join\n$plan")
+    assert(f.exchanges <= 2, s"pl_sample_strat shuffles: ${f.exchanges}\n$plan")
+  }
+
+  test("z-order audit: per-row curve key + one aggregation, no joins") {
+    val (f, plan) = fp("pl_zorder")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"Morton key must be an expression, not a join\n$plan")
+  }
+
+  test("HLL overlap: register joins all equi, estimates hash-aggregated") {
+    val (f, plan) = fp("pl_hll_overlap")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"pair-union register merge degenerated to a cartesian\n$plan")
+    assert(f.sortAggregates == 0, "register max/harmonic sums must stay hash-agg")
+  }
 }
