@@ -113,7 +113,8 @@ object SparkEntry {
     * `batches` yields one closure per micro-batch of addData calls;
     * each is followed by processAllAvailable.
     */
-  private def runReplay(s: SparkSession, out: DataFrame, qn: String)(
+  private def runReplay(s: SparkSession, out: DataFrame, qn: String,
+      outputMode: String = "append")(
       batches: () => Seq[() => Unit]): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get(
@@ -133,7 +134,7 @@ object SparkEntry {
     try {
       val q = out.writeStream.format("memory")
         .option("checkpointLocation", ckpt.toString)
-        .queryName(qn).outputMode("append").start()
+        .queryName(qn).outputMode(outputMode).start()
       try batches().foreach { b => b(); q.processAllAvailable() }
       finally q.stop()
     } finally {
@@ -691,6 +692,49 @@ object SparkEntry {
         s.table(qn)
           .select(col("skey"), col("ts"), col("value"), col("seq"))
           .orderBy("seq")
+      },
+
+      // BEYOND-REFERENCE streaming cardinality sketch: distinct users
+      // per (metric, day) maintained CONTINUOUSLY as HLL registers — the
+      // state is (groups × 256) longs no matter how many events stream
+      // through, `max` merges order-free, so the final registers (and
+      // the estimate read off them) are byte-identical to the batch
+      // sketch regardless of micro-batching. Two-batch replay proves the
+      // merge; exact batch distinct alongside prices the accuracy. This
+      // is the 100 TB continuous-ingest answer to COUNT(DISTINCT): no
+      // per-user state, no late-data re-scan.
+      "q_hll_stream" -> { (s, dir) =>
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = DpView.events(s, dir)
+          .select(col("event_type").as("metric"), DpView.tsMillis.as("ts"),
+            col("user_id"))
+          .filter(col("ts").between(T0, T1))
+        val rows = ev.as[(String, Long, Long)].collect().sortBy(r => (r._2, r._3))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, Long)]
+        val st = mem.toDS().toDF("metric", "ts", "user_id")
+          .withColumn("day", col("ts") - pmod(col("ts"), lit(DAY)))
+          .withColumn("ukey", col("user_id").cast("string"))
+        val regs = graft.pipeline.Sketches
+          .hllRegistersBy(st, "ukey", Seq("metric", "day"))
+        val qn = s"q_hll_stream_${streamGateSeq.incrementAndGet()}"
+        runReplay(s, regs, qn, outputMode = "complete") { () =>
+          val (b1, b2) = rows.partition(_._3 % 2 == 0)
+          Seq(
+            () => mem.addData(b1.toSeq: _*),
+            () => mem.addData(b2.toSeq: _*))
+        }
+        val est = graft.pipeline.Sketches
+          .hllEstimate(s.table(qn), Seq("metric", "day"), 8)
+        val exact = ev
+          .withColumn("day", col("ts") - pmod(col("ts"), lit(DAY)))
+          .groupBy("metric", "day")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(est, Seq("metric", "day"))
+          .select(col("metric"), expr("day div 1000").as("day"),
+            col("n_exact"), sround(col("est")).as("est"))
+          .orderBy("metric", "day")
       },
 
       // §2.10 maintained metadata end-to-end: ingest batches update
@@ -1670,6 +1714,54 @@ object SparkEntry {
         s"""SELECT skey, ts, value, seq FROM dp
            |WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
            |ORDER BY seq""".stripMargin),
+
+      // the streaming HLL's final registers are order-free, so the
+      // batch replay (identical md5 registers + estimate formula as
+      // pl_hll_distinct's oracle, keyed metric×day) is the exact truth
+      "q_hll_stream" ->
+        s"""WITH ev AS (
+           |  SELECT event_type AS metric, epoch_ms(ts) AS ts, user_id
+           |  FROM events),
+           |w AS (
+           |  SELECT metric, ts - ts % $DAY AS day,
+           |         CAST(user_id AS VARCHAR) AS k, user_id
+           |  FROM ev WHERE ts BETWEEN $T0 AND $T1),
+           |hs AS (
+           |  SELECT metric, day, user_id,
+           |         CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+           |  FROM w),
+           |regs AS (
+           |  SELECT metric, day, h & 255 AS bucket,
+           |    max(CASE WHEN (h >> 8) = 0 THEN 53
+           |             ELSE 53 - length(bin(h >> 8)) END) AS M
+           |  FROM hs GROUP BY 1, 2, 3),
+           |agg AS (
+           |  SELECT metric, day, count(*) AS nb,
+           |    sum(CAST(round(power(2, 53 - M)) AS BIGINT)) AS zp
+           |  FROM regs GROUP BY 1, 2),
+           |f AS (
+           |  SELECT metric, day,
+           |    CAST(zp + (256 - nb) * 9007199254740992 AS BIGINT) AS zint,
+           |    256 - nb AS v
+           |  FROM agg),
+           |e AS (
+           |  SELECT metric, day, v,
+           |    (0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0
+           |      / (CAST(zint AS DOUBLE) / 9007199254740992.0e0) AS eraw
+           |  FROM f),
+           |hll AS (
+           |  SELECT metric, day,
+           |    CASE WHEN eraw <= 640.0e0 AND v > 0
+           |         THEN 256.0e0 * ln(256.0e0 / CAST(v AS DOUBLE))
+           |         ELSE eraw END AS est
+           |  FROM e),
+           |ex AS (
+           |  SELECT metric, day, count(DISTINCT user_id) AS n_exact
+           |  FROM w GROUP BY 1, 2)
+           |SELECT ex.metric, ex.day // 1000 AS day, n_exact,
+           |       ${sroundSql("est")} AS est
+           |FROM ex JOIN hll USING (metric, day)
+           |ORDER BY metric, day""".stripMargin,
 
       // the streaming replay finalizes exactly the batch interval join's
       // pairs on the replay's deterministic user sample — same truth

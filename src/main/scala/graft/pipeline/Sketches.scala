@@ -76,6 +76,19 @@ object Sketches {
     * merge property that makes HLL the 100 TB cardinality answer.
     */
   def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 8): DataFrame =
+    hllRegistersBy(df, keyCol, Seq(groupCol), p)
+      .withColumnRenamed(groupCol, "grp")
+
+  /** [[hllRegisters]] keyed by several group columns — also the
+    * STREAMING form: `max` is an order-free streaming-supported
+    * aggregate, so piping a `readStream` frame through this builds the
+    * live register state (groups × 2^p longs, bounded) that complete/
+    * update sinks expose — a continuous distinct-count sketch whose
+    * final state is byte-identical to the batch one no matter how the
+    * stream was micro-batched.
+    */
+  def hllRegistersBy(df: DataFrame, keyCol: String, groupCols: Seq[String],
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]")
     val m = 1 << p
@@ -84,9 +97,10 @@ object Sketches {
     val hp = shiftright(h, p)
     val rho = when(hp === 0, lit(S))
       .otherwise(lit(S) - length(bin(hp))) // S − bitlen, exact
-    df.select(col(groupCol).as("grp"), h.bitwiseAND(m - 1).as("bucket"),
-        rho.as("rho"))
-      .groupBy("grp", "bucket").agg(max(col("rho")).as("M"))
+    df.select(groupCols.map(col) :+ h.bitwiseAND(m - 1).as("bucket") :+
+        rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("M"))
   }
 
   /** Read an HLL estimate out of a register relation keyed by

@@ -1276,6 +1276,23 @@ class PipelineSpec extends SparkSpec {
     assert(jAc > 0.85, s"identical vocabularies read jacc=$jAc")
   }
 
+  test("hllRegistersBy: merge of split halves equals whole (streaming claim)") {
+    val d = (0 until 500).map(i => (s"g${i % 2}", s"k$i")).toDF("g", "k")
+    val whole = graft.pipeline.Sketches.hllRegistersBy(d, "k", Seq("g"))
+      .as[(String, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val (h1, h2) = ((0 until 500).partition(_ % 3 == 0))
+    def regsOf(ix: Seq[Int]) = graft.pipeline.Sketches
+      .hllRegistersBy(ix.map(i => (s"g${i % 2}", s"k$i")).toDF("g", "k"),
+        "k", Seq("g"))
+      .as[(String, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val (r1, r2) = (regsOf(h1), regsOf(h2))
+    val merged = (r1.keySet ++ r2.keySet).map { k =>
+      k -> math.max(r1.getOrElse(k, 0), r2.getOrElse(k, 0))
+    }.toMap
+    assert(merged === whole,
+      "bucket-wise max of partial registers must equal the one-pass state")
+  }
+
   test("gridQuantiles: negative values floor-divide (no toward-zero drift)") {
     // -25..-1 with cell 10: floor division puts -25..-21 in bucket -3
     // (upper edge -21), -20..-11 in -2 (edge -11), -10..-1 in -1 (edge
