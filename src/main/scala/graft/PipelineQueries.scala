@@ -519,6 +519,30 @@ object PipelineQueries {
         .orderBy("g1", "g2")
     },
 
+    // token-budget water-filling: split 80% of the corpus' tokens
+    // across languages — small languages are taken whole, the big one
+    // is capped at the fill level; the only corpus pass is the token
+    // sum, the fill itself is a window scan over |sources| rows
+    "pl_budget_alloc" -> { (s, dir) =>
+      val d = TextAnalysis.withTokens(docs(s, dir))
+        .select(col("lang"), col("doc_id"), size(col("w_")).cast("long").as("ntok"))
+      val total = d.agg(sum("ntok").cast("long")).collect()(0).getLong(0)
+      Sampling.budgetAllocations(d, "ntok", "lang", total * 4 / 5)
+        .orderBy("source")
+    },
+
+    // the allocation APPLIED: per language take docs in salted-hash
+    // order until the budget is spent (greedy prefix, one rank window
+    // per stratum) — the distributed half of the budget mixture
+    "pl_budget_sample" -> { (s, dir) =>
+      val d = TextAnalysis.withTokens(docs(s, dir))
+        .select(col("lang"), col("doc_id"), size(col("w_")).cast("long").as("ntok"))
+      val total = d.agg(sum("ntok").cast("long")).collect()(0).getLong(0)
+      Sampling.budgetSample(d, "ntok", "lang", "doc_id", total * 4 / 5)
+        .select(col("doc_id"), col("lang"), col("ntok"))
+        .orderBy("doc_id")
+    },
+
     // exact-count stratified sample: EXACTLY ceil(n/4) docs per source
     // (smallest salted hash wins, id tiebreak) — the per-stratum
     // precision a bucket-threshold sample only hits in expectation;
@@ -3036,6 +3060,69 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
            |JOIN sest s2 ON s2.grp = u.g2
            |ORDER BY u.g1, u.g2""".stripMargin
 
+    // water-filling oracle: identical ordered scan (saturation test in
+    // pure integer arithmetic), identical λ/remainder math, one CTE
+    // chain shared by the alloc and sample gates
+    val budgetCtes =
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT lang, doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |tot AS (SELECT (CAST(sum(ntok) AS BIGINT) * 4) // 5 AS b FROM tok),
+         |cs AS (
+         |  SELECT lang AS source, CAST(sum(ntok) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1),
+         |scan AS (
+         |  SELECT source, c,
+         |         row_number() OVER (ORDER BY c, source) AS rn,
+         |         CAST(sum(c) OVER (ORDER BY c, source
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+         |         CAST(count(*) OVER () AS BIGINT) AS ns
+         |  FROM cs),
+         |st AS (
+         |  SELECT s.*, t.b,
+         |         (c * (ns - rn + 1) <= b - (pfx - c)) AS sat
+         |  FROM scan s, tot t),
+         |kk AS (
+         |  SELECT CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS K,
+         |         CAST(sum(CASE WHEN sat THEN c ELSE 0 END) AS BIGINT) AS PK,
+         |         max(ns) AS S, max(b) AS b
+         |  FROM st),
+         |pm AS (
+         |  SELECT CASE WHEN S > K THEN (b - PK) // (S - K) ELSE 0 END AS lam,
+         |         CASE WHEN S > K THEN (b - PK) % (S - K) ELSE 0 END AS r
+         |  FROM kk),
+         |fin AS (
+         |  SELECT s.source, s.c, s.sat,
+         |         CAST(sum(CASE WHEN s.sat THEN 0 ELSE 1 END) OVER (
+         |              ORDER BY s.source ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           AS unsat_rank,
+         |         p.lam, p.r
+         |  FROM st s, pm p),
+         |alloc AS (
+         |  SELECT source, c AS c_tokens,
+         |         CASE WHEN sat THEN c
+         |              ELSE lam + CASE WHEN unsat_rank <= r THEN 1 ELSE 0 END
+         |         END AS alloc,
+         |         sat AS saturated
+         |  FROM fin)""".stripMargin
+
+    val budgetAlloc = budgetCtes + "\n" +
+      """SELECT source, c_tokens, alloc, saturated
+        |FROM alloc ORDER BY source""".stripMargin
+
+    val budgetSample = budgetCtes + ",\n" +
+      s"""sel AS (
+         |  SELECT t.doc_id, t.lang, t.ntok,
+         |    CAST(sum(t.ntok) OVER (PARTITION BY t.lang
+         |      ORDER BY ${h60Sql("CAST(t.doc_id AS VARCHAR) || '_budget'")},
+         |               t.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok,
+         |    a.alloc
+         |  FROM tok t JOIN alloc a ON a.source = t.lang)
+         |SELECT doc_id, lang, ntok FROM sel
+         |WHERE ctok <= alloc ORDER BY doc_id""".stripMargin
+
     // stratified-sample oracle: the same salted-hash rank and the same
     // integer quota test (rn·4 ≤ n + 3 ⇔ rn ≤ ceil(n/4))
     val sampleStrat =
@@ -3101,6 +3188,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_hll_overlap" -> hllOverlap,
       "pl_sample_strat" -> sampleStrat,
       "pl_zorder" -> zorder,
+      "pl_budget_alloc" -> budgetAlloc,
+      "pl_budget_sample" -> budgetSample,
       "pl_cms_topk" -> cmsTopk,
       "pl_len_quantiles" -> lenQuantiles,
       "pl_bm25" -> bm25,

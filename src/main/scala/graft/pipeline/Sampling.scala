@@ -124,6 +124,92 @@ object Sampling {
       .drop("copies_")
   }
 
+  /** Token-budget WATER-FILLING across sources: split a global token
+    * budget `B` so every source gets an equal share λ, except sources
+    * smaller than λ, which are taken whole and their leftover re-split
+    * among the rest (the "give me 1B tokens, don't over-drain small
+    * domains" allocator behind published LM data mixes). The fill level
+    * is found by one ordered scan over per-source totals: in ascending
+    * `c` order, source `i` saturates iff even-splitting what remains
+    * after all smaller sources covers it — saturation is prefix-closed,
+    * so the scan is one cumulative window. Integer division throughout;
+    * the `mod` remainder goes one token each to the lexicographically
+    * first unsaturated sources, so the allocation is a pure function of
+    * the totals — any engine replays it.
+    *
+    * Returns one row per source: `(source, c_tokens, alloc, saturated)`
+    * with `Σ alloc = min(B, Σ c_tokens)`.
+    *
+    * 100 TB shape: the only corpus-wide work is the per-source token
+    * sum (map-side combined); the water-fill itself runs over
+    * |sources| rows — window functions on a frame the size of the
+    * domain list.
+    */
+  def budgetAllocations(df: DataFrame, tokenCol: String, sourceCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget >= 0")
+    val totals = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol)).cast("long").as("c"))
+    val w = Window.orderBy(col("c"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val scan = totals
+      .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("source"))))
+      .withColumn("pfx", sum(col("c")).over(w))
+      .withColumn("ns", count(lit(1)).over(wAll))
+      // source rn saturates iff c ≤ (B − prefix-before-it) div (sources from it on)
+      .withColumn("sat",
+        col("c") * (col("ns") - col("rn") + 1) <=
+          lit(budget) - (col("pfx") - col("c")))
+    val kRow = scan.agg(
+      sum(when(col("sat"), 1L).otherwise(0L)).as("K"),
+      sum(when(col("sat"), col("c")).otherwise(0L)).as("PK"),
+      max(col("ns")).as("S"))
+    // λ = (B − P_K) div (S − K); remainder r spreads one token each to
+    // the r lexicographically-first unsaturated sources
+    // λ via exact integer floor division: subtract the pmod first so the
+    // double division is a representable-integer / k — never a rounding
+    // at an integer boundary (both engines then agree bit-for-bit)
+    val d = lit(budget) - col("PK")
+    val k = col("S") - col("K")
+    val params = kRow.select(
+      col("K"), col("S"),
+      when(col("S") > col("K"), ((d - pmod(d, k)) / k).cast("long"))
+        .otherwise(lit(0L)).as("lam"),
+      when(col("S") > col("K"), pmod(d, k)).otherwise(lit(0L))
+        .cast("long").as("r"))
+    val wName = Window.orderBy(col("source"))
+    scan.crossJoin(broadcast(params))
+      .withColumn("unsatRank",
+        sum(when(col("sat"), 0L).otherwise(1L)).over(
+          wName.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("alloc",
+        when(col("sat"), col("c"))
+          .otherwise(col("lam") +
+            when(col("unsatRank") <= col("r"), 1L).otherwise(0L)))
+      .select(col("source"), col("c").as("c_tokens"), col("alloc"),
+        col("sat").as("saturated"))
+  }
+
+  /** Apply [[budgetAllocations]]: per source, take documents in salted-
+    * hash order until the next one would exceed the source's allocation
+    * (greedy prefix — deterministic, one rank window per source).
+    * Returns the kept rows with their token count.
+    */
+  def budgetSample(df: DataFrame, tokenCol: String, sourceCol: String,
+      idCol: String, budget: Long, salt: String = "budget"): DataFrame = {
+    val alloc = budgetAllocations(df, tokenCol, sourceCol, budget)
+      .select(col("source").as(sourceCol), col("alloc"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5Hash60(concat(col(idCol).cast("string"), lit("_" + salt))),
+        col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(alloc), sourceCol)
+      .withColumn("_ctok", sum(col(tokenCol)).over(w))
+      .filter(col("_ctok") <= col("alloc"))
+      .drop("_ctok", "alloc")
+  }
+
   /** Keep at most `maxPerKey` rows per key, chosen deterministically by
     * salted md5 rank (doc id tie-break) — the per-host document cap of
     * web-corpus pipelines, reproducible across runs and engines. One

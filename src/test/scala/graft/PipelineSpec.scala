@@ -1276,6 +1276,45 @@ class PipelineSpec extends SparkSpec {
     assert(jAc > 0.85, s"identical vocabularies read jacc=$jAc")
   }
 
+  test("budgetAllocations: water-fill saturates small sources, conserves budget") {
+    // totals: a=10, b=20, c=100, B=60 → even λ0=20 covers a (10≤20) and
+    // b (b: c·(ns−rn+1)=20·2=40 ≤ 60−10=50 ✓); c gets 60−30=30
+    val d = Seq.tabulate(10)(i => ("a", 1L)) ++
+      Seq.tabulate(10)(i => ("b", 2L)) ++ Seq.tabulate(10)(i => ("c", 10L))
+    val df = d.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("id", "src", "ntok")
+    val got = graft.pipeline.Sampling
+      .budgetAllocations(df, "ntok", "src", budget = 60L)
+      .select($"source", $"c_tokens", $"alloc", $"saturated")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((10L, 10L, true)))
+    assert(got("b") === ((20L, 20L, true)))
+    assert(got("c") === ((100L, 30L, false)))
+    // budget ≥ corpus: everything saturates at its own size
+    val full = graft.pipeline.Sampling
+      .budgetAllocations(df, "ntok", "src", budget = 1000L)
+      .select($"alloc").as[Long].collect().sum
+    assert(full === 130L)
+    // remainder spreads one token each to the first unsaturated sources
+    val rem = graft.pipeline.Sampling
+      .budgetAllocations(df, "ntok", "src", budget = 62L)
+      .select($"source", $"alloc").as[(String, Long)].collect().toMap
+    assert(rem("a") === 10L && rem("b") === 20L && rem("c") === 32L)
+  }
+
+  test("budgetSample: per-source token mass never exceeds the allocation") {
+    val df = (0L until 60L).map(i => (i, s"s${i % 3}", 5L))
+      .toDF("id", "src", "ntok")
+    val B = 150L // per-source c=100; λ=50 → 10 docs of 5 tokens each
+    val kept = graft.pipeline.Sampling
+      .budgetSample(df, "ntok", "src", "id", B)
+      .groupBy("src").agg(sum($"ntok").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(kept.values.forall(_ <= 50L), s"overspent: $kept")
+    assert(kept.values.sum === 150L, "greedy prefix should spend the budget")
+  }
+
   test("hllRegistersBy: merge of split halves equals whole (streaming claim)") {
     val d = (0 until 500).map(i => (s"g${i % 2}", s"k$i")).toDF("g", "k")
     val whole = graft.pipeline.Sketches.hllRegistersBy(d, "k", Seq("g"))
