@@ -657,6 +657,20 @@ object PipelineQueries {
         .orderBy("vec_id", "j")
     },
 
+    // PCA top component: distributed dim²-moment aggregation (the only
+    // corpus pass), exact-BigInt power iteration on the driver's
+    // dim²-bounded covariance (the centroid-collect contract), then a
+    // per-row integer-dot projection — the data-driven projection next
+    // to pl_rproj's random one; projections are the 1-D embedding used
+    // for binning/curricula
+    "pl_pca" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val d = Similarity.pca1Direction(e)
+      Similarity.pca1Project(e, d)
+        .select(col("vec_id"), sround(col("pc1")).as("pc1"))
+        .orderBy("vec_id")
+    },
+
     // SQ8 kNN: int8-code cosine (scales cancel), exact integer dots —
     // the 4×-smaller-scan rung between brute force and PQ
     "pl_knn_sq8" -> { (s, dir) =>
@@ -1936,6 +1950,58 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |       ${sroundSql("CAST(yq AS DOUBLE) / 10000.0 / sqrt(16.0)")} AS y
          |FROM terms ORDER BY vec_id, j""".stripMargin
 
+    // PCA oracle: identical quantized moments in HUGEINT, four unrolled
+    // power iterations with the magnitude-only rescale (floor-vs-
+    // truncate can't diverge), first-nonzero-positive sign, integer-dot
+    // projection. The m=0 rescale branch pins x to the 10⁴ start value
+    // — reachable only for a zero covariance matrix, where the Spark
+    // side's keep-previous rule lands on the same vector.
+    val pcaIter = (i: Int) => {
+      val prev = if (i == 1) "x0" else s"x${i - 1}"
+      s"""y$i AS (
+         |  SELECT cm.j, sum(cm.c * p.x) AS y
+         |  FROM cm JOIN $prev p ON p.j = cm.k GROUP BY cm.j),
+         |m$i AS (SELECT max(abs(y)) AS m FROM y$i),
+         |x$i AS MATERIALIZED (
+         |  SELECT y$i.j,
+         |    CASE WHEN m$i.m = 0 THEN CAST(10000 AS HUGEINT)
+         |         WHEN y$i.y < 0 THEN -((abs(y$i.y) * 10000) // m$i.m)
+         |         ELSE (abs(y$i.y) * 10000) // m$i.m END AS x
+         |  FROM y$i, m$i)""".stripMargin
+    }
+    val pca =
+      s"""WITH vq AS MATERIALIZED (
+         |  SELECT vec_id, CAST(j.range AS INT) AS j,
+         |    CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1] AS DOUBLE)
+         |         * 10000 + 0.5 + 1e-6) AS BIGINT) AS v
+         |  FROM embeddings CROSS JOIN range(64) j),
+         |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM vq),
+         |sj AS (SELECT j, CAST(sum(v) AS HUGEINT) AS s FROM vq GROUP BY j),
+         |sjk AS (
+         |  SELECT a.j AS j, b.j AS k, CAST(sum(a.v * b.v) AS HUGEINT) AS s
+         |  FROM vq a JOIN vq b USING (vec_id) GROUP BY 1, 2),
+         |cm AS MATERIALIZED (
+         |  SELECT s2.j, s2.k, nn.n * s2.s - x1.s * x2.s AS c
+         |  FROM sjk s2 CROSS JOIN nn
+         |  JOIN sj x1 ON x1.j = s2.j JOIN sj x2 ON x2.j = s2.k),
+         |x0 AS (
+         |  SELECT CAST(j.range AS INT) AS j, CAST(10000 AS HUGEINT) AS x
+         |  FROM range(64) j),
+         |${pcaIter(1)},
+         |${pcaIter(2)},
+         |${pcaIter(3)},
+         |${pcaIter(4)},
+         |fz AS (SELECT min(j) AS j0 FROM x4 WHERE x != 0),
+         |sg AS (
+         |  SELECT CASE WHEN (SELECT x4.x FROM x4, fz WHERE x4.j = fz.j0) < 0
+         |              THEN -1 ELSE 1 END AS sg),
+         |dir AS (SELECT j, x * sg AS x FROM x4, sg)
+         |SELECT vq.vec_id,
+         |       ${sroundSql("CAST(sum(vq.v * dir.x) AS DOUBLE) / 100000000.0e0")}
+         |         AS pc1
+         |FROM vq JOIN dir USING (j)
+         |GROUP BY vq.vec_id ORDER BY vq.vec_id""".stripMargin
+
     // SQ8 oracle: replay embedPrep's symmetric int8 quantization
     // (floor(x·127/max|x| + 0.5) over the double-cast vector), then the
     // identical integer-dot cosine and ranking
@@ -3190,6 +3256,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_zorder" -> zorder,
       "pl_budget_alloc" -> budgetAlloc,
       "pl_budget_sample" -> budgetSample,
+      "pl_pca" -> pca,
       "pl_cms_topk" -> cmsTopk,
       "pl_len_quantiles" -> lenQuantiles,
       "pl_bm25" -> bm25,

@@ -158,6 +158,76 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Top principal component by POWER ITERATION over the integer
+    * covariance matrix — the data-driven counterpart of
+    * [[randomProject]]: one direction that captures the corpus' largest
+    * variance, for 1-D binning/curricula ordering of embeddings or as
+    * the first step of a PCA whitening chain.
+    *
+    * 100 TB shape: the ONLY corpus-wide work is the (dim² + dim)
+    * moment-sum aggregation — map-side combined, one shuffle keyed by
+    * (j, k). The covariance matrix itself is dim² numbers (the k·dim
+    * centroid-collect contract), so the iteration runs on the driver in
+    * exact BigInt arithmetic.
+    *
+    * Determinism (engine-replayable end-to-end): components quantize to
+    * the 1e-4 integer grid; C_jk = n·Σv_jv_k − (Σv_j)(Σv_k) in exact
+    * big-integer math; each iteration rescales via
+    * `sign(y)·((|y|·10⁴) div max|y|)` — magnitude-only division, so
+    * floor-vs-truncate never diverges on negatives; final sign flips so
+    * the first nonzero component is positive. The DuckDB oracle replays
+    * the identical chain in HUGEINT.
+    *
+    * Returns the direction on the 1e-4 grid (length `dim`, values in
+    * [−10⁴, 10⁴]).
+    */
+  def pca1Direction(emb: DataFrame, dim: Int = 64, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Long] = {
+    val vq = emb.select(col(idCol),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * 10000 + 0.5 + 1e-6).cast("long")))
+        .as(Seq("j", "v")))
+    val n = BigInt(emb.count())
+    val sj = vq.groupBy("j").agg(sum(col("v")).as("s"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+    val sjk = vq.as("a")
+      .join(vq.withColumnRenamed("j", "k").withColumnRenamed("v", "w"), idCol)
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("v") * col("w")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
+    val c = Array.tabulate(dim, dim) { (j, k) =>
+      n * sjk((j, k)) - sj(j) * sj(k)
+    }
+    var x = Array.fill(dim)(BigInt(10000))
+    (0 until iters).foreach { _ =>
+      val y = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => c(j)(k) * x(k)).sum)
+      val m = y.map(_.abs).max
+      x =
+        if (m == 0) x
+        else y.map(v => v.sign * ((v.abs * 10000) / m))
+    }
+    val firstNz = x.indexWhere(_ != 0)
+    val canon = if (firstNz >= 0 && x(firstNz) < 0) x.map(-_) else x
+    canon.map(_.toLong)
+  }
+
+  /** Project every vector onto [[pca1Direction]]'s axis: exact integer
+    * dot of the 1e-4-grid components against the 1e-4-grid direction,
+    * one fixed-shape de-scale. Per-row Column math, no shuffle.
+    * Output: (id, pc1).
+    */
+  def pca1Project(emb: DataFrame, direction: Array[Long],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = array(direction.map(lit): _*)
+    val dot = aggregate(sequence(lit(0), lit(direction.length - 1)), lit(0L),
+      (acc, i) => acc +
+        floor(element_at(col(vecCol), i + 1).cast("double") * 10000 + 0.5 + 1e-6)
+          .cast("long") * element_at(d, i + 1))
+    emb.select(col(idCol), (dot.cast("double") / 1e8).as("pc1"))
+  }
+
   /** Johnson–Lindenstrauss random projection with database-friendly ±1
     * signs (Achlioptas 2003): `y_j = (1/√outDim)·Σ_i x_i·s_{ij}`, the
     * embedding-compression pass run before indexing when dim itself is

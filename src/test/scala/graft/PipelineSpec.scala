@@ -1276,6 +1276,32 @@ class PipelineSpec extends SparkSpec {
     assert(jAc > 0.85, s"identical vocabularies read jacc=$jAc")
   }
 
+  test("pca1: projection variance beats every raw axis; sign canonical") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = graft.pipeline.Similarity.pca1Direction(e)
+    assert(dir.length === 64)
+    // canonical sign: first nonzero component positive
+    assert(dir.find(_ != 0).forall(_ > 0))
+    // unit-ish on the grid: max |component| = 10000 (the rescale pins it)
+    assert(dir.map(math.abs).max === 10000L)
+    def variance(xs: Array[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(v => (v - mu) * (v - mu)).sum / xs.length
+    }
+    val proj = graft.pipeline.Similarity.pca1Project(e, dir)
+      .select($"pc1").as[Double].collect()
+    // ||dir|| on the 1e-4 grid, to compare projection variance per unit
+    // direction against raw per-axis variances
+    val nrm2 = dir.map(d => d.toDouble / 10000.0).map(d => d * d).sum
+    val pvar = variance(proj) / nrm2
+    val raw = e.select($"embedding").as[Array[Float]].collect()
+    val axisVars = (0 until 64).map(j => variance(raw.map(_(j).toDouble)))
+    assert(pvar >= axisVars.max * 0.999,
+      s"pc1 variance $pvar below best axis ${axisVars.max}")
+    // deterministic across invocations
+    assert(graft.pipeline.Similarity.pca1Direction(e).toSeq === dir.toSeq)
+  }
+
   test("budgetAllocations: water-fill saturates small sources, conserves budget") {
     // totals: a=10, b=20, c=100, B=60 → even λ0=20 covers a (10≤20) and
     // b (b: c·(ns−rn+1)=20·2=40 ≤ 60−10=50 ✓); c gets 60−30=30
