@@ -671,6 +671,16 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // per-dimension z-scoring: integer moments (one map-side-combined
+    // shuffle), 64-row moment frame broadcast back, one fixed-shape
+    // IEEE chain — the whitening-lite pass before SQ8/PQ when a
+    // dimension's global scale is skewed
+    "pl_emb_standardize" -> { (s, dir) =>
+      Similarity.standardize(emb(s, dir))
+        .select(col("vec_id"), col("j"), sround(col("z")).as("z"))
+        .orderBy("vec_id", "j")
+    },
+
     // SQ8 kNN: int8-code cosine (scales cancel), exact integer dots —
     // the 4×-smaller-scan rung between brute force and PQ
     "pl_knn_sq8" -> { (s, dir) =>
@@ -2002,6 +2012,31 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM vq JOIN dir USING (j)
          |GROUP BY vq.vec_id ORDER BY vq.vec_id""".stripMargin
 
+    // standardize oracle: identical integer moments and the identical
+    // μ/σ/z chain per dimension
+    val embStandardize =
+      s"""WITH vq AS MATERIALIZED (
+         |  SELECT vec_id, CAST(j.range AS INT) AS j,
+         |    CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1] AS DOUBLE)
+         |         * 10000 + 0.5 + 1e-6) AS BIGINT) AS v
+         |  FROM embeddings CROSS JOIN range(64) j),
+         |mom AS (
+         |  SELECT j, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(v) AS BIGINT) AS s1,
+         |         CAST(sum(v * v) AS BIGINT) AS s2
+         |  FROM vq GROUP BY j),
+         |zz AS (
+         |  SELECT vq.vec_id, vq.j,
+         |         CAST(s1 AS DOUBLE) / n AS mu,
+         |         CAST(s2 AS DOUBLE) / n
+         |           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS vr,
+         |         vq.v
+         |  FROM vq JOIN mom ON mom.j = vq.j)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |       ${sroundSql("(CAST(v AS DOUBLE) - mu) / sqrt(vr)")} AS z
+         |FROM zz WHERE vr > 0
+         |ORDER BY vec_id, j""".stripMargin
+
     // SQ8 oracle: replay embedPrep's symmetric int8 quantization
     // (floor(x·127/max|x| + 0.5) over the double-cast vector), then the
     // identical integer-dot cosine and ranking
@@ -3257,6 +3292,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_budget_alloc" -> budgetAlloc,
       "pl_budget_sample" -> budgetSample,
       "pl_pca" -> pca,
+      "pl_emb_standardize" -> embStandardize,
       "pl_cms_topk" -> cmsTopk,
       "pl_len_quantiles" -> lenQuantiles,
       "pl_bm25" -> bm25,

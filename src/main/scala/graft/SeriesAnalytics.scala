@@ -229,6 +229,49 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- matrix profile (self-similarity scan) ----------------------
+    // Per series, each position's nearest-neighbor distance to every
+    // OTHER subsequence of the same series (Yeh et al. 2016's matrix
+    // profile, subsequence length 4 buckets, exclusion zone 2): low
+    // profile = repeated motif, high profile = discord (anomaly) — the
+    // primitive behind motif discovery without picking a threshold.
+    // Subsequences come from one lead-window pass (gaps break them:
+    // all four buckets must be consecutive); the pair stage is a keyed
+    // self-join per series — quadratic in the WINDOW's subsequence
+    // count (≤25 here), never corpus size, co-located per skey.
+    // Distances are exact integer sums; argmin ties to the earliest
+    // neighbor. Output: (skey, ts, d2, nn_ts).
+    "q_matrix_profile" -> { (s, dir) =>
+      val w = Window.partitionBy("skey").orderBy("t")
+      val sub = buckets6h(s, dir, "view")
+        .withColumn("t1", lead(col("t"), 1).over(w))
+        .withColumn("t2", lead(col("t"), 2).over(w))
+        .withColumn("t3", lead(col("t"), 3).over(w))
+        .withColumn("b1", lead(col("b"), 1).over(w))
+        .withColumn("b2", lead(col("b"), 2).over(w))
+        .withColumn("b3", lead(col("b"), 3).over(w))
+        .filter(col("t1") === col("t") + SIXH &&
+          col("t2") === col("t") + 2 * SIXH &&
+          col("t3") === col("t") + 3 * SIXH)
+        .select(col("skey"), col("t"), col("b"), col("b1"), col("b2"), col("b3"))
+      val other = sub.select(col("skey"), col("t").as("jt"),
+        col("b").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+        col("b3").as("c3"))
+      def sq(a: Column, b: Column): Column = (a - b) * (a - b)
+      val pairs = sub.join(other, Seq("skey"))
+        .filter(abs(col("jt") - col("t")) >= lit(2 * SIXH))
+        .withColumn("d2",
+          sq(col("b"), col("c0")) + sq(col("b1"), col("c1")) +
+            sq(col("b2"), col("c2")) + sq(col("b3"), col("c3")))
+      val pick = Window.partitionBy("skey", "t")
+        .orderBy(col("d2"), col("jt"))
+      pairs.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("skey"), expr("t div 1000").as("ts"), col("d2"),
+          expr("jt div 1000").as("nn_ts"))
+        .orderBy("skey", "ts")
+    },
+
     // ---- seasonal-naive forecast backtest ---------------------------
     // The measure-don't-guess gate for the forecasting family: hold out
     // the window's last day, forecast each held-out bucket two ways —
@@ -436,6 +479,34 @@ object SeriesAnalytics {
            |       ${sroundSql("CAST(s1 AS DOUBLE) / n1 / 100")} AS mean_left,
            |       ${sroundSql("CAST(st - s1 AS DOUBLE) / n2 / 100")} AS mean_right
            |FROM pick WHERE rn = 1 ORDER BY skey""".stripMargin),
+
+      "q_matrix_profile" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""sub AS (
+           |  SELECT skey, t, b,
+           |         lead(t, 1) OVER w AS t1, lead(t, 2) OVER w AS t2,
+           |         lead(t, 3) OVER w AS t3,
+           |         lead(b, 1) OVER w AS b1, lead(b, 2) OVER w AS b2,
+           |         lead(b, 3) OVER w AS b3
+           |  FROM bk
+           |  WINDOW w AS (PARTITION BY skey ORDER BY t)),
+           |ss AS (
+           |  SELECT skey, t, b, b1, b2, b3 FROM sub
+           |  WHERE t1 = t + $SIXH AND t2 = t + ${2 * SIXH}
+           |    AND t3 = t + ${3 * SIXH}),
+           |pr AS (
+           |  SELECT x.skey, x.t, y.t AS jt,
+           |         CAST((x.b - y.b) * (x.b - y.b)
+           |           + (x.b1 - y.b1) * (x.b1 - y.b1)
+           |           + (x.b2 - y.b2) * (x.b2 - y.b2)
+           |           + (x.b3 - y.b3) * (x.b3 - y.b3) AS BIGINT) AS d2
+           |  FROM ss x JOIN ss y ON y.skey = x.skey
+           |  WHERE abs(y.t - x.t) >= ${2 * SIXH}),
+           |pick AS (
+           |  SELECT *, row_number() OVER
+           |           (PARTITION BY skey, t ORDER BY d2, jt) AS rn
+           |  FROM pr)
+           |SELECT skey, t // 1000 AS ts, d2, jt // 1000 AS nn_ts
+           |FROM pick WHERE rn = 1 ORDER BY skey, ts""".stripMargin),
 
       "q_snaive_eval" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
         s"""ev AS (

@@ -228,6 +228,35 @@ object Similarity {
     emb.select(col(idCol), (dot.cast("double") / 1e8).as("pc1"))
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the whitening-lite preprocessing run before scalar quantization or
+    * distance work when dimensions carry wildly different scales (SQ8's
+    * per-vector max-scaling can't fix a globally skewed dimension).
+    *
+    * Determinism: components on the 1e-4 integer grid, per-dimension
+    * moments as exact int64 sums (map-side combined — the only
+    * shuffle), μ/σ/z one fixed-shape IEEE chain replayed identically by
+    * the oracle. The 64-row moment frame broadcasts back. Zero-variance
+    * dimensions drop (no z to report). Output long-form: (id, j, z).
+    */
+  def standardize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val vq = emb.select(col(idCol),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * 10000 + 0.5 + 1e-6).cast("long")))
+        .as(Seq("j", "v")))
+    val mom = vq.groupBy("j").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s1"),
+      sum(col("v") * col("v")).as("s2"))
+    vq.join(broadcast(mom), "j")
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("vr",
+        col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+      .filter(col("vr") > 0)
+      .withColumn("z", (col("v").cast("double") - col("mu")) / sqrt(col("vr")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("z"))
+  }
+
   /** Johnson–Lindenstrauss random projection with database-friendly ±1
     * signs (Achlioptas 2003): `y_j = (1/√outDim)·Σ_i x_i·s_{ij}`, the
     * embedding-compression pass run before indexing when dim itself is

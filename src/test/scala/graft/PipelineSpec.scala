@@ -1276,6 +1276,20 @@ class PipelineSpec extends SparkSpec {
     assert(jAc > 0.85, s"identical vocabularies read jacc=$jAc")
   }
 
+  test("standardize: per-dimension mean ~0 and variance ~1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val z = graft.pipeline.Similarity.standardize(e)
+      .select($"j", $"z").as[(Long, Double)].collect()
+    assert(z.nonEmpty)
+    z.groupBy(_._1).foreach { case (j, rows) =>
+      val xs = rows.map(_._2)
+      val mu = xs.sum / xs.length
+      val vr = xs.map(v => (v - mu) * (v - mu)).sum / xs.length
+      assert(math.abs(mu) < 1e-6, s"dim $j mean $mu")
+      assert(math.abs(vr - 1.0) < 1e-6, s"dim $j var $vr")
+    }
+  }
+
   test("pca1: projection variance beats every raw axis; sign canonical") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = graft.pipeline.Similarity.pca1Direction(e)

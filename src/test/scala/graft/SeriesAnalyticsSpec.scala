@@ -68,6 +68,19 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_matrix_profile: exclusion zone honored, distances non-negative") {
+    val r = run("q_matrix_profile")
+      .select($"skey", $"ts", $"d2", $"nn_ts")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, ts, d2, nn) =>
+      assert(d2 >= 0, s"$k d2 negative")
+      assert(math.abs(nn - ts) >= 2 * 21600L, s"$k trivial-match neighbor")
+    }
+    // one profile row per subsequence position
+    assert(r.map(t => (t._1, t._2)).distinct.length === r.length)
+  }
+
   test("q_snaive_eval: winner column agrees with the reported sMAPEs") {
     val r = run("q_snaive_eval")
       .select($"skey", $"smape_snaive", $"smape_naive", $"winner")
