@@ -229,6 +229,53 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- value-distribution drift (Jensen–Shannon) ------------------
+    // Did a series' VALUE DISTRIBUTION change between the window's two
+    // halves — the drift check behind "did the deploy change behavior"
+    // that mean-based monitors miss (same mean, different shape).
+    // Fixed 40-cell value histogram per half (2500 grid units ≈ 0.25
+    // value units per cell, saturating top cell), Laplace-smoothed
+    // probabilities, JS divergence. Each bucket's JS term is one
+    // fixed-shape expression over integer counts, quantized to a 1e-6
+    // integer BEFORE the per-series sum (order-free — the
+    // pl_corpus_stats cross-engine float rule). Observed-cell variant:
+    // cells empty in BOTH halves are skipped (both engines group the
+    // same relation, so the cell set matches exactly). Two hash
+    // aggregations, no joins; bounded by 40 cells per series.
+    "q_value_drift" -> { (s, dir) =>
+      val tm = (T0 + T1) / 2
+      val nb = 40
+      val d = Dp.withSeriesKey(
+        DpView.dp(s, dir)
+          .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+        .withColumn("h", when(col("ts") < tm, 0).otherwise(1))
+        .withColumn("vb",
+          least(expr("(q - pmod(q, 2500)) div 2500"), lit(nb - 1L)))
+      val cells = d.groupBy("skey", "vb").agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = d.groupBy("skey").agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n2"))
+      val p = (col("c1") + 1).cast("double") / (col("n1") + nb).cast("double")
+      val q = (col("c2") + 1).cast("double") / (col("n2") + nb).cast("double")
+      val m = (p + q) / 2.0
+      val term = p * log(p / m) + q * log(q / m)
+      cells.join(broadcast(tot), "skey")
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .withColumn("qt",
+          floor(term * 1000000 + 0.5 + 1e-6).cast("long"))
+        .groupBy("skey")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("qt")).as("sq"))
+        .select(col("skey"), col("n1"), col("n2"),
+          sround(col("sq").cast("double") / 2000000.0).as("js"))
+        .orderBy("skey")
+    },
+
     // ---- matrix profile (self-similarity scan) ----------------------
     // Per series, each position's nearest-neighbor distance to every
     // OTHER subsequence of the same series (Yeh et al. 2016's matrix
@@ -479,6 +526,45 @@ object SeriesAnalytics {
            |       ${sroundSql("CAST(s1 AS DOUBLE) / n1 / 100")} AS mean_left,
            |       ${sroundSql("CAST(st - s1 AS DOUBLE) / n2 / 100")} AS mean_right
            |FROM pick WHERE rn = 1 ORDER BY skey""".stripMargin),
+
+      "q_value_drift" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |hv AS (
+           |  SELECT skey,
+           |         CASE WHEN ts < ${(T0 + T1) / 2} THEN 0 ELSE 1 END AS h,
+           |         least(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)
+           |               // 2500, 39) AS vb
+           |  FROM dedup),
+           |cells AS (
+           |  SELECT skey, vb,
+           |         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM hv GROUP BY skey, vb),
+           |tot AS (
+           |  SELECT skey,
+           |         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           |  FROM hv GROUP BY skey),
+           |tm AS (
+           |  SELECT c.skey, t.n1, t.n2,
+           |    CAST(c.c1 + 1 AS DOUBLE) / CAST(t.n1 + 40 AS DOUBLE) AS p,
+           |    CAST(c.c2 + 1 AS DOUBLE) / CAST(t.n2 + 40 AS DOUBLE) AS q
+           |  FROM cells c JOIN tot t ON t.skey = c.skey
+           |  WHERE t.n1 > 0 AND t.n2 > 0),
+           |qt AS (
+           |  SELECT skey, n1, n2,
+           |    CAST(floor((p * ln(p / ((p + q) / 2.0e0))
+           |              + q * ln(q / ((p + q) / 2.0e0)))
+           |         * 1000000 + 0.5 + 1e-6) AS BIGINT) AS qt
+           |  FROM tm)
+           |SELECT skey, max(n1) AS n1, max(n2) AS n2,
+           |       ${sroundSql(
+                "CAST(sum(qt) AS DOUBLE) / 2000000.0e0")} AS js
+           |FROM qt GROUP BY skey ORDER BY skey""".stripMargin),
 
       "q_matrix_profile" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
         s"""sub AS (

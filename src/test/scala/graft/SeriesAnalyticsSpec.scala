@@ -68,6 +68,18 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_value_drift: JS bounded in [0, ln2], halves counted fully") {
+    val r = run("q_value_drift")
+      .select($"skey", $"n1", $"n2", $"js")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, n1, n2, js) =>
+      assert(n1 > 0 && n2 > 0, s"$k empty half")
+      assert(js >= -1e-4 && js <= math.log(2.0) + 1e-4,
+        s"$k js=$js outside [0, ln2]")
+    }
+  }
+
   test("q_matrix_profile: exclusion zone honored, distances non-negative") {
     val r = run("q_matrix_profile")
       .select($"skey", $"ts", $"d2", $"nn_ts")
