@@ -279,6 +279,45 @@ class PlanAuditSpec extends SparkSpec {
       s"Morton key must be an expression, not a join\n$plan")
   }
 
+  test("budget water-fill: one corpus pass; the fill runs on source rows") {
+    val (f, plan) = fp("pl_budget_alloc")
+    assert(f.nestedLoopJoins <= 1, // the 1-row λ/remainder params broadcast
+      s"water-fill grew an unbounded join\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian\n$plan")
+    val (f2, plan2) = fp("pl_budget_sample")
+    assert(f2.nestedLoopJoins <= 1, s"apply-side grew a BNLJ\n$plan2")
+    assert(f2.sortMergeJoins == 0,
+      s"per-source allocations must broadcast into the apply join\n$plan2")
+  }
+
+  test("pca: moment aggregation hash-aggregated; projection is per-row") {
+    val (f, plan) = fp("pl_pca")
+    assert(f.sortAggregates == 0, s"moment sums must stay hash-agg\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian\n$plan")
+  }
+
+  test("standardize: moment frame broadcasts back, no shuffle-join") {
+    val (f, plan) = fp("pl_emb_standardize")
+    assert(f.sortMergeJoins == 0,
+      s"64-row moment frame must broadcast\n$plan")
+    assert(f.sortAggregates == 0)
+  }
+
+  test("matrix profile: subsequence self-join equi on skey, pushdown") {
+    val (f, plan) = fp("q_matrix_profile")
+    assert(f.pushedFilters)
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"profile pair join degenerated\n$plan")
+  }
+
+  test("value drift: two hash aggs + broadcast totals, no SMJ") {
+    val (f, plan) = fp("q_value_drift")
+    assert(f.pushedFilters)
+    assert(f.sortMergeJoins == 0,
+      s"per-series totals must broadcast\n$plan")
+    assert(f.sortAggregates == 0)
+  }
+
   test("HLL overlap: register joins all equi, estimates hash-aggregated") {
     val (f, plan) = fp("pl_hll_overlap")
     assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
