@@ -229,6 +229,66 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- banded DTW (dynamic time warping) --------------------------
+    // How similar is a series' day-2 hourly profile to its day-1
+    // profile ALLOWING small time shifts — the alignment-tolerant
+    // distance Euclidean comparison can't give (a 1-hour phase shift
+    // costs Euclidean dearly, DTW almost nothing). Sakoe–Chiba band
+    // w=3; missing hours read 0 on the fixed 24-slot spine; costs are
+    // |Δ| over the 1e-2 integer grid, so the whole DP is exact integer
+    // math — the DuckDB oracle replays it as a 47-step anti-diagonal
+    // wavefront (two carried LIST states), while Spark runs the
+    // straightforward per-series DP in mapGroups: same recurrence, same
+    // integers, any evaluation order. Per-series state = two 24-slot
+    // arrays; the only shuffle keys by skey.
+    "q_dtw" -> { (s, dir) =>
+      import s.implicits._
+      val HOUR = 3600000L
+      val d2 = T0 + 2 * 86400000L
+      val bk = Dp.withSeriesKey(
+        DpView.dp(s, dir)
+          .filter(col("metric") === "view" &&
+            col("ts") >= T0 && col("ts") < d2))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+        .groupBy(col("skey"),
+          expr(s"(ts - ${T0}) div ${HOUR}").as("slot"))
+        .agg(sum(col("q")).as("sq_"))
+        .select(col("skey"), col("slot"), expr("sq_ div 100").as("b"))
+        .as[(String, Long, Long)]
+      val W = 3
+      val INF = 1L << 40
+      bk.groupByKey(_._1)
+        .mapGroups { (skey, it) =>
+          val m = it.map(t => t._2 -> t._3).toMap
+          val a = Array.tabulate(24)(i => m.getOrElse(i.toLong, 0L))
+          val b = Array.tabulate(24)(j => m.getOrElse((j + 24).toLong, 0L))
+          val dp = Array.fill(24, 24)(INF)
+          var i = 0
+          while (i < 24) {
+            var j = math.max(0, i - W)
+            val hi = math.min(23, i + W)
+            while (j <= hi) {
+              val c = math.abs(a(i) - b(j))
+              val best =
+                if (i == 0 && j == 0) 0L
+                else math.min(
+                  if (i > 0) dp(i - 1)(j) else INF,
+                  math.min(
+                    if (j > 0) dp(i)(j - 1) else INF,
+                    if (i > 0 && j > 0) dp(i - 1)(j - 1) else INF))
+              if (best < INF) dp(i)(j) = c + best
+              j += 1
+            }
+            i += 1
+          }
+          (skey, dp(23)(23))
+        }
+        .toDF("skey", "dtw")
+        .orderBy("skey")
+    },
+
     // ---- value-distribution drift (Jensen–Shannon) ------------------
     // Did a series' VALUE DISTRIBUTION change between the window's two
     // halves — the drift check behind "did the deploy change behavior"
@@ -526,6 +586,55 @@ object SeriesAnalytics {
            |       ${sroundSql("CAST(s1 AS DOUBLE) / n1 / 100")} AS mean_left,
            |       ${sroundSql("CAST(st - s1 AS DOUBLE) / n2 / 100")} AS mean_right
            |FROM pick WHERE rn = 1 ORDER BY skey""".stripMargin),
+
+      // DTW oracle: the same integer DP evaluated as a 47-step
+      // anti-diagonal wavefront — a recursive CTE carrying the two
+      // previous diagonals as LIST state (the Holt-Winters per-step
+      // LIST pattern). Out-of-band cells hold the INF constant;
+      // out-of-range list indexes read NULL, which `least` skips —
+      // both behaviors mirror the Spark DP's validity guards exactly.
+      "q_dtw" -> (dpCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts >= $T0 AND ts < ${T0 + 2 * 86400000L}
+           |  GROUP BY skey, ts),
+           |bk24 AS MATERIALIZED (
+           |  SELECT skey, (ts - $T0) // 3600000 AS slot,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup GROUP BY 1, 2),
+           |spine AS (
+           |  SELECT k.skey, CAST(s.range AS BIGINT) AS slot
+           |  FROM (SELECT DISTINCT skey FROM bk24) k CROSS JOIN range(48) s),
+           |grid AS (
+           |  SELECT sp.skey, sp.slot, COALESCE(b.b, 0) AS b
+           |  FROM spine sp LEFT JOIN bk24 b
+           |    ON b.skey = sp.skey AND b.slot = sp.slot),
+           |vecs AS (
+           |  SELECT skey,
+           |    list(b ORDER BY slot) FILTER (WHERE slot < 24) AS av,
+           |    list(b ORDER BY slot) FILTER (WHERE slot >= 24) AS bv
+           |  FROM grid GROUP BY skey),
+           |rec AS (
+           |  SELECT skey, av, bv, 0 AS k,
+           |    list_transform(range(24), j ->
+           |      CASE WHEN j = 0 THEN abs(av[1] - bv[1])
+           |           ELSE 1099511627776 END) AS cur,
+           |    CAST(NULL AS BIGINT[]) AS prev
+           |  FROM vecs
+           |  UNION ALL
+           |  SELECT skey, av, bv, k + 1,
+           |    list_transform(range(24), j ->
+           |      CASE WHEN (k + 1 - j) BETWEEN 0 AND 23
+           |                AND abs(k + 1 - 2 * j) <= 3 THEN
+           |        abs(av[k + 1 - j + 1] - bv[j + 1]) +
+           |        least(cur[j + 1], cur[j], prev[j])
+           |      ELSE 1099511627776 END) AS cur,
+           |    cur AS prev
+           |  FROM rec WHERE k < 46)
+           |SELECT skey, cur[24] AS dtw
+           |FROM rec WHERE k = 46 ORDER BY skey""".stripMargin),
 
       "q_value_drift" -> (dpCte + ",\n" +
         s"""dedup AS (

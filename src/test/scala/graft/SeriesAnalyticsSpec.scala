@@ -68,6 +68,34 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_dtw: bounded above by the diagonal (Euclidean-aligned) path") {
+    import org.apache.spark.sql.functions._
+    val r = run("q_dtw").select($"skey", $"dtw").as[(String, Long)].collect().toMap
+    assert(r.nonEmpty)
+    assert(r.values.forall(_ >= 0))
+    // recompute the two hourly profiles independently and check
+    // DTW(a,b) ≤ Σ|aᵢ−bᵢ| — the band always contains the diagonal path
+    val T0 = 1704412800000L
+    val d2 = T0 + 2 * 86400000L
+    val bk = graft.model.Dp.withSeriesKey(
+      graft.model.DpView.dp(spark, sf)
+        .filter(col("metric") === "view" && col("ts") >= T0 && col("ts") < d2))
+      .groupBy(col("skey"), col("ts"))
+      .agg(max_by(col("value"), col("seq")).as("value"))
+      .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+      .groupBy(col("skey"), expr(s"(ts - ${T0}) div 3600000").as("slot"))
+      .agg(sum(col("q")).as("sq_"))
+      .select(col("skey"), col("slot"), expr("sq_ div 100").as("b"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    bk.foreach { case (k, rows) =>
+      val m = rows.map(t => t._2 -> t._3).toMap
+      val diag = (0 until 24).map(i =>
+        math.abs(m.getOrElse(i.toLong, 0L) - m.getOrElse((i + 24).toLong, 0L))).sum
+      r.get(k).foreach(d => assert(d <= diag, s"$k dtw $d > diagonal $diag"))
+    }
+  }
+
   test("q_value_drift: JS bounded in [0, ln2], halves counted fully") {
     val r = run("q_value_drift")
       .select($"skey", $"n1", $"n2", $"js")
