@@ -229,6 +229,30 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- cross-metric ratio (SLO error rate) ------------------------
+    // error/view per entity per 6h bucket — the metric-arithmetic query
+    // (OpenTSDB 2.x /api/query/exp territory; the reference has no
+    // cross-metric math at all): both metrics' bucket grids join equi
+    // on (tag suffix, bucket), the ratio is one division of exact
+    // integer sums. Buckets with views and no errors read 0 (left
+    // join); entities with no views that bucket vanish (no denominator).
+    "q_metric_ratio" -> { (s, dir) =>
+      val v = buckets6h(s, dir, "view")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("bv"))
+      val e = buckets6h(s, dir, "error")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("be"))
+      v.join(e, Seq("tkey", "t"), "left")
+        .filter(col("bv") > 0)
+        .withColumn("ratio",
+          coalesce(col("be"), lit(0L)).cast("double") / col("bv").cast("double"))
+        .select(col("tkey"), expr("t div 1000").as("ts"),
+          col("bv"), coalesce(col("be"), lit(0L)).as("be"),
+          sround(col("ratio")).as("ratio"))
+        .orderBy("tkey", "ts")
+    },
+
     // ---- banded DTW (dynamic time warping) --------------------------
     // How similar is a series' day-2 hourly profile to its day-1
     // profile ALLOWING small time shifts — the alignment-tolerant
@@ -586,6 +610,29 @@ object SeriesAnalytics {
            |       ${sroundSql("CAST(s1 AS DOUBLE) / n1 / 100")} AS mean_left,
            |       ${sroundSql("CAST(st - s1 AS DOUBLE) / n2 / 100")} AS mean_right
            |FROM pick WHERE rn = 1 ORDER BY skey""".stripMargin),
+
+      "q_metric_ratio" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric IN ('view', 'error') AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT substr(skey, instr(skey, ',') + 1) AS tkey,
+           |         CASE WHEN skey LIKE 'view%' THEN 'view' ELSE 'error' END AS m,
+           |         ts - ts % $SIXH AS t,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup GROUP BY 1, 2, 3),
+           |j AS (
+           |  SELECT v.tkey, v.t, v.b AS bv, COALESCE(e.b, 0) AS be
+           |  FROM (SELECT * FROM bk WHERE m = 'view') v
+           |  LEFT JOIN (SELECT * FROM bk WHERE m = 'error') e
+           |    ON e.tkey = v.tkey AND e.t = v.t
+           |  WHERE v.b > 0)
+           |SELECT tkey, t // 1000 AS ts, bv, be,
+           |       ${sroundSql("CAST(be AS DOUBLE) / CAST(bv AS DOUBLE)")} AS ratio
+           |FROM j ORDER BY tkey, ts""".stripMargin),
 
       // DTW oracle: the same integer DP evaluated as a 47-step
       // anti-diagonal wavefront — a recursive CTE carrying the two

@@ -318,6 +318,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(f.sortAggregates == 0)
   }
 
+  test("dtw: one skey-keyed shuffle into the per-series DP, pushdown") {
+    val (f, plan) = fp("q_dtw")
+    assert(f.pushedFilters, "ts/metric bounds must reach the scan")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"profile DP must ride the bucket aggregation, not a join\n$plan")
+  }
+
+  test("metric ratio: bucket frames left-join equi on (tkey, t)") {
+    val (f, plan) = fp("q_metric_ratio")
+    assert(f.pushedFilters)
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"ratio join degenerated\n$plan")
+    assert(f.sortAggregates == 0)
+  }
+
   test("HLL overlap: register joins all equi, estimates hash-aggregated") {
     val (f, plan) = fp("pl_hll_overlap")
     assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
