@@ -445,6 +445,124 @@ object SeriesAnalytics {
             .when(col("ss") > col("sn"), "naive")
             .otherwise("tie").as("winner"))
         .orderBy("skey")
+    },
+
+    // ---- Apdex score (per series per day) ---------------------------
+    // The latency-SLO summary ops dashboards report: satisfied
+    // (value ≤ T), tolerating (value ≤ 4T), apdex = (sat + tol/2)/n.
+    // T = 100 value units = 1e6 on the 1e-4 grid. Reported on a per-10k
+    // integer grid via one exact integer division — nothing floats, so
+    // the oracle replays bit-free. One dedup + one day aggregation,
+    // both map-side combined; per-series state is three counters.
+    "q_apdex" -> { (s, dir) =>
+      Dp.withSeriesKey(
+        DpView.dp(s, dir)
+          .filter(col("metric") === "click" && col("ts").between(T0, T1)))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+        .groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(DAY))).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("q") <= 1000000L, 1L).otherwise(0L)).as("sat"),
+          sum(when(col("q") > 1000000L && col("q") <= 4000000L, 1L)
+            .otherwise(0L)).as("tol"))
+        .select(col("skey"), expr("d div 1000").as("ts"), col("n"),
+          col("sat"), col("tol"),
+          expr("((2 * sat + tol) * 10000) div (2 * n)").as("apdex_pm"))
+        .orderBy("skey", "ts")
+    },
+
+    // ---- SRE error-budget burn rate (multi-window) ------------------
+    // The Google SRE workbook's multi-window multi-burn-rate alert:
+    // per entity per 1h bucket, error-event share of ALL events vs a
+    // 25% budget, alongside the rolling 6h share — alert only when BOTH
+    // windows burn >1× (fast spike + sustained). burn = rate/budget as
+    // one exact integer division (rate·4 on the per-10k grid). One
+    // dedup over the five metrics, one bucket aggregation, one 6-row
+    // bounded window per entity — no joins, the long window is a frame
+    // over the SAME bucket relation the short one reads.
+    "q_burn_rate" -> { (s, dir) =>
+      val HOUR = 3600000L
+      val bk = Dp.withSeriesKey(
+        DpView.dp(s, dir).filter(col("ts").between(T0, T1)))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          expr("substring_index(skey, ',', 1)").as("m"), col("ts"))
+        .groupBy(col("tkey"),
+          (col("ts") - pmod(col("ts"), lit(HOUR))).as("t"))
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("m") === "error", 1L).otherwise(0L)).as("err"))
+      val w = Window.partitionBy("tkey").orderBy("t").rowsBetween(-5, 0)
+      bk.withColumn("stot", sum(col("tot")).over(w))
+        .withColumn("serr", sum(col("err")).over(w))
+        .select(col("tkey"), expr("t div 1000").as("ts"),
+          col("tot"), col("err"),
+          expr("(err * 40000) div tot").as("burn1_pm"),
+          expr("(serr * 40000) div stot").as("burn6_pm"))
+        .withColumn("alert",
+          when(col("burn1_pm") > 10000 && col("burn6_pm") > 10000, 1L)
+            .otherwise(0L))
+        .orderBy("tkey", "ts")
+    },
+
+    // ---- Benford first-digit audit ----------------------------------
+    // Does each metric's value population follow Benford's law — the
+    // data-quality / fraud screen auditors run before trusting a feed
+    // (synthetic or truncated feeds flunk it). First significant digit
+    // read off the 1e-4 integer grid (every value ≥ 0.01 ⇒ q ≥ 100, so
+    // the leading character of the integer IS the digit — no float
+    // log10); per-mille observed frequency by exact integer division
+    // against a window total; expectation is a hardcoded integer
+    // per-mille table (⌊log10(1+1/d)·1000⌋) broadcast-joined. One
+    // dedup + one 9-row-per-metric aggregation.
+    "q_benford" -> { (s, dir) =>
+      import s.implicits._
+      val exp = Seq(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L, 5 -> 79L,
+        6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L).toDF("digit", "exp_pm")
+      val d = Dp.withSeriesKey(
+        DpView.dp(s, dir).filter(col("ts").between(T0, T1)))
+        .groupBy(col("metric"), col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+        .withColumn("digit",
+          substring(col("q").cast("string"), 1, 1).cast("int"))
+        .groupBy("metric", "digit").agg(count(lit(1)).as("cnt"))
+      val wt = Window.partitionBy("metric")
+      d.withColumn("tot", sum(col("cnt")).over(wt))
+        .join(broadcast(exp), Seq("digit"))
+        .select(col("metric"), col("digit"), col("cnt"),
+          expr("(cnt * 1000) div tot").as("freq_pm"), col("exp_pm"))
+        .withColumn("dev_pm", col("freq_pm") - col("exp_pm"))
+        .orderBy("metric", "digit")
+    },
+
+    // ---- Gini concentration index -----------------------------------
+    // How unequal is each metric's value distribution (0 = uniform,
+    // →1 = mass on few points) — the concentration summary behind
+    // "are a few users generating all the load". Computed on the 1e-4
+    // integer grid via the sorted-rank identity
+    // G = (2·Σi·qᵢ − (n+1)·Σq)/(n·Σq): one rank window per metric
+    // (tie order among equal q provably cancels in Σi·qᵢ), exact
+    // integer moments, one fixed-shape IEEE division at readout.
+    "q_gini" -> { (s, dir) =>
+      val d = Dp.withSeriesKey(
+        DpView.dp(s, dir).filter(col("ts").between(T0, T1)))
+        .groupBy(col("metric"), col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+      val w = Window.partitionBy("metric").orderBy("q")
+      d.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+          sum(col("i") * col("q")).as("siq"))
+        .filter(col("sq") > 0)
+        .select(col("metric"), col("n"),
+          sround((lit(2.0) * col("siq").cast("double")
+            - (col("n") + 1).cast("double") * col("sq").cast("double"))
+            / (col("n").cast("double") * col("sq").cast("double")))
+            .as("gini"))
+        .orderBy("metric")
     }
   )
 
@@ -781,7 +899,115 @@ object SeriesAnalytics {
            |         AS smape_naive,
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
-           |FROM ag ORDER BY skey""".stripMargin)
+           |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_apdex" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'click' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |ag AS (
+           |  SELECT skey, ts - ts % $DAY AS d,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN
+           |             CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)
+           |               <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS sat,
+           |         CAST(sum(CASE WHEN
+           |             CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)
+           |               > 1000000 AND
+           |             CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)
+           |               <= 4000000 THEN 1 ELSE 0 END) AS BIGINT) AS tol
+           |  FROM dedup GROUP BY skey, ts - ts % $DAY)
+           |SELECT skey, d // 1000 AS ts, n, sat, tol,
+           |       ((2 * sat + tol) * 10000) // (2 * n) AS apdex_pm
+           |FROM ag ORDER BY skey, ts""".stripMargin),
+
+      "q_burn_rate" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT substr(skey, instr(skey, ',') + 1) AS tkey,
+           |         ts - ts % 3600000 AS t,
+           |         CAST(count(*) AS BIGINT) AS tot,
+           |         CAST(sum(CASE WHEN skey LIKE 'error,%' THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS err
+           |  FROM dedup GROUP BY 1, 2),
+           |roll AS (
+           |  SELECT tkey, t, tot, err,
+           |         CAST(sum(tot) OVER (PARTITION BY tkey ORDER BY t
+           |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+           |           AS stot,
+           |         CAST(sum(err) OVER (PARTITION BY tkey ORDER BY t
+           |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+           |           AS serr
+           |  FROM bk)
+           |SELECT tkey, t // 1000 AS ts, tot, err,
+           |       (err * 40000) // tot AS burn1_pm,
+           |       (serr * 40000) // stot AS burn6_pm,
+           |       CAST(CASE WHEN (err * 40000) // tot > 10000
+           |             AND (serr * 40000) // stot > 10000
+           |            THEN 1 ELSE 0 END AS BIGINT) AS alert
+           |FROM roll ORDER BY tkey, ts""".stripMargin),
+
+      "q_benford" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT split_part(skey, ',', 1) AS metric, skey, ts,
+           |         arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE ts BETWEEN $T0 AND $T1
+           |  GROUP BY 1, 2, 3),
+           |dg AS (
+           |  SELECT metric,
+           |         CAST(substr(CAST(
+           |             CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT)
+           |           AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM dedup),
+           |cn AS (
+           |  SELECT metric, digit, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM dg GROUP BY metric, digit),
+           |wt AS (
+           |  SELECT metric, digit, cnt,
+           |         CAST(sum(cnt) OVER (PARTITION BY metric) AS BIGINT) AS tot
+           |  FROM cn)
+           |SELECT metric, digit, cnt,
+           |       (cnt * 1000) // tot AS freq_pm, exp_pm,
+           |       (cnt * 1000) // tot - exp_pm AS dev_pm
+           |FROM wt JOIN (VALUES (1, CAST(301 AS BIGINT)), (2, 176), (3, 124),
+           |       (4, 96), (5, 79), (6, 66), (7, 57), (8, 51), (9, 45))
+           |       b(digit, exp_pm) USING (digit)
+           |ORDER BY metric, digit""".stripMargin),
+
+      "q_gini" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT split_part(skey, ',', 1) AS metric, skey, ts,
+           |         arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE ts BETWEEN $T0 AND $T1
+           |  GROUP BY 1, 2, 3),
+           |qq AS (
+           |  SELECT metric,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q
+           |  FROM dedup),
+           |rk AS (
+           |  SELECT metric, q,
+           |         CAST(row_number() OVER (PARTITION BY metric ORDER BY q)
+           |              AS BIGINT) AS i
+           |  FROM qq),
+           |ag AS (
+           |  SELECT metric, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(q) AS BIGINT) AS sq,
+           |         CAST(sum(i * q) AS BIGINT) AS siq
+           |  FROM rk GROUP BY metric)
+           |SELECT metric, n,
+           |       ${sroundSql(
+                "(2.0 * CAST(siq AS DOUBLE)" +
+                " - CAST(n + 1 AS DOUBLE) * CAST(sq AS DOUBLE))" +
+                " / (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE))")} AS gini
+           |FROM ag WHERE sq > 0 ORDER BY metric""".stripMargin)
     )
   }
 }

@@ -136,4 +136,60 @@ class SeriesAnalyticsSpec extends SparkSpec {
       if (ss > sn) assert(w === "naive", s"$k $ss > $sn but winner=$w")
     }
   }
+
+  test("q_apdex: score on the per-10k grid, counts partition n") {
+    val r = run("q_apdex")
+      .select($"skey", $"n", $"sat", $"tol", $"apdex_pm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, n, sat, tol, pm) =>
+      assert(sat + tol <= n, s"$k counts exceed n")
+      assert(pm >= 0 && pm <= 10000, s"$k apdex_pm=$pm out of range")
+      assert(pm === (2 * sat + tol) * 10000 / (2 * n), s"$k formula drift")
+    }
+  }
+
+  test("q_burn_rate: rolling window bounds the 1h burn, alert = AND") {
+    val r = run("q_burn_rate")
+      .select($"tkey", $"tot", $"err", $"burn1_pm", $"burn6_pm", $"alert")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, tot, err, b1, b6, a) =>
+      assert(err <= tot, s"$k err > tot")
+      assert(b1 >= 0 && b1 <= 40000, s"$k burn1 out of [0, 4x]")
+      assert(b6 >= 0 && b6 <= 40000, s"$k burn6 out of [0, 4x]")
+      assert(a === (if (b1 > 10000 && b6 > 10000) 1L else 0L),
+        s"$k alert flag disagrees with the two windows")
+    }
+    // some buckets must alert and some not, or the gate tests nothing
+    assert(r.exists(_._6 == 1L) && r.exists(_._6 == 0L))
+  }
+
+  test("q_benford: 9 digits per metric, frequencies sum to ~1000") {
+    val r = run("q_benford")
+      .select($"metric", $"digit", $"freq_pm", $"dev_pm", $"exp_pm")
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (m, rows) =>
+      assert(rows.map(_._2).sorted.toSeq ===
+        (rows.map(_._2).min to 9).toSeq.takeRight(rows.length),
+        s"$m digits not a contiguous run ending at 9")
+      val s = rows.map(_._3).sum
+      // integer floor-division loses < 1 per digit
+      assert(s > 1000 - 9 && s <= 1000, s"$m freq sum $s")
+      rows.foreach { case (_, _, f, dev, e) => assert(dev === f - e) }
+    }
+  }
+
+  test("q_gini: bounded in [0,1), uniform values score 0") {
+    val r = run("q_gini").select($"metric", $"gini").as[(String, Double)]
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { case (m, g) => assert(g >= 0.0 && g < 1.0, s"$m gini=$g") }
+    // identity on a hand frame: n equal values => G = (2*Σi*q -(n+1)Σq)/(nΣq)
+    // = (2*(n(n+1)/2)*q - (n+1)*n*q) / (n*n*q) = 0
+    val n = 7L
+    val siq = (1L to n).map(_ * 50L).sum
+    assert(2.0 * siq - (n + 1) * n * 50L === 0.0)
+  }
 }
