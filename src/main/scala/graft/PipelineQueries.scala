@@ -2,6 +2,7 @@ package graft
 
 import graft.pipeline.{Dedup, FilterChain, Layout, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gate queries + DuckDB oracles for the training-data pipeline operators
@@ -980,6 +981,88 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_refs"),
           count_distinct(col("doc_id")).as("n_docs"))
         .orderBy("host")
+    },
+
+    // per-source unigram KL divergence against the corpus distribution —
+    // the domain-shift audit behind mixture reweighting (which sources
+    // are lexically far from the pool they'll be mixed into). Source
+    // counts shuffle once keyed (source, token); corpus counts derive
+    // from them (map-side combinable), so raw tokens are touched exactly
+    // once; the vocab-sized count frames broadcast back and the N_corpus
+    // scalar rides a 1-row broadcast cross join. Each KL term quantizes
+    // to an integer nano BEFORE the per-source sum (order-free — the
+    // pl_corpus_stats cross-engine float rule).
+    "pl_kl_div" -> { (s, dir) =>
+      val tok = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sw = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      val cw = sw.groupBy("token").agg(sum(col("cs")).as("cc"))
+      val ns = sw.groupBy("source").agg(sum(col("cs")).as("nsrc"))
+      val nc = cw.agg(sum(col("cc")).as("ncorp"))
+      val term = (col("cs").cast("double") / col("nsrc").cast("double")) *
+        log(col("cs").cast("double") * col("ncorp").cast("double") /
+          (col("cc").cast("double") * col("nsrc").cast("double")))
+      sw.join(broadcast(cw), Seq("token"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(nc))
+        .withColumn("qt", floor(term * 1000000000L + 0.5 + 1e-6).cast("long"))
+        .groupBy("source")
+        .agg(max(col("nsrc")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+          sum(col("qt")).as("kl_nano"))
+        .orderBy("source")
+    },
+
+    // per-source OOV rate against the top-20 corpus vocabulary — the
+    // tokenizer-coverage audit run before committing a vocab (a source
+    // whose OOV share is high will fragment into [UNK]/bytes). The vocab
+    // is the pl_vocab top-K (freq desc, token tiebreak) broadcast to an
+    // existence join; the rate is one exact integer division per source.
+    "pl_oov_rate" -> { (s, dir) =>
+      val v = TextAnalysis.vocabulary(docs(s, dir), topK = 20)
+        .select(col("token"), lit(1L).as("inv"))
+      docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .join(broadcast(v), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("oov"))
+        .select(col("source"), col("tot"), col("oov"),
+          expr("(oov * 10000) div tot").as("oov_pm"))
+        .orderBy("source")
+    },
+
+    // hard-negative mining: per query, the 3 most similar vectors with a
+    // DIFFERENT label (near-miss negatives for contrastive training)
+    "pl_hard_neg" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 3)
+        .select(col("qid"), col("nid"), col("neg_label"),
+          sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // curriculum assignment: docs ordered easiest-first by the frozen
+    // LR quality score (1e-4 grid + doc_id tiebreak, so the order
+    // crosses engines exactly), running token total, phase = which
+    // 20k-token budget slab the doc STARTS in — the schedule feeding
+    // staged pre-training. The prefix sum is one ordered window; at
+    // corpus scale the same math runs as repartitionByRange(score) +
+    // per-partition sums + a driver-side offset scan (the
+    // budget-allocator contract), since ranked docs, unlike points,
+    // have no natural partition key.
+    "pl_curriculum" -> { (s, dir) =>
+      val d = TextAnalysis.withTokens(docs(s, dir))
+        .select(col("doc_id"),
+          sround(TextAnalysis.qualityLrScoreOf(col("text"), col("w_")))
+            .as("score"),
+          size(col("w_")).cast("long").as("n_tokens"))
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("phase", expr("(cum_tokens - n_tokens) div 20000"))
+        .select(col("doc_id"), col("score"), col("n_tokens"),
+          col("cum_tokens"), col("phase"))
+        .orderBy("doc_id")
     })
 
   /** Inline fixture for [[queries]]' `pl_strip_html` — shared with its
@@ -3371,6 +3454,86 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_pack_concat" -> packConcat,
       "pl_strip_html" -> stripHtml,
       "pl_blocklist" -> blocklist,
-      "pl_url_hosts" -> urlHosts)
+      "pl_url_hosts" -> urlHosts,
+
+      "pl_kl_div" ->
+        s"""WITH tokx AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |sw AS (
+           |  SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+           |  FROM tokx GROUP BY 1, 2),
+           |cw AS (SELECT token, CAST(sum(cs) AS BIGINT) AS cc
+           |       FROM sw GROUP BY 1),
+           |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS nsrc
+           |       FROM sw GROUP BY 1),
+           |nc AS (SELECT CAST(sum(cc) AS BIGINT) AS ncorp FROM cw),
+           |t AS (
+           |  SELECT sw.source, ns.nsrc,
+           |         CAST(floor((CAST(cs AS DOUBLE) / CAST(nsrc AS DOUBLE)) *
+           |           ln(CAST(cs AS DOUBLE) * CAST(ncorp AS DOUBLE) /
+           |              (CAST(cc AS DOUBLE) * CAST(nsrc AS DOUBLE)))
+           |           * 1000000000 + 0.5 + 1e-6) AS BIGINT) AS qt
+           |  FROM sw JOIN cw USING (token)
+           |  JOIN ns ON ns.source = sw.source, nc)
+           |SELECT source, CAST(max(nsrc) AS BIGINT) AS n_tokens,
+           |       CAST(count(*) AS BIGINT) AS n_vocab,
+           |       CAST(sum(qt) AS BIGINT) AS kl_nano
+           |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+      "pl_oov_rate" ->
+        s"""WITH tokx AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |v AS (
+           |  SELECT token FROM (
+           |    SELECT token, count(*) AS freq FROM (
+           |      SELECT unnest(string_split(text, ' ')) AS token
+           |      FROM documents)
+           |    GROUP BY token)
+           |  ORDER BY freq DESC, token LIMIT 20),
+           |j AS (
+           |  SELECT source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS o
+           |  FROM tokx LEFT JOIN v ON v.token = tokx.token)
+           |SELECT source, CAST(count(*) AS BIGINT) AS tot,
+           |       CAST(sum(o) AS BIGINT) AS oov,
+           |       (CAST(sum(o) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT)
+           |         AS oov_pm
+           |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+      "pl_hard_neg" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, label AS qlab,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (
+           |  SELECT vec_id AS nid, label AS nlab,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT qid, nid, nlab, list_dot_product(qv, nv) /
+           |        (sqrt(list_dot_product(qv, qv)) *
+           |         sqrt(list_dot_product(nv, nv))) AS cos
+           |  FROM q JOIN c ON qid != nid AND qlab != nlab),
+           |r AS (
+           |  SELECT qid, nid, nlab, cos,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY cos DESC, nid) AS rk
+           |  FROM s)
+           |SELECT qid, nid, nlab AS neg_label, ${sroundSql("cos")} AS cos
+           |FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin,
+
+      "pl_curriculum" ->
+        (s"WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w" +
+          s" FROM documents),\n" +
+          s"s AS (SELECT doc_id, ${sroundSql(lrScoreSql)} AS score," +
+          s" CAST(len(w) AS BIGINT) AS n_tokens FROM t),\n" +
+          s"c AS (SELECT doc_id, score, n_tokens," +
+          s" CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id" +
+          s" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)" +
+          s" AS cum_tokens FROM s)\n" +
+          s"SELECT doc_id, score, n_tokens, cum_tokens," +
+          s" (cum_tokens - n_tokens) // 20000 AS phase\n" +
+          s"FROM c ORDER BY doc_id"))
   }
 }

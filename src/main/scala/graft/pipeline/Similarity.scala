@@ -63,6 +63,32 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most SIMILAR corpus vectors with a DIFFERENT label — the
+    * near-miss negatives that teach a bi-encoder margins random in-batch
+    * negatives can't. Same broadcast-queries + streamed-corpus shape as
+    * [[bruteKnn]]; the label inequality rides the join condition so
+    * same-class rows are dropped before any dot product is computed.
+    * Output: (qid, nid, neg_label, cos).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def pr(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}id"), col(labelCol).as(s"${p}lab"),
+        transform(col(vecCol), x => x.cast("double")).as(s"${p}v"))
+        .withColumn(s"${p}n", sqrt(dotp(col(s"${p}v"), col(s"${p}v"))))
+    val q = pr(queries, "q")
+    val c = spread(pr(corpus, "n"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(q)
+      .join(c, col("qid") =!= col("nid") && col("qlab") =!= col("nlab"))
+      .withColumn("cos", pairCos("qv", "qn", "nv", "nn"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("nlab").as("neg_label"), col("cos"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection),
     * computed EXACTLY via a blocked (triangle) self-join.
     *

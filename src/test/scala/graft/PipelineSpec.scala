@@ -1457,4 +1457,59 @@ class PipelineSpec extends SparkSpec {
       .select($"qid", $"nid").as[(Long, Long)].collect().toSeq
     assert(got === Seq((0L, 2L))) // cos(q,2)≈0.707 beats cos(q,3)=0
   }
+
+  test("hardNegatives: same-label vectors never surface, k honored") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),  // query, label 1
+      (1L, Array(0.99f, 0.1f), 1), // same label: nearest but EXCLUDED
+      (2L, Array(0.9f, 0.2f), 2),
+      (3L, Array(0.8f, 0.3f), 2),
+      (4L, Array(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0L),
+        k = 2)
+      .select($"qid", $"nid", $"neg_label").as[(Long, Long, Int)]
+      .collect().toSet
+    // top-2 different-label by cosine: 2 then 3 (4 is far); 1 never
+    assert(got === Set((0L, 2L, 2), (0L, 3L, 2)))
+  }
+
+  test("pl_kl_div: KL non-negative, zero against an identical split") {
+    val r = SparkEntry.queries("pl_kl_div")(spark, sf)
+      .select($"source", $"kl_nano", $"n_tokens", $"n_vocab")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.length === 20)
+    r.foreach { case (src, kl, nt, nv) =>
+      // Gibbs: KL(p_s || p_corpus) >= 0 (the integer-nano grid can dip
+      // one quantum per vocab term below zero at worst)
+      assert(kl >= -nv, s"$src kl_nano=$kl below the quantization floor")
+      assert(nv <= 31 && nt >= nv, s"$src inconsistent counts")
+    }
+  }
+
+  test("pl_oov_rate: top-20-of-31 vocab leaves a real OOV share") {
+    val r = SparkEntry.queries("pl_oov_rate")(spark, sf)
+      .select($"source", $"tot", $"oov", $"oov_pm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.length === 20)
+    r.foreach { case (src, tot, oov, pm) =>
+      assert(oov > 0 && oov < tot, s"$src degenerate OOV count")
+      assert(pm === oov * 10000 / tot, s"$src rate drifted from counts")
+    }
+  }
+
+  test("pl_curriculum: phases are contiguous in score order, cum exact") {
+    val r = SparkEntry.queries("pl_curriculum")(spark, sf)
+      .select($"doc_id", $"score", $"n_tokens", $"cum_tokens", $"phase")
+      .as[(Long, Double, Long, Long, Long)].collect()
+    assert(r.length === 500)
+    val ordered = r.sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    ordered.foreach { case (id, _, n, c, p) =>
+      assert(c === cum + n, s"doc $id cumulative sum broken")
+      assert(p === cum / 20000, s"doc $id phase off its start slab")
+      cum = c
+    }
+    // phases must be non-decreasing along the curriculum order
+    assert(ordered.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
+  }
 }
