@@ -447,6 +447,74 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- partial autocorrelation (Durbin–Levinson) ------------------
+    // PACF at lags 1..4 — the AR-order diagnostic the raw ACF can't
+    // give (an AR(1) series shows geometric ACF at EVERY lag but PACF
+    // ≈ 0 past lag 1). Lagged Pearson ρ per (series, lag) exactly as
+    // q_acf (exact integer moments, equi-join on the shifted bucket
+    // key), quantized to a 1e-6 integer grid so both engines start DL
+    // from identical doubles; the recursion is UNROLLED as one
+    // fixed-shape IEEE expression chain (φ-columns per level, near-
+    // singular denominators filtered) — the per-series work is O(K²)
+    // scalar ops on a 4-column row, nothing iterates over data.
+    "q_pacf" -> { (s, dir) =>
+      val b = buckets6h(s, dir, "view")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lagged = b
+        .select(col("skey"), col("t"), col("b").as("bx"),
+          explode(array((1 to 4).map(lit(_)): _*)).as("k"))
+        .select(col("skey"), col("k"),
+          (col("t") + col("k") * SIXH).as("t"), col("bx"))
+      val rho = lagged
+        .join(b.withColumnRenamed("b", "by"), Seq("skey", "t"))
+        .groupBy(col("skey"), col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bx")).as("sx"), sum(col("by")).as("sy"),
+          sum(col("bx") * col("by")).as("sxy"),
+          sum(col("bx") * col("bx")).as("sxx"),
+          sum(col("by") * col("by")).as("syy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("n") >= 8 && col("vx") > 0 && col("vy") > 0)
+        .withColumn("rq",
+          floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(col("vx").cast("double") * col("vy").cast("double"))
+            * 1000000 + 0.5 + 1e-6).cast("long"))
+      def lag(k: Int): Column =
+        max(when(col("k") === k, col("rq"))).as(s"rq$k")
+      val piv = rho.groupBy("skey")
+        .agg(count(lit(1)).as("nl"), lag(1), lag(2), lag(3), lag(4))
+        .filter(col("nl") === 4)
+      def r(k: Int): Column = col(s"rq$k").cast("double") / 1000000.0
+      piv
+        .withColumn("r1", r(1)).withColumn("r2", r(2))
+        .withColumn("r3", r(3)).withColumn("r4", r(4))
+        .withColumn("f11", col("r1"))
+        .filter(abs(lit(1.0) - col("f11") * col("r1")) > 1e-12)
+        .withColumn("f22", (col("r2") - col("f11") * col("r1"))
+          / (lit(1.0) - col("f11") * col("r1")))
+        .withColumn("f21", col("f11") - col("f22") * col("f11"))
+        .filter(abs(lit(1.0)
+          - (col("f21") * col("r1") + col("f22") * col("r2"))) > 1e-12)
+        .withColumn("f33",
+          (col("r3") - (col("f21") * col("r2") + col("f22") * col("r1")))
+            / (lit(1.0)
+              - (col("f21") * col("r1") + col("f22") * col("r2"))))
+        .withColumn("f31", col("f21") - col("f33") * col("f22"))
+        .withColumn("f32", col("f22") - col("f33") * col("f21"))
+        .filter(abs(lit(1.0) - (col("f31") * col("r1")
+          + col("f32") * col("r2") + col("f33") * col("r3"))) > 1e-12)
+        .withColumn("f44",
+          (col("r4") - (col("f31") * col("r3") + col("f32") * col("r2")
+            + col("f33") * col("r1")))
+            / (lit(1.0) - (col("f31") * col("r1")
+              + col("f32") * col("r2") + col("f33") * col("r3"))))
+        .select(col("skey"), sround(col("f11")).as("pacf1"),
+          sround(col("f22")).as("pacf2"), sround(col("f33")).as("pacf3"),
+          sround(col("f44")).as("pacf4"))
+        .orderBy("skey")
+    },
+
     // ---- Apdex score (per series per day) ---------------------------
     // The latency-SLO summary ops dashboards report: satisfied
     // (value ≤ T), tolerating (value ≤ 4T), apdex = (sat + tol/2)/n.
@@ -900,6 +968,67 @@ object SeriesAnalytics {
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
            |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_pacf" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""pr AS (
+           |  SELECT x.skey, kk.k, x.b AS bx, y.b AS byy
+           |  FROM bk x
+           |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS kk(k)
+           |  JOIN bk y ON y.skey = x.skey AND y.t = x.t + kk.k * $SIXH),
+           |ag AS (
+           |  SELECT skey, k, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(bx) AS BIGINT) AS sx,
+           |         CAST(sum(byy) AS BIGINT) AS sy,
+           |         CAST(sum(bx * byy) AS BIGINT) AS sxy,
+           |         CAST(sum(bx * bx) AS BIGINT) AS sxx,
+           |         CAST(sum(byy * byy) AS BIGINT) AS syy
+           |  FROM pr GROUP BY skey, k),
+           |v AS (
+           |  SELECT skey, k, n, sxy, sx, sy,
+           |         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+           |  FROM ag),
+           |r6 AS (
+           |  SELECT skey, k,
+           |         CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+           |           / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+           |           * 1000000 + 0.5 + 1e-6) AS BIGINT) AS rq
+           |  FROM v WHERE n >= 8 AND vx > 0 AND vy > 0),
+           |pv AS (
+           |  SELECT skey,
+           |         max(CASE WHEN k = 1 THEN rq END) AS rq1,
+           |         max(CASE WHEN k = 2 THEN rq END) AS rq2,
+           |         max(CASE WHEN k = 3 THEN rq END) AS rq3,
+           |         max(CASE WHEN k = 4 THEN rq END) AS rq4
+           |  FROM r6 GROUP BY skey HAVING count(*) = 4),
+           |rr AS (
+           |  SELECT skey,
+           |         CAST(rq1 AS DOUBLE) / 1000000.0 AS r1,
+           |         CAST(rq2 AS DOUBLE) / 1000000.0 AS r2,
+           |         CAST(rq3 AS DOUBLE) / 1000000.0 AS r3,
+           |         CAST(rq4 AS DOUBLE) / 1000000.0 AS r4
+           |  FROM pv),
+           |d1 AS (SELECT skey, r1, r2, r3, r4, r1 AS f11 FROM rr),
+           |d2 AS (
+           |  SELECT skey, r1, r2, r3, r4, f11,
+           |         (r2 - f11 * r1) / (1.0 - f11 * r1) AS f22
+           |  FROM d1 WHERE abs(1.0 - f11 * r1) > 1e-12),
+           |d2b AS (SELECT *, f11 - f22 * f11 AS f21 FROM d2),
+           |d3 AS (
+           |  SELECT *, (r3 - (f21 * r2 + f22 * r1))
+           |            / (1.0 - (f21 * r1 + f22 * r2)) AS f33
+           |  FROM d2b WHERE abs(1.0 - (f21 * r1 + f22 * r2)) > 1e-12),
+           |d3b AS (SELECT *, f21 - f33 * f22 AS f31,
+           |               f22 - f33 * f21 AS f32 FROM d3),
+           |d4 AS (
+           |  SELECT *, (r4 - (f31 * r3 + f32 * r2 + f33 * r1))
+           |            / (1.0 - (f31 * r1 + f32 * r2 + f33 * r3)) AS f44
+           |  FROM d3b
+           |  WHERE abs(1.0 - (f31 * r1 + f32 * r2 + f33 * r3)) > 1e-12)
+           |SELECT skey, ${sroundSql("f11")} AS pacf1,
+           |       ${sroundSql("f22")} AS pacf2,
+           |       ${sroundSql("f33")} AS pacf3,
+           |       ${sroundSql("f44")} AS pacf4
+           |FROM d4 ORDER BY skey""".stripMargin),
 
       "q_apdex" -> (dpCte + ",\n" +
         s"""dedup AS (

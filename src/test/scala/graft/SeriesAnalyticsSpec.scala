@@ -181,6 +181,21 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_pacf: lag-1 PACF equals lag-1 ACF, all lags bounded") {
+    val p = run("q_pacf")
+      .select($"skey", $"pacf1", $"pacf2", $"pacf3", $"pacf4")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(p.nonEmpty)
+    val acf1 = run("q_acf").filter($"k" === 1)
+      .select($"skey", $"r").as[(String, Double)].collect().toMap
+    p.foreach { case (k, f1, f2, f3, f4) =>
+      Seq(f1, f2, f3, f4).foreach(f =>
+        assert(math.abs(f) <= 1.0 + 1e-6, s"$k pacf out of [-1,1]: $f"))
+      // φ₁₁ = ρ₁ by construction (2e-4 covers the two rounding grids)
+      assert(math.abs(f1 - acf1(k)) < 2e-4, s"$k pacf1 ${f1} != acf ${acf1(k)}")
+    }
+  }
+
   test("q_gini: bounded in [0,1), uniform values score 0") {
     val r = run("q_gini").select($"metric", $"gini").as[(String, Double)]
       .collect()
