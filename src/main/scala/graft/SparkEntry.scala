@@ -737,6 +737,64 @@ object SparkEntry {
           .orderBy("metric", "day")
       },
 
+      // BEYOND-REFERENCE streaming frequency sketch: count-min counters
+      // for per-user click frequency maintained CONTINUOUSLY — state is
+      // depth×width longs no matter how many events or users stream
+      // through. Counter cells are ADDITIVE (a plain streaming count per
+      // (row, bucket)), so the final table is byte-identical to the
+      // batch sketch regardless of micro-batching — proven by a
+      // two-batch replay split by user parity. Readout: the exact
+      // top-20 users (the candidate set a heavy-hitter loop maintains)
+      // estimated off the streamed counters; CMS can only OVErcount, so
+      // `overcount` ≥ 0 is structural. The 100 TB continuous answer to
+      // "top users right now" without per-user state.
+      "q_cms_stream" -> { (s, dir) =>
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val depth = 4
+        val width = 1024
+        val ev = DpView.events(s, dir)
+          .select(col("event_type").as("metric"), DpView.tsMillis.as("ts"),
+            col("user_id"))
+          .filter(col("metric") === "click" && col("ts").between(T0, T1))
+        val rows = ev.select(col("ts"), col("user_id")).as[(Long, Long)]
+          .collect().sortBy(r => (r._1, r._2))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val st = mem.toDS().toDF("ts", "user_id")
+          .withColumn("ukey", concat(lit("u"), col("user_id").cast("string")))
+        val rb = explode(array((0 until depth).map(i =>
+          struct(lit(i).as("row"),
+            graft.pipeline.Sketches.cmsBucket(col("ukey"), i, width)
+              .as("bucket"))): _*)).as("rb")
+        val regs = st.select(rb)
+          .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val qn = s"q_cms_stream_${streamGateSeq.incrementAndGet()}"
+        runReplay(s, regs, qn, outputMode = "complete") { () =>
+          val (b1, b2) = rows.partition(_._2 % 2 == 0)
+          Seq(
+            () => mem.addData(b1.toSeq: _*),
+            () => mem.addData(b2.toSeq: _*))
+        }
+        val sketch = s.table(qn)
+        val exact = ev
+          .withColumn("ukey", concat(lit("u"), col("user_id").cast("string")))
+          .groupBy("ukey").agg(count(lit(1)).as("cnt"))
+        val cand = exact.orderBy(col("cnt").desc, col("ukey")).limit(20)
+        val addressed = (0 until depth).map { i =>
+          cand.withColumn("row", lit(i))
+            .withColumn("bucket",
+              graft.pipeline.Sketches.cmsBucket(col("ukey"), i, width))
+        }.reduce(_ unionByName _)
+        addressed.join(broadcast(sketch), Seq("row", "bucket"))
+          .groupBy(col("ukey"), col("cnt"))
+          .agg(min(col("c")).as("est"))
+          .select(col("ukey"), col("cnt"), col("est"),
+            (col("est") - col("cnt")).as("overcount"))
+          .orderBy("ukey")
+      },
+
       // §2.10 maintained metadata end-to-end: ingest batches update
       // series_index + slice_state (write-time OOO marks, reference
       // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
@@ -1762,6 +1820,35 @@ object SparkEntry {
            |       ${sroundSql("est")} AS est
            |FROM ex JOIN hll USING (metric, day)
            |ORDER BY metric, day""".stripMargin,
+
+      // streaming CMS counters are additive, so the replayed sketch
+      // equals the batch sketch computed here cell-for-cell
+      "q_cms_stream" ->
+        s"""WITH ev AS (
+           |  SELECT 'u' || CAST(user_id AS VARCHAR) AS ukey
+           |  FROM events
+           |  WHERE event_type = 'click'
+           |    AND epoch_ms(ts) BETWEEN $T0 AND $T1),
+           |tc AS (
+           |  SELECT ukey, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM ev GROUP BY ukey),
+           |ctr AS (
+           |  SELECT i,
+           |         CAST(('0x' || substr(md5(ukey || '#'
+           |           || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+           |           AS bucket,
+           |         CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM tc CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+           |  GROUP BY i, bucket),
+           |cand AS (SELECT ukey, cnt FROM tc ORDER BY cnt DESC, ukey LIMIT 20),
+           |est AS (
+           |  SELECT cand.ukey, cand.cnt, CAST(min(ctr.c) AS BIGINT) AS est
+           |  FROM cand JOIN ctr
+           |    ON ctr.bucket = CAST(('0x' || substr(md5(cand.ukey || '#'
+           |         || CAST(ctr.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+           |  GROUP BY 1, 2)
+           |SELECT ukey, cnt, est, est - cnt AS overcount
+           |FROM est ORDER BY ukey""".stripMargin,
 
       // the streaming replay finalizes exactly the batch interval join's
       // pairs on the replay's deterministic user sample — same truth

@@ -214,6 +214,17 @@ class ApiSpec extends SparkSpec {
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_cms_stream: streamed counters only overcount, top-20 exact") {
+    val r = SparkEntry.queries("q_cms_stream")(spark, "/root/testdata/sf0.001")
+      .select($"ukey", $"cnt", $"est", $"overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty && r.length <= 20)
+    r.foreach { case (u, cnt, est, over) =>
+      assert(est >= cnt, s"$u CMS undercounted: est=$est < cnt=$cnt")
+      assert(over === est - cnt, s"$u overcount column drifted")
+    }
+  }
+
   test("streaming ingest: lines → dp → hourly rollup (memory sink)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
