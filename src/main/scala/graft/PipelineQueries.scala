@@ -1041,6 +1041,33 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // held-out bigram coverage: share of eval-half bigram occurrences
+    // already seen in the train half, per source — the cheap
+    // memorization/novelty probe next to pl_sbo_nll's model-based one
+    // (low coverage = the source keeps contributing novel token
+    // transitions; saturated coverage = diminishing returns). Train
+    // grams dedup to one shuffled distinct; the probe is an equi join
+    // on the gram key (shuffle-joinable at corpus scale — never a
+    // broadcast of an unbounded vocab); the rate is one exact integer
+    // division per source.
+    "pl_bigram_cov" -> { (s, dir) =>
+      val bg = TextAnalysis.withTokens(docs(s, dir))
+        .filter(size(col("w_")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.ngramsOf(col("w_"), 2)).as("g"))
+      val train = bg.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("g")).distinct()
+        .withColumn("seen_", lit(1L))
+      bg.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .join(train, Seq("g"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("tot"),
+          sum(coalesce(col("seen_"), lit(0L))).as("seen"))
+        .select(col("source"), col("tot"), col("seen"),
+          expr("(seen * 10000) div tot").as("cov_pm"))
+        .orderBy("source")
+    },
+
     // curriculum assignment: docs ordered easiest-first by the frozen
     // LR quality score (1e-4 grid + doc_id tiebreak, so the order
     // crosses engines exactly), running token total, phase = which
@@ -3522,6 +3549,26 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
            |  FROM s)
            |SELECT qid, nid, nlab AS neg_label, ${sroundSql("cos")} AS cos
            |FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin,
+
+      "pl_bigram_cov" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS w
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id, source,
+           |         unnest(list_transform(range(1, len(w)),
+           |           i -> w[i] || ' ' || w[i+1])) AS g
+           |  FROM tok WHERE len(w) >= 2),
+           |train AS (SELECT DISTINCT g FROM bg WHERE doc_id % 2 = 0),
+           |ev AS (
+           |  SELECT source, CASE WHEN t.g IS NULL THEN 0 ELSE 1 END AS s
+           |  FROM bg LEFT JOIN train t ON t.g = bg.g
+           |  WHERE doc_id % 2 = 1)
+           |SELECT source, CAST(count(*) AS BIGINT) AS tot,
+           |       CAST(sum(s) AS BIGINT) AS seen,
+           |       (CAST(sum(s) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT)
+           |         AS cov_pm
+           |FROM ev GROUP BY source ORDER BY source""".stripMargin,
 
       "pl_curriculum" ->
         (s"WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w" +

@@ -447,6 +447,43 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- rolling cross-metric correlation ---------------------------
+    // q_xcorr gives ONE coefficient per entity for the whole window;
+    // this gives the correlation TRAJECTORY — a 12-bucket (3-day)
+    // rolling Pearson between view and click per entity, the
+    // "correlation breakdown" detector (two series that always moved
+    // together decoupling is the incident signal a global r dilutes
+    // away). Five running integer moments over one bounded window
+    // frame on the joined bucket grid; full windows only (n = 12), r is
+    // the same fixed-shape expression as q_xcorr per row. No
+    // re-aggregation per offset — the frame reuses one sort.
+    "q_rolling_corr" -> { (s, dir) =>
+      val a = buckets6h(s, dir, "view")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("bx"))
+      val c = buckets6h(s, dir, "click")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("byy"))
+      val w = Window.partitionBy("tkey").orderBy("t").rowsBetween(-11, 0)
+      a.join(c, Seq("tkey", "t"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("bx")).over(w))
+        .withColumn("sy", sum(col("byy")).over(w))
+        .withColumn("sxy", sum(col("bx") * col("byy")).over(w))
+        .withColumn("sxx", sum(col("bx") * col("bx")).over(w))
+        .withColumn("syy", sum(col("byy") * col("byy")).over(w))
+        .filter(col("n") === 12)
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .withColumn("r",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(col("vx").cast("double") * col("vy").cast("double")))
+        .select(col("tkey"), expr("t div 1000").as("ts"),
+          sround(col("r")).as("r"))
+        .orderBy("tkey", "ts")
+    },
+
     // ---- partial autocorrelation (Durbin–Levinson) ------------------
     // PACF at lags 1..4 — the AR-order diagnostic the raw ACF can't
     // give (an AR(1) series shows geometric ACF at EVERY lag but PACF
@@ -968,6 +1005,45 @@ object SeriesAnalytics {
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
            |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_rolling_corr" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric IN ('view', 'click') AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT substr(skey, instr(skey, ',') + 1) AS tkey,
+           |         CASE WHEN skey LIKE 'view%' THEN 'view' ELSE 'click' END AS m,
+           |         ts - ts % $SIXH AS t,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup GROUP BY 1, 2, 3),
+           |pr AS (
+           |  SELECT x.tkey, x.t, x.b AS bx, y.b AS byy
+           |  FROM bk x JOIN bk y ON y.tkey = x.tkey AND y.t = x.t
+           |  WHERE x.m = 'view' AND y.m = 'click'),
+           |roll AS (
+           |  SELECT tkey, t,
+           |    CAST(count(*) OVER fr AS BIGINT) AS n,
+           |    CAST(sum(bx) OVER fr AS BIGINT) AS sx,
+           |    CAST(sum(byy) OVER fr AS BIGINT) AS sy,
+           |    CAST(sum(bx * byy) OVER fr AS BIGINT) AS sxy,
+           |    CAST(sum(bx * bx) OVER fr AS BIGINT) AS sxx,
+           |    CAST(sum(byy * byy) OVER fr AS BIGINT) AS syy
+           |  FROM pr
+           |  WINDOW fr AS (PARTITION BY tkey ORDER BY t
+           |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+           |v AS (
+           |  SELECT tkey, t, n, sxy, sx, sy,
+           |         n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+           |  FROM roll WHERE n = 12)
+           |SELECT tkey, t // 1000 AS ts,
+           |       ${sroundSql(
+                "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS r
+           |FROM v WHERE vx > 0 AND vy > 0
+           |ORDER BY tkey, ts""".stripMargin),
 
       "q_pacf" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
         s"""pr AS (

@@ -1497,6 +1497,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pl_bigram_cov: coverage strictly partial, rate matches counts") {
+    val r = SparkEntry.queries("pl_bigram_cov")(spark, sf)
+      .select($"source", $"tot", $"seen", $"cov_pm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (src, tot, seen, pm) =>
+      assert(seen <= tot, s"$src seen > tot")
+      assert(pm === seen * 10000 / tot, s"$src rate drifted")
+    }
+    // the split must leave SOME novelty somewhere, and some coverage
+    assert(r.exists(t => t._3 < t._2) || r.exists(t => t._3 > 0))
+  }
+
   test("pl_curriculum: phases are contiguous in score order, cum exact") {
     val r = SparkEntry.queries("pl_curriculum")(spark, sf)
       .select($"doc_id", $"score", $"n_tokens", $"cum_tokens", $"phase")

@@ -181,6 +181,17 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_corr: bounded coefficients, full windows only") {
+    val r = run("q_rolling_corr")
+      .select($"tkey", $"ts", $"r").as[(String, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, _, v) =>
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$k r=$v")
+    }
+    // one row per (entity, bucket)
+    assert(r.map(t => (t._1, t._2)).distinct.length === r.length)
+  }
+
   test("q_pacf: lag-1 PACF equals lag-1 ACF, all lags bounded") {
     val p = run("q_pacf")
       .select($"skey", $"pacf1", $"pacf2", $"pacf3", $"pacf4")
