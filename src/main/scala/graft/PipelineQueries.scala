@@ -1041,6 +1041,30 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // distinct-n lexical diversity (Li et al. 2016): distinct unigrams /
+    // total and distinct bigrams / total per source — the repetition
+    // screen for generated or templated corpora (near-duplicate boiler-
+    // plate collapses distinct-2 long before exact dedup fires). Two
+    // map-side-combined aggregations joined on the tiny source key;
+    // rates are exact integer divisions.
+    "pl_distinct_n" -> { (s, dir) =>
+      val tk = TextAnalysis.withTokens(docs(s, dir))
+      val uni = tk.select(col("source"), explode(col("w_")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("t1"), count_distinct(col("g")).as("d1"))
+      val bi = tk.filter(size(col("w_")) >= 2)
+        .select(col("source"),
+          explode(TextAnalysis.ngramsOf(col("w_"), 2)).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("t2"), count_distinct(col("g")).as("d2"))
+      uni.join(bi, Seq("source"))
+        .select(col("source"), col("t1"), col("d1"),
+          expr("(d1 * 10000) div t1").as("dist1_pm"),
+          col("t2"), col("d2"),
+          expr("(d2 * 10000) div t2").as("dist2_pm"))
+        .orderBy("source")
+    },
+
     // held-out bigram coverage: share of eval-half bigram occurrences
     // already seen in the train half, per source — the cheap
     // memorization/novelty probe next to pl_sbo_nll's model-based one
@@ -3549,6 +3573,27 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
            |  FROM s)
            |SELECT qid, nid, nlab AS neg_label, ${sroundSql("cos")} AS cos
            |FROM r WHERE rk <= 3 ORDER BY qid, nid""".stripMargin,
+
+      "pl_distinct_n" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS w
+           |  FROM documents),
+           |uni AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS t1,
+           |         CAST(count(DISTINCT g) AS BIGINT) AS d1
+           |  FROM (SELECT source, unnest(w) AS g FROM tok)
+           |  GROUP BY source),
+           |bi AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS t2,
+           |         CAST(count(DISTINCT g) AS BIGINT) AS d2
+           |  FROM (
+           |    SELECT source, unnest(list_transform(range(1, len(w)),
+           |             i -> w[i] || ' ' || w[i+1])) AS g
+           |    FROM tok WHERE len(w) >= 2)
+           |  GROUP BY source)
+           |SELECT source, t1, d1, (d1 * 10000) // t1 AS dist1_pm,
+           |       t2, d2, (d2 * 10000) // t2 AS dist2_pm
+           |FROM uni JOIN bi USING (source) ORDER BY source""".stripMargin,
 
       "pl_bigram_cov" ->
         s"""WITH tok AS (

@@ -447,6 +447,35 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- seasonal percentile envelope -------------------------------
+    // Per series, the p10/p50/p90 "normal band" of each time-of-day
+    // slot (four 6h phases) over the whole window — what dashboards
+    // shade behind the live line, and what threshold-free anomaly
+    // highlighting compares against. Exact R-6 percentiles via the
+    // shared GraftFunctions recipe (same interpolation the q_ds_pNN
+    // family proves cross-engine); one dedup + one (skey, phase)
+    // aggregation whose collect_list is bounded by the window's points
+    // per phase, never the corpus.
+    "q_percentile_band" -> { (s, dir) =>
+      import graft.functions.GraftFunctions.exactPercentile
+      Dp.withSeriesKey(
+        DpView.dp(s, dir)
+          .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("slot",
+          expr(s"pmod(ts - ${T0}L, ${DAY}L) div ${SIXH}L"))
+        .groupBy(col("skey"), col("slot"))
+        .agg(count(lit(1)).as("n"),
+          exactPercentile(col("value"), 10).as("p10_"),
+          exactPercentile(col("value"), 50).as("p50_"),
+          exactPercentile(col("value"), 90).as("p90_"))
+        .select(col("skey"), col("slot"), col("n"),
+          sround(col("p10_")).as("p10"), sround(col("p50_")).as("p50"),
+          sround(col("p90_")).as("p90"))
+        .orderBy("skey", "slot")
+    },
+
     // ---- rolling cross-metric correlation ---------------------------
     // q_xcorr gives ONE coefficient per entity for the whole window;
     // this gives the correlation TRAJECTORY — a 12-bucket (3-day)
@@ -1005,6 +1034,33 @@ object SeriesAnalytics {
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
            |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_percentile_band" -> {
+        def pct(p: String) =
+          s"(CASE WHEN len(l) = 1 THEN l[1]" +
+            s" WHEN $p*(len(l)+1) < 1 THEN l[1]" +
+            s" WHEN $p*(len(l)+1) >= len(l) THEN l[len(l)]" +
+            s" ELSE l[CAST(floor($p*(len(l)+1)) AS INT)]" +
+            s" + ($p*(len(l)+1) - floor($p*(len(l)+1)))" +
+            s" * (l[CAST(floor($p*(len(l)+1)) AS INT) + 1]" +
+            s" - l[CAST(floor($p*(len(l)+1)) AS INT)]) END)"
+        dpCte + ",\n" +
+          s"""dedup AS (
+             |  SELECT skey, ts, arg_max(value, seq) AS value
+             |  FROM dp
+             |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+             |  GROUP BY skey, ts),
+             |g AS (
+             |  SELECT skey, ((ts - $T0) % $DAY) // $SIXH AS slot,
+             |         CAST(count(*) AS BIGINT) AS n,
+             |         list(value ORDER BY value) AS l
+             |  FROM dedup GROUP BY 1, 2)
+             |SELECT skey, slot, n,
+             |       ${sroundSql(pct("0.1"))} AS p10,
+             |       ${sroundSql(pct("0.5"))} AS p50,
+             |       ${sroundSql(pct("0.9"))} AS p90
+             |FROM g ORDER BY skey, slot""".stripMargin
+      },
 
       "q_rolling_corr" -> (dpCte + ",\n" +
         s"""dedup AS (

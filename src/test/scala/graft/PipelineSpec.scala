@@ -1497,6 +1497,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pl_distinct_n: diversity bounded, bigrams more diverse than unigrams") {
+    val r = SparkEntry.queries("pl_distinct_n")(spark, sf)
+      .select($"source", $"t1", $"d1", $"dist1_pm", $"t2", $"d2", $"dist2_pm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length === 20)
+    r.foreach { case (src, t1, d1, pm1, t2, d2, pm2) =>
+      assert(d1 <= t1 && d2 <= t2, s"$src distinct exceeds total")
+      assert(pm1 === d1 * 10000 / t1 && pm2 === d2 * 10000 / t2,
+        s"$src rate drifted")
+      // 31-word vocab: the bigram space is far larger, so distinct-2
+      // must beat distinct-1 on this corpus
+      assert(pm2 > pm1, s"$src dist2 $pm2 <= dist1 $pm1")
+    }
+  }
+
   test("pl_bigram_cov: coverage strictly partial, rate matches counts") {
     val r = SparkEntry.queries("pl_bigram_cov")(spark, sf)
       .select($"source", $"tot", $"seen", $"cov_pm")

@@ -181,6 +181,17 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_percentile_band: band ordered p10 <= p50 <= p90, 4 slots max") {
+    val r = run("q_percentile_band")
+      .select($"skey", $"slot", $"p10", $"p50", $"p90")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, slot, p10, p50, p90) =>
+      assert(slot >= 0 && slot <= 3, s"$k slot $slot out of range")
+      assert(p10 <= p50 && p50 <= p90, s"$k band not ordered")
+    }
+  }
+
   test("q_rolling_corr: bounded coefficients, full windows only") {
     val r = run("q_rolling_corr")
       .select($"tkey", $"ts", $"r").as[(String, Long, Double)].collect()
