@@ -447,6 +447,79 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- seasonal strength (Hyndman & Athanasopoulos) ---------------
+    // F_s = max(0, 1 − Var(remainder)/Var(detrended)) per series — ONE
+    // number answering "is this series actually seasonal", the triage
+    // before paying for Holt-Winters over plain Holt (the forecasting
+    // family's model-selection gate). Components come from the exact
+    // q_stl chain (5-bucket moving-average trend, per-phase seasonal
+    // means); both variances are exact integer moments on a shared
+    // 1e-2 remainder grid, quantized per term BEFORE the sums.
+    "q_seasonal_strength" -> { (s, dir) =>
+      val w = Window.partitionBy("skey").orderBy("t").rowsBetween(-2, 2)
+      val det = buckets6h(s, dir, "view")
+        .withColumn("tsum", sum(col("b")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") === 5)
+        .withColumn("qdet",
+          floor((col("b").cast("double")
+            - col("tsum").cast("double") / 5.0) * 10 + 0.5 + 1e-6)
+            .cast("long"))
+        .withColumn("phase", expr(s"((t - ${T0}L) div ${SIXH}L) % 4"))
+      val seas = det.groupBy("skey", "phase")
+        .agg(sum(col("qdet")).as("sq"), count(lit(1)).as("nq"))
+        .withColumn("seasonal",
+          col("sq").cast("double") / (col("nq").cast("double") * 10.0))
+        .select("skey", "phase", "seasonal")
+      det.join(seas, Seq("skey", "phase"))
+        .withColumn("rq",
+          floor((col("qdet").cast("double") / 10.0 - col("seasonal"))
+            * 100 + 0.5 + 1e-6).cast("long"))
+        .withColumn("dq", col("qdet") * 10)
+        .groupBy("skey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rq")).as("sr"), sum(col("rq") * col("rq")).as("srr"),
+          sum(col("dq")).as("sd"), sum(col("dq") * col("dq")).as("sdd"))
+        .withColumn("vr", col("n") * col("srr") - col("sr") * col("sr"))
+        .withColumn("vd", col("n") * col("sdd") - col("sd") * col("sd"))
+        .filter(col("n") >= 8 && col("vd") > 0)
+        .select(col("skey"), col("n"),
+          sround(greatest(lit(0.0),
+            lit(1.0) - col("vr").cast("double") / col("vd").cast("double")))
+            .as("f_seasonal"))
+        .orderBy("skey")
+    },
+
+    // ---- trimmed mean (robust location) -----------------------------
+    // Per-series mean with the lowest and highest 10% of points (k =
+    // n div 10 each side) dropped by rank — the robust level estimate
+    // a single stuck-counter spike can't move (the mean the reference's
+    // avg aggregator reports is spike-hostage). Pure integer selection:
+    // one rank window on the 1e-4 value grid (tie order among equal
+    // values provably doesn't change the kept multiset), one exact
+    // integer sum, one fixed-shape readout division.
+    "q_trimmed_mean" -> { (s, dir) =>
+      val d = Dp.withSeriesKey(
+        DpView.dp(s, dir)
+          .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+      val wr = Window.partitionBy("skey").orderBy(col("q"), col("ts"))
+      val wa = Window.partitionBy("skey")
+      d.withColumn("i", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wa))
+        .withColumn("k", expr("n div 10"))
+        .filter(col("i") > col("k") && col("i") <= col("n") - col("k"))
+        .groupBy("skey")
+        .agg(count(lit(1)).as("m"), sum(col("q")).as("sq"),
+          max(col("n")).as("n"), max(col("k")).as("k"))
+        .select(col("skey"), col("n"), col("k"),
+          sround(col("sq").cast("double")
+            / (col("m").cast("double") * 10000.0)).as("tmean"))
+        .orderBy("skey")
+    },
+
     // ---- seasonal percentile envelope -------------------------------
     // Per series, the p10/p50/p90 "normal band" of each time-of-day
     // slot (four 6h phases) over the whole window — what dashboards
@@ -1033,6 +1106,81 @@ object SeriesAnalytics {
            |         AS smape_naive,
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
+           |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_seasonal_strength" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
+        s"""tr AS (
+           |  SELECT skey, t, b,
+           |         CAST(sum(b) OVER w AS BIGINT) AS tsum,
+           |         count(*) OVER w AS cnt
+           |  FROM bk
+           |  WINDOW w AS (PARTITION BY skey ORDER BY t
+           |               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+           |det AS (
+           |  SELECT skey, t,
+           |         CAST(floor((CAST(b AS DOUBLE)
+           |              - CAST(tsum AS DOUBLE) / 5.0)
+           |              * 10 + 0.5 + 1e-6) AS BIGINT) AS qdet,
+           |         ((t - $T0) // $SIXH) % 4 AS phase
+           |  FROM tr WHERE cnt = 5),
+           |seas AS (
+           |  SELECT skey, phase,
+           |         CAST(sum(qdet) AS DOUBLE)
+           |           / (CAST(count(*) AS DOUBLE) * 10.0) AS seasonal
+           |  FROM det GROUP BY skey, phase),
+           |j AS (
+           |  SELECT d.skey,
+           |         CAST(floor((CAST(d.qdet AS DOUBLE) / 10.0 - s.seasonal)
+           |              * 100 + 0.5 + 1e-6) AS BIGINT) AS rq,
+           |         d.qdet * 10 AS dq
+           |  FROM det d JOIN seas s
+           |    ON d.skey = s.skey AND d.phase = s.phase),
+           |ag AS (
+           |  SELECT skey, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(rq) AS BIGINT) AS sr,
+           |         CAST(sum(rq * rq) AS BIGINT) AS srr,
+           |         CAST(sum(dq) AS BIGINT) AS sd,
+           |         CAST(sum(dq * dq) AS BIGINT) AS sdd
+           |  FROM j GROUP BY skey),
+           |v AS (
+           |  SELECT skey, n, n * srr - sr * sr AS vr,
+           |         n * sdd - sd * sd AS vd
+           |  FROM ag)
+           |SELECT skey, n,
+           |       ${sroundSql(
+                "greatest(0.0, 1.0 - CAST(vr AS DOUBLE) / CAST(vd AS DOUBLE))")}
+           |         AS f_seasonal
+           |FROM v WHERE n >= 8 AND vd > 0 ORDER BY skey""".stripMargin),
+
+      "q_trimmed_mean" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |qq AS (
+           |  SELECT skey, ts,
+           |         CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT) AS q
+           |  FROM dedup),
+           |rk AS (
+           |  SELECT skey, q,
+           |         CAST(row_number() OVER (PARTITION BY skey
+           |           ORDER BY q, ts) AS BIGINT) AS i,
+           |         CAST(count(*) OVER (PARTITION BY skey) AS BIGINT) AS n
+           |  FROM qq),
+           |kept AS (
+           |  SELECT skey, q, n, n // 10 AS k
+           |  FROM rk WHERE i > n // 10 AND i <= n - n // 10),
+           |ag AS (
+           |  SELECT skey, CAST(max(n) AS BIGINT) AS n,
+           |         CAST(max(k) AS BIGINT) AS k,
+           |         CAST(count(*) AS BIGINT) AS m,
+           |         CAST(sum(q) AS BIGINT) AS sq
+           |  FROM kept GROUP BY skey)
+           |SELECT skey, n, k,
+           |       ${sroundSql(
+                "CAST(sq AS DOUBLE) / (CAST(m AS DOUBLE) * 10000.0)")}
+           |         AS tmean
            |FROM ag ORDER BY skey""".stripMargin),
 
       "q_percentile_band" -> {

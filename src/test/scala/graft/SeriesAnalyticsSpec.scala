@@ -181,6 +181,28 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonal_strength: bounded in [0,1], covers the STL series") {
+    val r = run("q_seasonal_strength")
+      .select($"skey", $"f_seasonal").as[(String, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, f) =>
+      assert(f >= 0.0 && f <= 1.0 + 1e-9, s"$k f_seasonal=$f")
+    }
+    assert(r.map(_._1).distinct.length === r.length)
+  }
+
+  test("q_trimmed_mean: robust level sits inside the untrimmed range") {
+    val r = run("q_trimmed_mean")
+      .select($"skey", $"n", $"k", $"tmean")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (key, n, k, tm) =>
+      assert(k === n / 10, s"$key trim count drifted")
+      assert(tm > 0, s"$key all-positive values, mean must be positive")
+      assert(n - 2 * k >= 1, s"$key nothing left after trimming")
+    }
+  }
+
   test("q_percentile_band: band ordered p10 <= p50 <= p90, 4 slots max") {
     val r = run("q_percentile_band")
       .select($"skey", $"slot", $"p10", $"p50", $"p90")
