@@ -447,6 +447,94 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- cohort retention -------------------------------------------
+    // The product-analytics staple over the raw event stream: users
+    // cohorted by first-seen day, retention = share of each cohort
+    // active k days later. One distinct over (user, day) — the only
+    // corpus-sized shuffle — then a per-user min and two bounded
+    // aggregations (≤ days² output rows); the rate is an exact integer
+    // division. At 100 TB the distinct is the canonical map-side-
+    // combined dedup, and everything after it is user-cardinality.
+    "q_retention" -> { (s, dir) =>
+      val act = DpView.events(s, dir)
+        .select(col("user_id"), DpView.tsMillis.as("ts"))
+        .filter(col("ts").between(T0, T1))
+        .select(col("user_id"), expr(s"(ts - ${T0}L) div ${DAY}L").as("day"))
+        .distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      act.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("k"), col("n_active"), col("n_cohort"),
+          expr("(n_active * 10000) div n_cohort").as("ret_pm"))
+        .orderBy("cohort", "k")
+    },
+
+    // ---- event-type transition matrix -------------------------------
+    // First-order Markov audit of the event stream: P(next = j | cur =
+    // i) per user journey — which flows dominate, which transitions
+    // never happen. One lead window per user (ordered by event time,
+    // event_id tiebreak), counts per ordered pair, share by exact
+    // integer division against a per-source window total. Output is
+    // |types|² bounded regardless of corpus size.
+    "q_transitions" -> { (s, dir) =>
+      val ev = DpView.events(s, dir)
+        .select(col("user_id"), col("event_type"), DpView.tsMillis.as("ts"),
+          col("event_id"))
+        .filter(col("ts").between(T0, T1))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wt = Window.partitionBy("cur")
+      ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("cur"), col("nxt"))
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("cnt"))
+        .withColumn("tot", sum(col("cnt")).over(wt))
+        .select(col("cur"), col("nxt"), col("cnt"),
+          expr("(cnt * 10000) div tot").as("p_pm"))
+        .orderBy("cur", "nxt")
+    },
+
+    // ---- funnel conversion (view → click → purchase) ----------------
+    // Ordered-stage funnel: a user converts a stage only AFTER
+    // completing the previous one (min qualifying timestamp chains
+    // forward). Three per-user min aggregations glued by equi joins on
+    // user_id with a strict-inequality time filter — never a window
+    // over the raw stream; stage counts and per-stage conversion are
+    // exact integers.
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = DpView.events(s, dir)
+        .select(col("user_id"), col("event_type"), DpView.tsMillis.as("ts"))
+        .filter(col("ts").between(T0, T1))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      def stage(df: DataFrame, n: Long, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("stage"), lit(name).as("event_type"),
+            col("n_users"))
+      val stages = stage(v, 1L, "view")
+        .unionByName(stage(c, 2L, "click"))
+        .unionByName(stage(p, 3L, "purchase"))
+      val w = Window.orderBy("stage")
+      stages
+        .withColumn("prev", lag(col("n_users"), 1).over(w))
+        .select(col("stage"), col("event_type"), col("n_users"),
+          when(col("prev").isNull, 10000L)
+            .when(col("prev") === 0, 0L)
+            .otherwise(expr("(n_users * 10000) div prev")).as("conv_pm"))
+        .orderBy("stage")
+    },
+
     // ---- seasonal strength (Hyndman & Athanasopoulos) ---------------
     // F_s = max(0, 1 − Var(remainder)/Var(detrended)) per series — ONE
     // number answering "is this series actually seasonal", the triage
@@ -1107,6 +1195,83 @@ object SeriesAnalytics {
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
            |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_retention" ->
+        s"""WITH act AS (
+           |  SELECT DISTINCT user_id,
+           |         (epoch_ms(ts) - $T0) // $DAY AS day
+           |  FROM events
+           |  WHERE epoch_ms(ts) BETWEEN $T0 AND $T1),
+           |first AS (
+           |  SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id),
+           |sizes AS (
+           |  SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+           |  FROM first GROUP BY cohort),
+           |ret AS (
+           |  SELECT f.cohort, a.day - f.cohort AS k,
+           |         CAST(count(*) AS BIGINT) AS n_active
+           |  FROM act a JOIN first f ON f.user_id = a.user_id
+           |  GROUP BY f.cohort, a.day - f.cohort)
+           |SELECT r.cohort, r.k, r.n_active, s.n_cohort,
+           |       (r.n_active * 10000) // s.n_cohort AS ret_pm
+           |FROM ret r JOIN sizes s ON s.cohort = r.cohort
+           |ORDER BY r.cohort, r.k""".stripMargin,
+
+      "q_transitions" ->
+        s"""WITH ev AS (
+           |  SELECT user_id, event_type, epoch_ms(ts) AS ts, event_id
+           |  FROM events
+           |  WHERE epoch_ms(ts) BETWEEN $T0 AND $T1),
+           |pairs AS (
+           |  SELECT event_type AS cur,
+           |         lead(event_type, 1) OVER (PARTITION BY user_id
+           |           ORDER BY ts, event_id) AS nxt
+           |  FROM ev),
+           |cn AS (
+           |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+           |wt AS (
+           |  SELECT cur, nxt, cnt,
+           |         CAST(sum(cnt) OVER (PARTITION BY cur) AS BIGINT) AS tot
+           |  FROM cn)
+           |SELECT cur, nxt, cnt, (cnt * 10000) // tot AS p_pm
+           |FROM wt ORDER BY cur, nxt""".stripMargin,
+
+      "q_funnel" ->
+        s"""WITH ev AS (
+           |  SELECT user_id, event_type, epoch_ms(ts) AS ts
+           |  FROM events
+           |  WHERE epoch_ms(ts) BETWEEN $T0 AND $T1),
+           |v AS (
+           |  SELECT user_id, min(ts) AS tv FROM ev
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (
+           |  SELECT e.user_id, min(e.ts) AS tc
+           |  FROM ev e JOIN v ON v.user_id = e.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > v.tv
+           |  GROUP BY e.user_id),
+           |p AS (
+           |  SELECT e.user_id, min(e.ts) AS tp
+           |  FROM ev e JOIN c ON c.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+           |  GROUP BY e.user_id),
+           |stages AS (
+           |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+           |         CAST(count(*) AS BIGINT) AS n_users FROM v
+           |  UNION ALL
+           |  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+           |  UNION ALL
+           |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p),
+           |cv AS (
+           |  SELECT stage, event_type, n_users,
+           |         lag(n_users, 1) OVER (ORDER BY stage) AS prev
+           |  FROM stages)
+           |SELECT stage, event_type, n_users,
+           |       CAST(CASE WHEN prev IS NULL THEN 10000
+           |            WHEN prev = 0 THEN 0
+           |            ELSE (n_users * 10000) // prev END AS BIGINT)
+           |         AS conv_pm
+           |FROM cv ORDER BY stage""".stripMargin,
 
       "q_seasonal_strength" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +
         s"""tr AS (

@@ -181,6 +181,42 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_retention: day-0 retention is exactly 100%, rates bounded") {
+    val r = run("q_retention")
+      .select($"cohort", $"k", $"n_active", $"n_cohort", $"ret_pm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (c, k, na, nc, pm) =>
+      assert(k >= 0 && na <= nc, s"cohort $c k=$k active exceeds cohort")
+      assert(pm >= 0 && pm <= 10000, s"cohort $c rate out of range")
+      if (k == 0) assert(pm === 10000, s"cohort $c day-0 not 100%")
+    }
+  }
+
+  test("q_transitions: per-source rows partition the source total") {
+    val r = run("q_transitions")
+      .select($"cur", $"nxt", $"cnt", $"p_pm")
+      .as[(String, String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (cur, rows) =>
+      val s = rows.map(_._4).sum
+      // floor division loses < 1 per target row
+      assert(s > 10000 - rows.length && s <= 10000, s"$cur shares sum $s")
+    }
+  }
+
+  test("q_funnel: stages strictly ordered, conversion consistent") {
+    val r = run("q_funnel")
+      .select($"stage", $"n_users", $"conv_pm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.length === 3)
+    assert(r(0)._2 >= r(1)._2 && r(1)._2 >= r(2)._2,
+      "funnel must narrow at every stage")
+    assert(r(0)._3 === 10000)
+    assert(r(1)._3 === r(1)._2 * 10000 / r(0)._2)
+    assert(r(2)._3 === r(2)._2 * 10000 / r(1)._2)
+  }
+
   test("q_seasonal_strength: bounded in [0,1], covers the STL series") {
     val r = run("q_seasonal_strength")
       .select($"skey", $"f_seasonal").as[(String, Double)].collect()
