@@ -447,6 +447,37 @@ object SeriesAnalytics {
         .orderBy("skey")
     },
 
+    // ---- top movers (day-over-day) ----------------------------------
+    // The "what changed the most" triage board: per series, consecutive
+    // -day change of the daily mean level (integer floor means on the
+    // 1e-4 grid), globally ranked by |Δ| with deterministic ties
+    // (skey, day) — top 5 reported. Inputs to the rank are the tiny
+    // per-(series, day) aggregates; the rank window costs series×days
+    // rows, never points.
+    "q_movers" -> { (s, dir) =>
+      val daily = Dp.withSeriesKey(
+        DpView.dp(s, dir)
+          .filter(col("metric") === "view" && col("ts").between(T0, T1)))
+        .groupBy(col("skey"), col("ts"))
+        .agg(max_by(col("value"), col("seq")).as("value"))
+        .withColumn("q", floor(col("value") * 10000 + 0.5 + 1e-6).cast("long"))
+        .groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(DAY))).as("d"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("skey"), col("d"), expr("sq div n").as("m"))
+      val w = Window.partitionBy("skey").orderBy("d")
+      val wr = Window.orderBy(abs(col("delta")).desc, col("skey"), col("d"))
+      daily
+        .withColumn("pm", lag(col("m"), 1).over(w))
+        .withColumn("pd", lag(col("d"), 1).over(w))
+        .filter(col("pd") === col("d") - DAY)
+        .withColumn("delta", col("m") - col("pm"))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("skey"), expr("d div 1000").as("ts"),
+          col("pm").as("prev_mean"), col("m").as("cur_mean"), col("delta"))
+        .orderBy("rank")
+    },
+
     // ---- cohort retention -------------------------------------------
     // The product-analytics staple over the raw event stream: users
     // cohorted by first-seen day, retention = share of each cohort
@@ -1195,6 +1226,34 @@ object SeriesAnalytics {
            |       CASE WHEN ss < sn THEN 'snaive'
            |            WHEN ss > sn THEN 'naive' ELSE 'tie' END AS winner
            |FROM ag ORDER BY skey""".stripMargin),
+
+      "q_movers" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric = 'view' AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |daily AS (
+           |  SELECT skey, ts - ts % $DAY AS d,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6)
+           |              AS BIGINT)) AS BIGINT)
+           |           // CAST(count(*) AS BIGINT) AS m
+           |  FROM dedup GROUP BY skey, ts - ts % $DAY),
+           |dd AS (
+           |  SELECT skey, d, m,
+           |         lag(m, 1) OVER w AS pm, lag(d, 1) OVER w AS pd
+           |  FROM daily WINDOW w AS (PARTITION BY skey ORDER BY d)),
+           |mv AS (
+           |  SELECT skey, d, m, pm, m - pm AS delta
+           |  FROM dd WHERE pd = d - $DAY),
+           |rk AS (
+           |  SELECT skey, d, m, pm, delta,
+           |         CAST(row_number() OVER (ORDER BY abs(delta) DESC,
+           |           skey, d) AS BIGINT) AS rank
+           |  FROM mv)
+           |SELECT rank, skey, d // 1000 AS ts, pm AS prev_mean,
+           |       m AS cur_mean, delta
+           |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin),
 
       "q_retention" ->
         s"""WITH act AS (

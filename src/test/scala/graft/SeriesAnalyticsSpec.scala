@@ -181,6 +181,17 @@ class SeriesAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_movers: exactly 5 ranked rows, |delta| non-increasing") {
+    val r = run("q_movers")
+      .select($"rank", $"prev_mean", $"cur_mean", $"delta")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.length === 5)
+    assert(r.map(_._1).toSeq === (1L to 5L).toSeq)
+    r.foreach { case (_, pm, m, d) => assert(d === m - pm) }
+    assert(r.map(t => math.abs(t._4)).sliding(2)
+      .forall(w => w(0) >= w(1)), "movers not sorted by |delta|")
+  }
+
   test("q_retention: day-0 retention is exactly 100%, rates bounded") {
     val r = run("q_retention")
       .select($"cohort", $"k", $"n_active", $"n_cohort", $"ret_pm")
