@@ -1041,6 +1041,63 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // layout skipping audit: for the pl_zorder table, how many files
+    // does a source-dimension predicate actually touch under the
+    // Z-order layout vs a length-sorted one — the measure-don't-guess
+    // gate for the layout family (Z-ordering is only worth its write
+    // cost if the second dimension's envelopes really prune). Both
+    // layouts' file envelopes are computed in-plan from the same
+    // bucketed frame; hit = file envelope contains the predicate
+    // value; skip rate is an exact integer division.
+    "pl_skip_stats" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("srcid", expr("CAST(substring(source, 4) AS BIGINT)"))
+        .withColumn("x", Layout.bucket8(col("n_chars"), cell = 4))
+        .withColumn("y", col("srcid") * 13)
+      val target = 91L // srcid 7 on the y scale
+      def audit(withFid: DataFrame, name: String): DataFrame =
+        withFid.groupBy("fid")
+          .agg(min(col("y")).as("mn"), max(col("y")).as("mx"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mn") <= target && col("mx") >= target, 1L)
+              .otherwise(0L)).as("n_hit"))
+          .select(lit(name).as("layout"), col("n_files"), col("n_hit"),
+            expr("((n_files - n_hit) * 10000) div n_files").as("skip_pm"))
+      val zf = d.withColumn("fid",
+        Layout.zFile(Layout.zValue16(col("x"), col("y")), 32))
+      val wl = Window.orderBy(col("n_chars"), col("doc_id"))
+      val lf = d
+        .withColumn("rn", row_number().over(wl).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("fid", expr("((rn - 1) * 32) div nn"))
+      audit(lf, "length_sorted")
+        .unionByName(audit(zf, "zorder"))
+        .orderBy("layout")
+    },
+
+    // near-dup detector evaluation: precision/recall of the SimHash
+    // hamming≤3 candidate pairs against the exact n-gram-Jaccard ≥0.8
+    // truth — the pl_ann_recall sibling for the dedup family (the
+    // measure-don't-guess gate pricing what the bit-signature shortcut
+    // costs before betting a 100 TB dedup run on it). Both pair chains
+    // are the existing gated operators; the comparison is one full
+    // outer join on the canonical (id1 < id2) pair key and exact
+    // integer rates.
+    "pl_neardup_eval" -> { (s, dir) =>
+      val t = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"), lit(1L).as("in_t"))
+      val p = Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
+        .select(col("id1"), col("id2"), lit(1L).as("in_p"))
+      t.join(p, Seq("id1", "id2"), "full_outer")
+        .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("in_p"), lit(0L))).as("n_pred"),
+          sum(when(col("in_t").isNotNull && col("in_p").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_truth"), col("n_pred"), col("tp"),
+          expr("(tp * 10000) div n_pred").as("prec_pm"),
+          expr("(tp * 10000) div n_truth").as("rec_pm"))
+    },
+
     // distinct-n lexical diversity (Li et al. 2016): distinct unigrams /
     // total and distinct bigrams / total per source — the repetition
     // screen for generated or templated corpora (near-duplicate boiler-
@@ -2047,6 +2104,31 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
       s"""WITH $simhashCtes
          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
+
+    // detector-evaluation oracle: the exact-Jaccard truth chain and the
+    // simhash candidate chain side by side (disjoint CTE namespaces),
+    // compared by one full outer join on the canonical pair key
+    val neardupEval =
+      s"""WITH $shingleCte,
+         |${cappedShingleCte(1000)},
+         |${jaccardCtes("shf")},
+         |truth AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.8),
+         |$simhashCtes,
+         |pred AS (SELECT id1, id2 FROM cand WHERE hamming <= 3),
+         |j AS (
+         |  SELECT CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         |         CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_p
+         |  FROM truth t FULL JOIN pred p
+         |    ON p.id1 = t.id1 AND p.id2 = t.id2),
+         |ag AS (
+         |  SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+         |         CAST(sum(in_p) AS BIGINT) AS n_pred,
+         |         CAST(sum(in_t * in_p) AS BIGINT) AS tp
+         |  FROM j)
+         |SELECT n_truth, n_pred, tp,
+         |       (tp * 10000) // n_pred AS prec_pm,
+         |       (tp * 10000) // n_truth AS rec_pm
+         |FROM ag""".stripMargin
 
     // soft-dedup oracle: simhash pair source (the cheap near-dup pass),
     // recursive-reachability cluster labels, a size join; weight via
@@ -3480,6 +3562,49 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_pack" -> pack,
       "pl_redact" -> redact,
       "pl_dedup_simhash" -> simhash,
+      "pl_neardup_eval" -> neardupEval,
+      "pl_skip_stats" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, n_chars,
+           |    least(n_chars // 4, 255) AS x,
+           |    CAST(substr(source, 4) AS BIGINT) * 13 AS y
+           |  FROM documents),
+           |z AS (
+           |  SELECT y, ${(0 until 8).map(i =>
+                s"((x >> $i) & 1) * ${1L << (2 * i)}" +
+                s" + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+                .mkString(" + ")} AS zv
+           |  FROM b),
+           |zf AS (SELECT y, (zv * 32) // 65536 AS fid FROM z),
+           |ze AS (SELECT fid, min(y) AS mn, max(y) AS mx
+           |       FROM zf GROUP BY fid),
+           |za AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+           |         CAST(sum(CASE WHEN mn <= 91 AND mx >= 91
+           |              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |  FROM ze),
+           |lr AS (
+           |  SELECT y,
+           |         CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+           |              AS BIGINT) AS rn,
+           |         CAST(count(*) OVER () AS BIGINT) AS nn
+           |  FROM b),
+           |lf AS (SELECT y, ((rn - 1) * 32) // nn AS fid FROM lr),
+           |le AS (SELECT fid, min(y) AS mn, max(y) AS mx
+           |       FROM lf GROUP BY fid),
+           |la AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_files,
+           |         CAST(sum(CASE WHEN mn <= 91 AND mx >= 91
+           |              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |  FROM le)
+           |SELECT 'length_sorted' AS layout, n_files, n_hit,
+           |       ((n_files - n_hit) * 10000) // n_files AS skip_pm
+           |FROM la
+           |UNION ALL
+           |SELECT 'zorder', n_files, n_hit,
+           |       ((n_files - n_hit) * 10000) // n_files
+           |FROM za
+           |ORDER BY layout""".stripMargin,
       "pl_knn" -> knn,
       "pl_rproj" -> rproj,
       "pl_knn_sq8" -> sq8Knn,

@@ -1497,6 +1497,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pl_neardup_eval: confusion counts consistent, rates exact") {
+    val r = SparkEntry.queries("pl_neardup_eval")(spark, sf)
+      .select($"n_truth", $"n_pred", $"tp", $"prec_pm", $"rec_pm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.length === 1)
+    val (nt, np, tp, pr, rc) = r.head
+    assert(tp <= nt && tp <= np, "true positives exceed a side")
+    assert(pr === tp * 10000 / np && rc === tp * 10000 / nt)
+    assert(nt > 0 && np > 0, "degenerate evaluation")
+  }
+
+  test("pl_skip_stats: zorder prunes the source predicate, linear can't") {
+    val r = SparkEntry.queries("pl_skip_stats")(spark, sf)
+      .select($"layout", $"n_files", $"n_hit", $"skip_pm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq === Seq("length_sorted", "zorder"))
+    r.foreach { case (l, nf, nh, pm) =>
+      assert(nh <= nf && pm === (nf - nh) * 10000 / nf, s"$l inconsistent")
+    }
+    val skip = r.map(t => t._1 -> t._4).toMap
+    // the whole point: the second dimension only prunes under zorder
+    assert(skip("zorder") > skip("length_sorted"),
+      "zorder must out-skip the single-dimension sort")
+  }
+
   test("pl_distinct_n: diversity bounded, bigrams more diverse than unigrams") {
     val r = SparkEntry.queries("pl_distinct_n")(spark, sf)
       .select($"source", $"t1", $"d1", $"dist1_pm", $"t2", $"d2", $"dist2_pm")
