@@ -1098,6 +1098,46 @@ object PipelineQueries {
           expr("(tp * 10000) div n_truth").as("rec_pm"))
     },
 
+    // exact edit-distance confirmation of SimHash candidates: the
+    // verify stage a production near-dup pipeline runs between the
+    // cheap signature pass and the actual drop — O(len²) DP priced
+    // only on candidate pairs, all-integer output
+    "pl_neardup_edit" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cand = Dedup.simhashPairs(d, nBits = 60, maxHamming = 3)
+        .select(col("id1"), col("id2"))
+      Dedup.editVerify(d, cand).orderBy("id1", "id2")
+    },
+
+    // Heaps-law vocabulary growth: cumulative docs/tokens/vocab at ten
+    // ingestion-order checkpoints — does V(N) flatten, i.e. how big
+    // must the tokenizer vocab / dedup hash space grow with the corpus
+    "pl_heaps" -> { (s, dir) =>
+      TextAnalysis.heapsGrowth(docs(s, dir), nBuckets = 10)
+        .orderBy("bucket")
+    },
+
+    // Zipf rank-frequency OLS fit over the top-100 tokens: slope ≈ −1
+    // is the natural-text signature; flat slopes flag templated or
+    // synthetic corpora. ln terms on a 1e-6 integer grid, moments are
+    // exact integer sums, slope/intercept fixed-shape float reads
+    "pl_zipf" -> { (s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), topK = 100)
+        .select(col("n_terms"), sround(col("slope")).as("slope"),
+          sround(col("intercept")).as("intercept"))
+    },
+
+    // interpolated Kneser-Ney bigram NLL: held-out (odd-id) docs scored
+    // against train-half counts with continuation-probability backoff —
+    // one order deeper than add-α pl_bigram_nll, the smoothing KenLM
+    // actually uses for CCNet-style quality scoring
+    "pl_kn_nll" -> { (s, dir) =>
+      TextAnalysis.knNll(docs(s, dir))
+        .select(col("doc_id"), col("n_scored"), col("n_skip"),
+          sround(col("nll")).as("nll"))
+        .orderBy("doc_id")
+    },
+
     // distinct-n lexical diversity (Li et al. 2016): distinct unigrams /
     // total and distinct bigrams / total per source — the repetition
     // screen for generated or templated corpora (near-duplicate boiler-
@@ -2129,6 +2169,131 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |       (tp * 10000) // n_pred AS prec_pm,
          |       (tp * 10000) // n_truth AS rec_pm
          |FROM ag""".stripMargin
+
+    // edit-distance confirmation oracle: the shared simhash candidate
+    // chain, then DuckDB's builtin levenshtein on the reattached texts —
+    // integer similarity, no float rule needed
+    val neardupEdit =
+      s"""WITH $simhashCtes,
+         |p AS (SELECT id1, id2 FROM cand WHERE hamming <= 3),
+         |v AS (
+         |  SELECT p.id1, p.id2,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |    CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS maxlen
+         |  FROM p JOIN documents a ON a.doc_id = p.id1
+         |         JOIN documents b ON b.doc_id = p.id2)
+         |SELECT id1, id2, lev, ((maxlen - lev) * 10000) // maxlen AS sim_pm
+         |FROM v WHERE maxlen > 0 ORDER BY id1, id2""".stripMargin
+
+    val heaps =
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS nn
+        |  FROM documents),
+        |b AS (SELECT doc_id, ((rn - 1) * 10) // nn + 1 AS bucket FROM ids),
+        |tok AS (
+        |  SELECT b.bucket, unnest(string_split(d.text, ' ')) AS token
+        |  FROM documents d JOIN b USING (doc_id)),
+        |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tb
+        |       FROM tok GROUP BY bucket),
+        |vb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS vb FROM (
+        |         SELECT token, min(bucket) AS bucket FROM tok GROUP BY token)
+        |       GROUP BY bucket),
+        |db AS (SELECT bucket, CAST(count(*) AS BIGINT) AS db
+        |       FROM b GROUP BY bucket)
+        |SELECT bucket,
+        |  CAST(sum(db) OVER w AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(tb, 0)) OVER w AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(vb, 0)) OVER w AS BIGINT) AS vocab
+        |FROM db LEFT JOIN tb USING (bucket) LEFT JOIN vb USING (bucket)
+        |WINDOW w AS (ORDER BY bucket
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin
+
+    val zipf =
+      """WITH f AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY freq DESC, token LIMIT 100),
+        |r AS (
+        |  SELECT freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS rank
+        |  FROM f),
+        |q AS (
+        |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |           AS qx,
+        |         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |           AS qy
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+        |         CAST(sum(qx * qy) AS BIGINT) AS sxy,
+        |         CAST(sum(qx * qx) AS BIGINT) AS sxx
+        |  FROM q),
+        |s AS (
+        |  SELECT n_terms, sx, sy,
+        |    CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope_raw
+        |  FROM m)
+        |SELECT n_terms,
+        |  floor(slope_raw * 10000 + 0.5 + 1e-6) / 10000.0 AS slope,
+        |  floor(((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) /
+        |         (CAST(n_terms AS DOUBLE) * 1e6)) * 10000 + 0.5 + 1e-6)
+        |    / 10000.0 AS intercept
+        |FROM s""".stripMargin
+
+    // Kneser-Ney oracle: identical count relations and the SAME float
+    // expression tree as the Spark side (greatest/discount/continuation
+    // shapes mirrored operator-for-operator), per-position -ln P on the
+    // 1e-6 grid before the order-free per-doc sum
+    val knNll =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |  FROM tok WHERE len(w) >= 2),
+        |c2 AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |              CAST(count(*) AS BIGINT) AS n1f
+        |       FROM c2 GROUP BY w1),
+        |n1r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r
+        |        FROM c2 GROUP BY w2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS t_ FROM c2),
+        |sc AS (
+        |  SELECT e.doc_id, n1r.n1r,
+        |    CASE WHEN c1.c1 IS NOT NULL THEN
+        |      (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0) +
+        |        (0.75 * CAST(c1.n1f AS DOUBLE)) *
+        |          (CAST(n1r.n1r AS DOUBLE) / CAST(t.t_ AS DOUBLE))) /
+        |        CAST(c1.c1 AS DOUBLE)
+        |    ELSE CAST(n1r.n1r AS DOUBLE) / CAST(t.t_ AS DOUBLE) END AS p
+        |  FROM bg e
+        |  LEFT JOIN c2 ON c2.w1 = e.w1 AND c2.w2 = e.w2
+        |  LEFT JOIN c1 ON c1.w1 = e.w1
+        |  LEFT JOIN n1r ON n1r.w2 = e.w2
+        |  CROSS JOIN t
+        |  WHERE e.doc_id % 2 = 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n1r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_scored,
+        |    CAST(sum(CASE WHEN n1r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_skip,
+        |    CAST(sum(CASE WHEN n1r IS NOT NULL THEN
+        |        CAST(floor(-ln(p) * 1e6 + 0.5) AS BIGINT) END) AS BIGINT)
+        |      AS nllq
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_scored, n_skip,
+        |  floor((CAST(nllq AS DOUBLE) / (CAST(n_scored AS DOUBLE) * 1e6))
+        |        * 10000 + 0.5 + 1e-6) / 10000.0 AS nll
+        |FROM agg WHERE n_scored > 0 ORDER BY doc_id""".stripMargin
 
     // soft-dedup oracle: simhash pair source (the cheap near-dup pass),
     // recursive-reachability cluster labels, a size join; weight via
@@ -3563,6 +3728,10 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_redact" -> redact,
       "pl_dedup_simhash" -> simhash,
       "pl_neardup_eval" -> neardupEval,
+      "pl_neardup_edit" -> neardupEdit,
+      "pl_heaps" -> heaps,
+      "pl_zipf" -> zipf,
+      "pl_kn_nll" -> knNll,
       "pl_skip_stats" ->
         s"""WITH b AS (
            |  SELECT doc_id, n_chars,

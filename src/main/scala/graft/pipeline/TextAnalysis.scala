@@ -759,4 +759,143 @@ object TextAnalysis {
       transform(tokens(text), t => pmod(GraftFunctions.md5Hash60(t), lit(FpMod))),
       lit(0L),
       (acc, h) => pmod(acc * 31 + h, lit(FpMod)))
+
+  /** Heaps-law vocabulary growth curve: docs in ingestion (`idCol`)
+    * order are cut into `nBuckets` equal slices, and each slice reports
+    * the CUMULATIVE doc / token / distinct-vocabulary counts up to its
+    * end — the V(N) curve whose flattening (or not) prices tokenizer
+    * vocab sizes and hash-table capacity for a growing corpus. All
+    * counts are exact integers.
+    *
+    * Scale shape: the rank window runs over an ids-only projection
+    * (8 bytes/row — never the text), the corpus-sized pass is one
+    * tokenize+explode whose per-token state is `min(bucket)` (map-side
+    * combined), and the cumulative window is `nBuckets` rows. On a real
+    * cluster the ids-only rank would come from a range-partitioned sort
+    * (ingestion order is usually already a partition column); the
+    * semantics here only need the slice BOUNDARIES, not a total order.
+    */
+  def heapsGrowth(docs: DataFrame, nBuckets: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "nBuckets > 0")
+    val ids = docs.select(col(idCol))
+      .withColumn("rn", row_number().over(Window.orderBy(col(idCol))).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .select(col(idCol),
+        (expr(s"((rn - 1) * $nBuckets) div nn") + 1).as("bucket"))
+    // bucket-tagged token stream feeds BOTH aggregations (token totals,
+    // first-bucket-per-term) — persisted so the tokenize pass runs once;
+    // session-lifetime entry, swept by Bench between gates
+    val toks = withTokens(docs, textCol)
+      .join(ids, Seq(idCol))
+      .select(col("bucket"), explode(col("w_")).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokPerB = toks.groupBy("bucket").agg(count(lit(1)).as("tb"))
+    val vocabPerB = toks.groupBy("token").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("vb"))
+    val docsPerB = ids.groupBy("bucket").agg(count(lit(1)).as("db"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPerB.join(tokPerB, Seq("bucket"), "left")
+      .join(vocabPerB, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("db")).over(wc).as("n_docs"),
+        sum(coalesce(col("tb"), lit(0L))).over(wc).as("n_tokens"),
+        sum(coalesce(col("vb"), lit(0L))).over(wc).as("vocab"))
+  }
+
+  /** Zipf rank–frequency fit: OLS of ln(freq) on ln(rank) over the
+    * corpus's `topK` most frequent tokens (frequency-desc, token-asc
+    * total order) — slope ≈ −1 is the natural-language signature; a
+    * much flatter slope flags templated/synthetic text. Per-row ln
+    * terms are quantized to a 1e-6 integer grid before the order-free
+    * moment sums, so both engines fit from identical integers; the
+    * slope/intercept are one fixed-shape float expression each.
+    *
+    * Scale shape: token counts are one map-side-combined shuffle; the
+    * top-K selection is a distributed TakeOrdered (never a vocab-wide
+    * rank window); everything after runs on K rows.
+    */
+  def zipfFit(docs: DataFrame, topK: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val top = withTokens(docs, textCol)
+      .select(explode(col("w_")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topK)
+    val q = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long").as("qx"),
+        floor(log(col("freq").cast("double")) * 1e6 + 0.5).cast("long").as("qy"))
+    val m = q.agg(count(lit(1)).as("n_terms"),
+      sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+      sum(col("qx") * col("qy")).as("sxy"),
+      sum(col("qx") * col("qx")).as("sxx"))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("n_terms"), slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        (col("n_terms").cast("double") * lit(1e6))).as("intercept"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Chen & Goodman 1999, the
+    * smoothing KenLM defaults to): held-out docs (odd ids) scored
+    * against train-half (even ids) counts with absolute discount `d`:
+    * `P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁) + d·N₁₊(w₁·)/c(w₁) ·
+    * Pcont(w₂)` where `Pcont(w₂) = N₁₊(·w₂)/|bigram types|` — the
+    * continuation probability that makes "Francisco" cheap only after
+    * "San". Unseen w₁ backs off to Pcont directly; positions whose w₂
+    * has no continuation mass are skipped and counted (`n_skip` — the
+    * true-OOV residue). Per-position −ln P is quantized to a 1e-6
+    * integer grid before the order-free per-doc sum.
+    *
+    * Scale shape: the bigram relation is persisted once and feeds all
+    * count branches; every join is a plain shuffle join on a gram/token
+    * key (the bigram-type table outgrows broadcast range at corpus
+    * scale); |types| rides as a broadcast 1-row frame.
+    */
+  def knNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    val bg = withTokens(docs, textCol)
+      .filter(size(col("w_")) >= 2)
+      .select(col(idCol), explode(ngramsOf(col("w_"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // train-half bigram types feed FIVE branches (c2 join, c1, N1+(w1·),
+    // N1+(·w2), |types|) — persisted, or the tokenize+ngram+count chain
+    // re-runs per branch
+    val c2 = bg.filter(pmod(col(idCol), lit(2)) === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1n1f = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val n1r = c2.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tdf = c2.agg(count(lit(1)).as("t_"))
+    val pcont = col("n1r").cast("double") / col("t_").cast("double")
+    val p = when(col("c1").isNotNull,
+      (greatest(coalesce(col("c2"), lit(0L)).cast("double") - discount,
+        lit(0.0)) +
+        (lit(discount) * col("n1f").cast("double")) * pcont) /
+        col("c1").cast("double"))
+      .otherwise(pcont)
+    bg.filter(pmod(col(idCol), lit(2)) === 1)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1n1f, Seq("w1"), "left")
+      .join(n1r, Seq("w2"), "left")
+      .crossJoin(broadcast(tdf))
+      .withColumn("q_", when(col("n1r").isNotNull,
+        floor(-log(p) * 1e6 + 0.5).cast("long")))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("n1r").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("n1r").isNull, 1L).otherwise(0L)).as("n_skip"),
+        sum(col("q_")).as("nllq"))
+      .filter(col("n_scored") > 0)
+      .select(col(idCol), col("n_scored"), col("n_skip"),
+        (col("nllq").cast("double") /
+          (col("n_scored").cast("double") * lit(1e6))).as("nll"))
+  }
 }

@@ -1522,6 +1522,65 @@ class PipelineSpec extends SparkSpec {
       "zorder must out-skip the single-dimension sort")
   }
 
+  test("pl_neardup_edit: scores bounded, identical texts score 10000") {
+    val r = SparkEntry.queries("pl_neardup_edit")(spark, sf)
+      .select($"id1", $"id2", $"lev", $"sim_pm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (i1, i2, lev, pm) =>
+      assert(i1 < i2 && lev >= 0 && pm >= 0 && pm <= 10000)
+      assert((lev == 0) == (pm == 10000), "zero distance iff full score")
+    }
+    // hand case: one substitution in a 10-char text
+    val d = Seq((1L, "abcdefghij"), (2L, "abcdefghiX")).toDF("doc_id", "text")
+    val p = Seq((1L, 2L)).toDF("id1", "id2")
+    val v = Dedup.editVerify(d, p).as[(Long, Long, Long, Long)].head()
+    assert(v === ((1L, 2L, 1L, 9000L)))
+  }
+
+  test("pl_heaps: cumulative counts monotone, vocab concave vs tokens") {
+    val r = SparkEntry.queries("pl_heaps")(spark, sf)
+      .select($"bucket", $"n_docs", $"n_tokens", $"vocab")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq === (1L to 10L))
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 > a._3 && b._4 >= a._4, "not monotone")
+    }
+    val last = r.last
+    assert(last._2 === docs.count())
+    assert(last._4 <= last._3, "vocab cannot exceed token count")
+    // Heaps: second-half vocab growth is slower than first-half
+    assert(last._4 - r(4)._4 < r(4)._4, "no sub-linear vocab growth")
+  }
+
+  test("pl_zipf: slope negative and in the Zipf range") {
+    val (n, slope, icept) = SparkEntry.queries("pl_zipf")(spark, sf)
+      .select($"n_terms", $"slope", $"intercept")
+      .as[(Long, Double, Double)].head()
+    // n = min(topK, |vocab|) — the synthetic corpus has ~31 tokens
+    val vocab = docs.select(explode(split($"text", " "))).distinct().count()
+    assert(n === math.min(100L, vocab))
+    assert(slope < 0.0, "rank-frequency slope must be negative")
+    assert(slope > -3.0 && icept > 0.0)
+  }
+
+  test("pl_kn_nll: per-doc NLL positive, skip accounting consistent") {
+    val r = SparkEntry.queries("pl_kn_nll")(spark, sf)
+      .select($"doc_id", $"n_scored", $"n_skip", $"nll")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, ns, sk, nll) =>
+      assert(id % 2 === 1, "only held-out docs are scored")
+      assert(ns >= 1 && sk >= 0)
+      assert(nll >= 0.0, s"doc $id: P>1 impossible under KN")
+    }
+    // discounting: KN must behave like a proper LM — mean NLL within
+    // a sane band for this corpus (ln V ~ ln 30 ≈ 3.4 is the ceiling
+    // for a uniform model over the planted vocabulary)
+    val mean = r.map(_._4).sum / r.length
+    assert(mean > 0.5 && mean < 6.0, s"mean NLL $mean out of band")
+  }
+
   test("pl_distinct_n: diversity bounded, bigrams more diverse than unigrams") {
     val r = SparkEntry.queries("pl_distinct_n")(spark, sf)
       .select($"source", $"t1", $"d1", $"dist1_pm", $"t2", $"d2", $"dist2_pm")
