@@ -46,6 +46,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // language-ID evaluation against the corpus's ground-truth lang
+    // column: full confusion matrix + per-truth-language share — the
+    // measure-don't-guess gate for the stopword heuristic (how much
+    // corpus would a lang filter mis-route). Counts are one hash agg;
+    // the share window runs on the ≤|langs|² confusion frame
+    "pl_langid_eval" -> { (s, dir) =>
+      TextAnalysis.withTokens(docs(s, dir))
+        .select(col("lang"), TextAnalysis.langIdOf(col("w_")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("n_lang",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(n * 10000) div n_lang").as("share_pm"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // CCNet-style perplexity bucketing: docs ranked by their bigram-LM
+    // NLL (1e-4 grid + doc_id tiebreak so the order crosses engines),
+    // cut into head/middle/tail terciles — the quality routing CCNet
+    // applies before choosing what to train on. The rank window runs
+    // over the (id, score) frame, never the text
+    "pl_ccnet_bucket" -> { (s, dir) =>
+      val scored = TextAnalysis.bigramNll(docs(s, dir))
+        .select(col("doc_id"), sround(col("nll")).as("nll"))
+      val w = Window.orderBy(col("nll"), col("doc_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("t_", expr("((rn - 1) * 3) div nn + 1"))
+        .select(col("doc_id"), col("nll"),
+          when(col("t_") === 1, "head").when(col("t_") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // PII/URL scrubbing — markers appended so the redaction chain
     // (email → URL → IPv4, order-sensitive) actually fires on every row
     "pl_redact" -> { (s, dir) =>
@@ -806,6 +840,17 @@ object PipelineQueries {
         .orderBy("cid")
     },
 
+    // centroid-based silhouette: cohesion-vs-separation score per
+    // cluster — the can-these-clusters-be-trusted read before
+    // SemDeDup/IVF routing bets on them; one assignment pass against
+    // k broadcast centroids (the O(n²) pairwise silhouette is the
+    // thing this variant exists to avoid at corpus scale)
+    "pl_silhouette" -> { (s, dir) =>
+      Similarity.silhouette(emb(s, dir), k = 8, iters = 2)
+        .select(col("cid"), col("n"), sround(col("sil")).as("sil"))
+        .orderBy("cid")
+    },
+
     // MMR diversified top-5 from the query's 20 ANN candidates
     // (Carbonell & Goldstein 1998): greedy relevance-minus-redundancy
     // on quantized scores; candidate generation and the pairwise-sim
@@ -1353,6 +1398,27 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |SELECT doc_id, CASE $langCase ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin
 
+    // langid-evaluation oracle: the same prediction chain joined back
+    // to the ground-truth lang column, confusion counts + per-truth
+    // shares by exact integer division
+    val langidEval =
+      s"""WITH $tokCte,
+         |scores AS (
+         |  SELECT doc_id, $langScores
+         |  FROM tok),
+         |best AS (SELECT *, greatest($langBest) AS best FROM scores),
+         |pred AS (
+         |  SELECT doc_id, CASE $langCase ELSE 'und' END AS lang_pred
+         |  FROM best),
+         |c AS (
+         |  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  GROUP BY d.lang, p.lang_pred)
+         |SELECT lang, lang_pred, n,
+         |  (n * 10000) //
+         |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_pm
+         |FROM c ORDER BY lang, lang_pred""".stripMargin
+
     val fp =
       s"""WITH $tokCte
          |SELECT doc_id,
@@ -1865,20 +1931,40 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM tokx JOIN f USING (token), n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-    val bigramNll =
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    // shared bigram-LM chain (ends at `nllt(doc_id, nll)` on the 1e-4
+    // grid) — reused by pl_bigram_nll and the CCNet tercile bucketing
+    val bigramNllCtes =
+      s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |bg AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
          |         i -> w[i] || ' ' || w[i+1])) AS g
          |  FROM tok WHERE len(w) >= 2),
          |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tok)),
          |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-         |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1)
-         |SELECT doc_id,
-         |  ${sroundSql("-avg(ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * v.v)))")} AS nll
-         |FROM bg JOIN c2 USING (g)
-         |JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1, v
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |nllt AS (
+         |  SELECT doc_id,
+         |    ${sroundSql("-avg(ln((c2.c2 + 0.1) / (c1.c1 + 0.1 * v.v)))")} AS nll
+         |  FROM bg JOIN c2 USING (g)
+         |  JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1, v
+         |  GROUP BY doc_id)""".stripMargin
+    val bigramNll =
+      s"""WITH $bigramNllCtes
+         |SELECT doc_id, nll FROM nllt ORDER BY doc_id""".stripMargin
+
+    // CCNet tercile oracle: the shared bigram-NLL chain, rank on the
+    // rounded grid + doc_id tiebreak, integer tercile cut
+    val ccnetBucket =
+      s"""WITH $bigramNllCtes,
+         |r AS (
+         |  SELECT doc_id, nll,
+         |    CAST(row_number() OVER (ORDER BY nll, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER () AS BIGINT) AS nn
+         |  FROM nllt)
+         |SELECT doc_id, nll,
+         |  CASE ((rn - 1) * 3) // nn + 1 WHEN 1 THEN 'head'
+         |       WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
 
     // PII-stats oracle: the same markers and the same pattern constants
     // (interpolated from TextAnalysis so gate and oracle can never
@@ -2614,6 +2700,42 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |SELECT cid, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(d2q) AS BIGINT) / 10000.0 AS inertia
          |FROM d2 GROUP BY cid ORDER BY cid""".stripMargin
+
+    // silhouette oracle: the kmeans replay, every point's squared
+    // distance to ALL centroids (8-row cross join), a = own, b = min
+    // other; s on the 1e-6 grid before the order-free per-cluster mean
+    val silhouette =
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |${kmAssign("c0", "a1")},
+         |${kmUpdate("a1", "c0", "c1")},
+         |${kmAssign("c1", "a2")},
+         |${kmUpdate("a2", "c1", "c2")},
+         |${kmAssign("c2", "a3")},
+         |dd AS (
+         |  SELECT a.id, a.cid, c.cid AS ccid,
+         |    list_dot_product(
+         |      list_transform(range(1, 65), d -> a.v[d] - c.cv[d]),
+         |      list_transform(range(1, 65), d -> a.v[d] - c.cv[d])) AS d2
+         |  FROM a3 a CROSS JOIN c2 c),
+         |per AS (
+         |  SELECT id, cid,
+         |    max(CASE WHEN cid = ccid THEN d2 END) AS a2,
+         |    min(CASE WHEN cid <> ccid THEN d2 END) AS b2
+         |  FROM dd GROUP BY id, cid),
+         |sv AS (
+         |  SELECT cid,
+         |    CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+         |         ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+         |    END AS s
+         |  FROM per),
+         |q AS (SELECT cid, CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS sq FROM sv)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |  floor((CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e6))
+         |        * 10000 + 0.5 + 1e-6) / 10000.0 AS sil
+         |FROM q GROUP BY cid ORDER BY cid""".stripMargin
 
     // MMR oracle: the brute-knn candidate chain capped at 20, the
     // symmetric quantized pair-sim relation, then the five greedy picks
@@ -3685,6 +3807,8 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_dsir" -> dsir,
       "pl_text_stats" -> stats,
       "pl_lang_id" -> langId,
+      "pl_langid_eval" -> langidEval,
+      "pl_ccnet_bucket" -> ccnetBucket,
       "pl_fingerprint" -> fp,
       "pl_repetition" -> repetition,
       "pl_decontam" -> decontam,
@@ -3782,6 +3906,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_embed_prep" -> embedPrep,
       "pl_kmeans" -> kmeans,
       "pl_cluster_stats" -> clusterStats,
+      "pl_silhouette" -> silhouette,
       "pl_mmr" -> mmr,
       "pl_embed_outlier" -> embedOutlier,
       "pl_pq_encode" -> pqEncodeSql,

@@ -795,6 +795,56 @@ object SparkEntry {
           .orderBy("ukey")
       },
 
+      // BEYOND-REFERENCE streaming sessionization: Spark's native
+      // session_window gap-merge maintains OPEN sessions as streaming
+      // state and emits each one exactly once when the event-time
+      // watermark passes its close — the continuous form of
+      // q_sessionize, with per-user state bounded by open sessions
+      // (not history). Two time-ordered data batches prove the
+      // cross-batch merge (sessions spanning the split must come out
+      // whole); a far-future sentinel row advances the watermark to
+      // flush the tail sessions. Gap is 30min+1ms because
+      // session_window merges on strict <, while the batch rule keeps
+      // equality (diff == gap stays in-session).
+      "q_sessionize_stream" -> { (s, dir) =>
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val gapMs = 30L * 60 * 1000
+        val ev = DpView.events(s, dir).select(
+          col("user_id"), DpView.tsMillis.as("ts"), col("event_id"))
+        val rows = ev.as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+        val maxTs = rows.iterator.map(_._2).max
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        val st = mem.toDS().toDF("user_id", "ts", "event_id")
+          .withColumn("ets", timestamp_millis(col("ts")))
+          .withWatermark("ets", "0 seconds")
+          .groupBy(col("user_id"),
+            session_window(col("ets"), s"${gapMs + 1} milliseconds"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+        val qn = s"q_sessionize_stream_${streamGateSeq.incrementAndGet()}"
+        runReplay(s, st, qn) { () =>
+          // time-ordered halves: batch 2 is never late vs batch 1's
+          // watermark, but sessions STRADDLING the cut exercise the
+          // open-state merge
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          // TWO sentinel batches: the first advances the watermark past
+          // every real session, but append-mode emission fires in the
+          // batch AFTER the advance — the second sentinel is that batch
+          Seq(
+            () => mem.addData(b1.toSeq: _*),
+            () => mem.addData(b2.toSeq: _*),
+            () => mem.addData(Seq((-1L, maxTs + 10 * gapMs, 0L)): _*),
+            () => mem.addData(Seq((-1L, maxTs + 11 * gapMs, 0L)): _*))
+        }
+        s.table(qn).filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_start")
+      },
+
       // §2.10 maintained metadata end-to-end: ingest batches update
       // series_index + slice_state (write-time OOO marks, reference
       // ts.cpp:281-324) + rollup_1h incrementally; the routed query then
@@ -1939,6 +1989,30 @@ object SparkEntry {
           |       count(*) AS n_events
           |FROM sess GROUP BY user_id, sid
           |ORDER BY user_id, sid""".stripMargin,
+
+      // the streamed session set equals the batch gap-sessionization —
+      // same chain as q_sessionize minus the (stream-meaningless)
+      // per-user ordinal
+      "q_sessionize_stream" ->
+        """WITH ev AS (
+          |  SELECT user_id, epoch_ms(ts) AS ts, event_id FROM events),
+          |g AS (
+          |  SELECT user_id, ts, event_id,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM ev),
+          |b AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN prev IS NULL OR ts - prev > 1800000 THEN 1 ELSE 0 END AS brk
+          |  FROM g),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+          |  FROM b)
+          |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          |       count(*) AS n_events
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin,
 
       // anomaly oracle: same dedup, quantization, integer window sums,
       // and fixed-shape moment/z expressions as the gate

@@ -443,6 +443,51 @@ object Similarity {
     out
   }
 
+  /** Simplified (centroid-based) silhouette per cluster: for each point,
+    * `a` = distance to its own centroid, `b` = distance to the nearest
+    * OTHER centroid, `s = (b − a)/max(a, b)` — the separation-vs-
+    * cohesion read that tells you whether cluster-based dedup/routing
+    * (SemDeDup, IVF) can trust these clusters at all. The centroid
+    * variant is the 100 TB form: the classic pairwise silhouette is
+    * O(n²) in cluster sizes, this is one assignment pass against k
+    * broadcast centroids. Per-point s quantizes to a 1e-6 grid before
+    * the order-free per-cluster mean; degenerate a=b=0 points score 0.
+    * Output: (cid, n, sil).
+    */
+  def silhouette(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydCentroids(pts, k, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toDF("ccid", "cv")
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    val per = assignTo(pts, cents)
+      .crossJoin(broadcast(centsDf))
+      .withColumn("d2", d2)
+      .groupBy(col("id"), col("cid"))
+      .agg(max(when(col("cid") === col("ccid"), col("d2"))).as("a2"),
+        min(when(col("cid") =!= col("ccid"), col("d2"))).as("b2"))
+    val sa = sqrt(col("a2"))
+    val sb = sqrt(col("b2"))
+    val s = when(greatest(sa, sb) === 0.0, lit(0.0))
+      .otherwise((sb - sa) / greatest(sa, sb))
+    val out = per
+      .withColumn("sq", floor(s * 1e6 + 0.5).cast("long"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sq")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6))).as("sil"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pts.unpersist()
+    out
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * from the query's top-`kCand` cosine candidates, greedily pick `k`
     * results maximizing `relevance − max-similarity-to-already-picked`

@@ -225,6 +225,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_sessionize_stream: streamed sessions equal the batch gap split") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q_sessionize_stream")(spark, sf)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"streamed ${streamed.size} sessions != batch ${batch.size}")
+    streamed.foreach { case (_, st, en, n) =>
+      assert(st <= en && n >= 1)
+    }
+  }
+
   test("streaming ingest: lines → dp → hourly rollup (memory sink)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -1522,6 +1522,50 @@ class PipelineSpec extends SparkSpec {
       "zorder must out-skip the single-dimension sort")
   }
 
+  test("pl_langid_eval: shares partition each truth language, en dominates en") {
+    val r = SparkEntry.queries("pl_langid_eval")(spark, sf)
+      .select($"lang", $"lang_pred", $"n", $"share_pm")
+      .as[(String, String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    // per truth language the confusion counts cover every doc once
+    val byLang = r.groupBy(_._1)
+    val truth = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum === truth(lang), s"$lang counts drifted")
+      assert(rows.map(_._4).sum <= 10000, s"$lang shares exceed 100%")
+    }
+    // the en stopword profile must recover most English docs
+    val en = byLang("en")
+    val enCorrect = en.find(_._2 == "en").map(_._4).getOrElse(0L)
+    assert(enCorrect > 5000, s"en recall $enCorrect per-10k too low")
+  }
+
+  test("pl_ccnet_bucket: terciles balanced, head has the lowest NLL") {
+    val r = SparkEntry.queries("pl_ccnet_bucket")(spark, sf)
+      .select($"doc_id", $"nll", $"bucket")
+      .as[(Long, Double, String)].collect()
+    assert(r.length === SparkEntry.queries("pl_bigram_nll")(spark, sf).count())
+    val sizes = r.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // ordering: every head NLL <= every tail NLL
+    assert(r.filter(_._3 == "head").map(_._2).max <=
+      r.filter(_._3 == "tail").map(_._2).min)
+  }
+
+  test("pl_silhouette: scores in [-1,1], counts match cluster stats") {
+    val r = SparkEntry.queries("pl_silhouette")(spark, sf)
+      .select($"cid", $"n", $"sil").as[(Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (cid, n, s) =>
+      assert(n >= 1 && s >= -1.0 && s <= 1.0, s"cluster $cid out of range")
+    }
+    val stats = SparkEntry.queries("pl_cluster_stats")(spark, sf)
+      .select($"cid", $"n").as[(Long, Long)].collect().toMap
+    assert(r.map(t => t._1 -> t._2).toMap === stats, "membership drifted")
+  }
+
   test("pl_neardup_edit: scores bounded, identical texts score 10000") {
     val r = SparkEntry.queries("pl_neardup_edit")(spark, sf)
       .select($"id1", $"id2", $"lev", $"sim_pm")
