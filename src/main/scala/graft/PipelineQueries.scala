@@ -169,6 +169,56 @@ object PipelineQueries {
         .orderBy("feature")
     },
 
+    // exact ROC AUC of the frozen LR quality score against the
+    // lang=='en' training label — Mann-Whitney U with tie-averaged
+    // ranks, ALL integer until the final division: scores live on the
+    // 1e-4 grid, the rank walk runs over the ≤10001-value score-grid
+    // frame (never the corpus), 2·ΣR⁺ stays integral under ties
+    "pl_quality_auc" -> { (s, dir) =>
+      val sc = TextAnalysis.qualityLrScoreOf(col("text"), col("w_"))
+      val scored = TextAnalysis.withTokens(docs(s, dir))
+        .select((col("lang") === "en").cast("long").as("pos"),
+          floor(sc * 10000 + 0.5 + 1e-6).cast("long").as("score_q"))
+      val g = scored.groupBy("score_q")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
+      val w = Window.orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .agg(sum(col("posc") * (col("before") * 2 + col("cnt") + 1)).as("r2"),
+          sum(col("posc")).as("n_pos"), sum(col("cnt")).as("n_tot"))
+        .select(col("n_pos"), (col("n_tot") - col("n_pos")).as("n_neg"),
+          sround((col("r2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2L) * col("n_pos") * (col("n_tot") - col("n_pos")))
+              .cast("double")).as("auc"))
+    },
+
+    // Self-BLEU diversity screen (Zhu et al. 2018 direction): each doc's
+    // smoothed modified 1/2-gram precision against the REST of the
+    // corpus (clip = min(c_doc, c_corpus − c_doc)), bleu = geometric
+    // mean — high Self-BLEU flags a templated/memorized corpus; clip
+    // and total counts are exact integers, the gram joins are map-side-
+    // combined shuffle joins on the gram key
+    "pl_self_bleu" -> { (s, dir) =>
+      val tk = TextAnalysis.withTokens(docs(s, dir))
+      def prec(n: Int) = {
+        val grams = tk.filter(size(col("w_")) >= n)
+          .select(col("doc_id"),
+            explode(TextAnalysis.ngramsOf(col("w_"), n)).as("g"))
+        val dc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cd"))
+        val gc = dc.groupBy("g").agg(sum(col("cd")).as("cg"))
+        dc.join(gc, "g")
+          .groupBy("doc_id")
+          .agg(sum(least(col("cd"), col("cg") - col("cd"))).as(s"clip$n"),
+            sum(col("cd")).as(s"tot$n"))
+      }
+      val p1r = (col("clip1") + 1).cast("double") / (col("tot1") + 1).cast("double")
+      val p2r = (col("clip2") + 1).cast("double") / (col("tot2") + 1).cast("double")
+      prec(1).join(prec(2), Seq("doc_id"))
+        .select(col("doc_id"), sround(p1r).as("p1"), sround(p2r).as("p2"),
+          sround(exp((log(p1r) + log(p2r)) / 2)).as("bleu"))
+        .orderBy("doc_id")
+    },
+
     // sequence packing: running-token-total bins within salted buckets —
     // the doc→training-sequence grouping step, window-parallel per bucket
     "pl_pack" -> { (s, dir) =>
@@ -922,6 +972,32 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // REAL decode → nearest-neighbor RESIZE end-to-end: the same
+    // deterministic 8×8 PNGs round-trip through ImageIO, then the
+    // thumbnail step runs as pure in-plan array math (integer NN index
+    // map, no UDF) and is fingerprinted. The oracle replays the pixel
+    // FORMULA at the resized indices and skips the codec (PNG is
+    // lossless — the mm_decode contract)
+    "pl_mm_resize" -> { (s, dir) =>
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val px = Array.tabulate(64) { k =>
+            (((id * 2654435761L + k.toLong * 40503L) % 256L + 256L) % 256L).toInt
+          }
+          (id, Multimodal.encodeGrayPng(8, 8, px))
+        }
+      }
+      Multimodal.decodeGray(media)
+        .withColumn("rp", Multimodal.resizeNearestOf(col("px"), 8, 8, 4, 4))
+        .select(col("id"), lit(4L).as("width"), lit(4L).as("height"),
+          aggregate(col("rp"), lit(0L),
+            (a, x) => pmod(a * 31 + x, lit(1L << 40))).as("cksum"),
+          aggregate(col("rp"), lit(0L), (a, x) => a + x).as("pxsum"))
+        .orderBy("id")
+    },
+
     // perceptual-hash (aHash) image near-dup with the pixel source
     // stubbed: 60 sampled "pixels" → mean-threshold bits → 60-bit hash,
     // then near-dup grouping on the hash (keep_id = group min). Pixels
@@ -1600,6 +1676,92 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
         s"+ ((length(text) - length(regexp_replace(text, '[.,!?;:''\"]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * ${lrW("punct_ratio")} " +
         s"+ (1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * ${lrW("dup_token_frac")} " +
         s"+ least((length(text) - (len(w) - 1)) / (CAST(len(w) AS DOUBLE) * 8.0), 1.0) * ${lrW("avg_word_len_norm")})))"
+
+    // AUC oracle: the shared LR score expression on the 1e-4 grid,
+    // tie-averaged Mann-Whitney rank walk over the score-grid frame,
+    // integer numerator/denominator, one final division
+    val qualityAuc =
+      s"""WITH t AS (
+         |  SELECT doc_id, text, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST(floor(($lrScoreSql) * 10000 + 0.5 + 1e-6) AS BIGINT)
+         |      AS score_q
+         |  FROM t),
+         |g AS (
+         |  SELECT score_q, CAST(count(*) AS BIGINT) AS cnt,
+         |         CAST(sum(pos) AS BIGINT) AS posc
+         |  FROM s GROUP BY score_q),
+         |b AS (
+         |  SELECT score_q, cnt, posc,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY score_q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS bef
+         |  FROM g),
+         |m AS (
+         |  SELECT CAST(sum(posc * (bef * 2 + cnt + 1)) AS BIGINT) AS r2,
+         |         CAST(sum(posc) AS BIGINT) AS n_pos,
+         |         CAST(sum(cnt) AS BIGINT) AS n_tot
+         |  FROM b)
+         |SELECT n_pos, n_tot - n_pos AS n_neg,
+         |  floor((CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |         CAST(2 * n_pos * (n_tot - n_pos) AS DOUBLE))
+         |        * 10000 + 0.5 + 1e-6) / 10000.0 AS auc
+         |FROM m""".stripMargin
+
+    // Self-BLEU oracle: per-order clip/total integer counts against the
+    // rest-of-corpus, +1-smoothed precisions, geometric mean in the
+    // same expression shape as the Spark side
+    val selfBleu =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |u AS (SELECT doc_id, unnest(w) AS g FROM tok),
+        |du AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cd
+        |       FROM u GROUP BY doc_id, g),
+        |gu AS (SELECT g, CAST(sum(cd) AS BIGINT) AS cg FROM du GROUP BY g),
+        |p1 AS (
+        |  SELECT doc_id, CAST(sum(least(cd, cg - cd)) AS BIGINT) AS clip1,
+        |         CAST(sum(cd) AS BIGINT) AS tot1
+        |  FROM du JOIN gu USING (g) GROUP BY doc_id),
+        |bgr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM tok WHERE len(w) >= 2),
+        |db AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cd
+        |       FROM bgr GROUP BY doc_id, g),
+        |gb AS (SELECT g, CAST(sum(cd) AS BIGINT) AS cg FROM db GROUP BY g),
+        |p2 AS (
+        |  SELECT doc_id, CAST(sum(least(cd, cg - cd)) AS BIGINT) AS clip2,
+        |         CAST(sum(cd) AS BIGINT) AS tot2
+        |  FROM db JOIN gb USING (g) GROUP BY doc_id),
+        |j AS (
+        |  SELECT p1.doc_id,
+        |    CAST(clip1 + 1 AS DOUBLE) / CAST(tot1 + 1 AS DOUBLE) AS p1r,
+        |    CAST(clip2 + 1 AS DOUBLE) / CAST(tot2 + 1 AS DOUBLE) AS p2r
+        |  FROM p1 JOIN p2 USING (doc_id))
+        |SELECT doc_id,
+        |  floor(p1r * 10000 + 0.5 + 1e-6) / 10000.0 AS p1,
+        |  floor(p2r * 10000 + 0.5 + 1e-6) / 10000.0 AS p2,
+        |  floor(exp((ln(p1r) + ln(p2r)) / 2) * 10000 + 0.5 + 1e-6) / 10000.0
+        |    AS bleu
+        |FROM j ORDER BY doc_id""".stripMargin
+
+    // resize oracle: the deterministic pixel formula read at the
+    // nearest-neighbor source indices (2y, 2x for 8->4), codec skipped
+    val mmResize =
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |px AS (
+        |  SELECT id, list_transform(range(0, 16), k ->
+        |    (((id * 2654435761 +
+        |        (((k // 4) * 2) * 8 + (k % 4) * 2) * 40503) % 256) + 256)
+        |      % 256) AS rp
+        |  FROM ids)
+        |SELECT id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), rp),
+        |    (a, b) -> (a * 31 + b) % 1099511627776) AS cksum,
+        |  CAST(list_sum(rp) AS BIGINT) AS pxsum
+        |FROM px ORDER BY id""".stripMargin
 
     val fcLangScores = TextAnalysis.langProfiles.map { case (lang, ws) =>
       s"len(list_filter(w, t -> t IN (${stopIn(ws)}))) AS s_$lang"
@@ -3828,6 +3990,9 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_chunk" -> chunk,
       "pl_shuffle" -> shuffle,
       "pl_quality_lr" -> qualityLr,
+      "pl_quality_auc" -> qualityAuc,
+      "pl_self_bleu" -> selfBleu,
+      "pl_mm_resize" -> mmResize,
       "pl_lr_train" -> lrTrain,
       "pl_wordpiece" -> wordpieceSql,
       "pl_bpe_train" -> bpeTrainSql,

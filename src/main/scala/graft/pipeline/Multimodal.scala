@@ -204,6 +204,25 @@ object Multimodal {
       (acc, x) => acc * 2 + when(x.cast("double") > mean, 1L).otherwise(0L))
   }
 
+  /** Nearest-neighbor resize of a row-major grayscale plane, entirely
+    * in-plan (no UDF): output pixel (y, x) reads source pixel
+    * `((y·inH) div outH, (x·inW) div outW)` — the standard
+    * truncating-NN index map, integer-exact so any engine replays it.
+    * Per-row array math, embarrassingly parallel; the downsample step
+    * every thumbnail/feature pipeline runs between decode and hash.
+    */
+  def resizeNearestOf(px: Column, inW: Int, inH: Int,
+      outW: Int, outH: Int): Column = {
+    require(inW > 0 && inH > 0 && outW > 0 && outH > 0, "positive dims")
+    transform(sequence(lit(0), lit(outH * outW - 1)), k => {
+      val y = floor(k.cast("double") / outW).cast("int")
+      val x = pmod(k, lit(outW)).cast("int")
+      val sy = floor(y.cast("double") * inH / outH).cast("int")
+      val sx = floor(x.cast("double") * inW / outW).cast("int")
+      element_at(px, sy * inW + sx + 1)
+    })
+  }
+
   /** Frame sampling stand-in: slice the payload into `n` fixed-offset
     * byte windows — the plumbing shape of video frame extraction (one
     * output row per sampled frame, frames shorter than `frameBytes` at the

@@ -1522,6 +1522,58 @@ class PipelineSpec extends SparkSpec {
       "zorder must out-skip the single-dimension sort")
   }
 
+  test("pl_quality_auc: bounds, counts, better than chance on en") {
+    val (np, nn, auc) = SparkEntry.queries("pl_quality_auc")(spark, sf)
+      .select($"n_pos", $"n_neg", $"auc").as[(Long, Long, Double)].head()
+    assert(np + nn === docs.count())
+    assert(np === docs.filter($"lang" === "en").count())
+    assert(auc >= 0.0 && auc <= 1.0)
+    // exactness: the tie-averaged rank recipe must equal the O(n²)
+    // pairwise definition (wins + half-ties) on the small corpus
+    import graft.pipeline.TextAnalysis
+    val scored = TextAnalysis.withTokens(docs)
+      .select(($"lang" === "en").as("pos"),
+        floor(TextAnalysis.qualityLrScoreOf($"text", $"w_") * 10000
+          + 0.5 + 1e-6).cast("long").as("s"))
+      .as[(Boolean, Long)].collect()
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    val wins2 = pos.iterator.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val brute = wins2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(auc - brute) < 1e-4, s"rank AUC $auc != pairwise $brute")
+  }
+
+  test("pl_self_bleu: precisions bounded, duplicated doc maxes out") {
+    val r = SparkEntry.queries("pl_self_bleu")(spark, sf)
+      .select($"doc_id", $"p1", $"p2", $"bleu")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, p1, p2, b) =>
+      assert(p1 >= 0 && p1 <= 1 && p2 >= 0 && p2 <= 1, s"doc $id")
+      assert(b <= math.max(p1, p2) + 1e-4 && b + 1e-4 >= math.min(p1, p2),
+        s"doc $id: geometric mean outside [min,max]")
+    }
+    // planted near-dups exist → some docs read as highly covered
+    assert(r.map(_._4).max > 0.9, "no high-coverage doc in a dup corpus")
+  }
+
+  test("mm resize: nearest-neighbor index map is exact") {
+    import graft.pipeline.Multimodal
+    val df = Seq((1L, (0 until 64).toArray)).toDF("id", "px")
+    val out = df.select(
+      Multimodal.resizeNearestOf($"px", 8, 8, 4, 4).as("rp"))
+      .as[Seq[Int]].head()
+    // out (y,x) reads src (2y, 2x) of the row-major 0..63 ramp
+    val expect = for (y <- 0 until 4; x <- 0 until 4) yield (2 * y) * 8 + 2 * x
+    assert(out === expect)
+    // identity resize is a no-op
+    val same = df.select(
+      Multimodal.resizeNearestOf($"px", 8, 8, 8, 8).as("rp"))
+      .as[Seq[Int]].head()
+    assert(same === (0 until 64))
+  }
+
   test("pl_langid_eval: shares partition each truth language, en dominates en") {
     val r = SparkEntry.queries("pl_langid_eval")(spark, sf)
       .select($"lang", $"lang_pred", $"n", $"share_pm")
