@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.GraftFunctions
 import graft.pipeline.{Dedup, FilterChain, Layout, Multimodal, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -678,6 +679,43 @@ object PipelineQueries {
         .select(col("source"), size(col("w_")).cast("long").as("ntok"))
       Sketches.gridQuantiles(tc, "ntok", "source", cell = 16)
         .orderBy("source", "p")
+    },
+
+    // Poisson bootstrap CI (the web-scale bootstrap: resampling-with-
+    // replacement replaced by per-row Poisson(1) weights, so 50
+    // replicates are ONE pass over the corpus — no per-replicate
+    // shuffle of the data): weights come from a salted-hash uniform
+    // pushed through the hardcoded Poisson inverse CDF on a 1e-6 grid,
+    // making every replicate deterministic and engine-exact; the CI is
+    // the 2.5/97.5 percentile of the 50 integer replicate means
+    "pl_bootstrap" -> { (s, dir) =>
+      val B = 50
+      val base = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("x"))
+      val rep = base
+        .select(col("doc_id"), col("x"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("u", pmod(GraftFunctions.md5Hash60(
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("b").cast("string"))), lit(1000000L)))
+        .withColumn("w",
+          when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+            .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+            .when(col("u") < 996340L, 4L).when(col("u") < 999405L, 5L)
+            .otherwise(6L))
+      val reps = rep.groupBy("b")
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+        .filter(col("sw") > 0)
+        .withColumn("meanq", expr("(swx * 10000) div sw"))
+      val ranked = reps.withColumn("rk",
+        row_number().over(Window.orderBy(col("meanq"), col("b"))))
+      val pt = base.agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"))
+        .select(col("n_docs"), expr("(sx * 10000) div n_docs").as("mean_pm"))
+      pt.crossJoin(ranked.filter(col("rk") === 2)
+          .select(col("meanq").as("lo_pm")))
+        .crossJoin(ranked.filter(col("rk") === 49)
+          .select(col("meanq").as("hi_pm")))
+        .crossJoin(reps.agg(count(lit(1)).as("n_reps")))
     },
 
     "pl_dedup_simhash" -> { (s, dir) =>
@@ -3960,6 +3998,41 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_emb_standardize" -> embStandardize,
       "pl_cms_topk" -> cmsTopk,
       "pl_len_quantiles" -> lenQuantiles,
+      // Poisson-bootstrap oracle: same salted-hash uniform, same
+      // hardcoded inverse-CDF thresholds, same integer replicate means
+      "pl_bootstrap" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+           |  FROM documents),
+           |rep AS (
+           |  SELECT doc_id, x, b,
+           |    ${h60Sql("CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+           |      % 1000000 AS u
+           |  FROM base, (SELECT unnest(range(0, 50)) AS b) bs),
+           |wts AS (
+           |  SELECT b, x,
+           |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+           |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+           |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+           |         ELSE 6 END AS w
+           |  FROM rep),
+           |reps AS (
+           |  SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+           |         CAST(sum(w * x) AS BIGINT) AS swx
+           |  FROM wts GROUP BY b),
+           |mq AS (SELECT b, (swx * 10000) // sw AS meanq
+           |       FROM reps WHERE sw > 0),
+           |rk AS (
+           |  SELECT meanq,
+           |    CAST(row_number() OVER (ORDER BY meanq, b) AS BIGINT) AS rk
+           |  FROM mq),
+           |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |              CAST(sum(x) AS BIGINT) AS sx FROM base)
+           |SELECT n_docs, (sx * 10000) // n_docs AS mean_pm,
+           |  (SELECT meanq FROM rk WHERE rk = 2) AS lo_pm,
+           |  (SELECT meanq FROM rk WHERE rk = 49) AS hi_pm,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mq) AS n_reps
+           |FROM pt""".stripMargin,
       "pl_bm25" -> bm25,
       "pl_source_terms" -> sourceTerms,
       "pl_winnow" -> winnow,

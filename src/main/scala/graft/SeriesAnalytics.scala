@@ -159,6 +159,46 @@ object SeriesAnalytics {
         .orderBy("tkey")
     },
 
+    // ---- Kendall tau-b rank correlation -----------------------------
+    // The concordance sibling of q_spearman: over every bucket PAIR of
+    // an entity, count concordant/discordant/tied co-movements of the
+    // view and click series — tau-b's pairwise definition is exactly
+    // "do the two metrics move the same way between any two times",
+    // robust to monotone transforms and to ties Spearman's rank-Pearson
+    // only approximates. The per-entity self-join is bounded (≤28
+    // buckets/week ⇒ ≤378 pairs) and co-partitions on the entity key;
+    // every count is an exact integer, tau is one final division.
+    "q_kendall" -> { (s, dir) =>
+      val a = buckets6h(s, dir, "view")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("bx"))
+      val c = buckets6h(s, dir, "click")
+        .select(expr("substring(skey, instr(skey, ',') + 1)").as("tkey"),
+          col("t"), col("b").as("by"))
+      val j = a.join(c, Seq("tkey", "t"))
+      val p = j.as("p1").join(j.as("p2"),
+        col("p1.tkey") === col("p2.tkey") && col("p1.t") < col("p2.t"))
+        .select(col("p1.tkey").as("tkey"),
+          (col("p1.bx") - col("p2.bx")).as("dx"),
+          (col("p1.by") - col("p2.by")).as("dy"))
+      p.groupBy("tkey")
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("dx") > 0 && col("dy") > 0) ||
+            (col("dx") < 0 && col("dy") < 0), 1L).otherwise(0L)).as("nc"),
+          sum(when((col("dx") > 0 && col("dy") < 0) ||
+            (col("dx") < 0 && col("dy") > 0), 1L).otherwise(0L)).as("nd"),
+          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("n2"))
+        .filter(col("n0") >= 28 && col("n0") > col("n1") &&
+          col("n0") > col("n2"))
+        .withColumn("tau", (col("nc") - col("nd")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")))
+        .select(col("tkey"), col("n0"), col("nc"), col("nd"),
+          sround(col("tau")).as("tau"))
+        .orderBy("tkey")
+    },
+
     // ---- STL-style seasonal decomposition ---------------------------
     // value = trend + seasonal + residual on the 6h grid with a daily
     // period (4 buckets): trend = centered 5-point moving average
@@ -995,6 +1035,43 @@ object SeriesAnalytics {
                 "CAST(n * sxy - sx * sy AS DOUBLE) / " +
                 "sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))")} AS rho
            |FROM v WHERE n >= 8 AND vx > 0 AND vy > 0
+           |ORDER BY tkey""".stripMargin),
+
+      "q_kendall" -> (dpCte + ",\n" +
+        s"""dedup AS (
+           |  SELECT skey, ts, arg_max(value, seq) AS value
+           |  FROM dp
+           |  WHERE metric IN ('view', 'click') AND ts BETWEEN $T0 AND $T1
+           |  GROUP BY skey, ts),
+           |bk AS (
+           |  SELECT substr(skey, instr(skey, ',') + 1) AS tkey,
+           |         CASE WHEN skey LIKE 'view%' THEN 'view' ELSE 'click' END AS m,
+           |         ts - ts % $SIXH AS t,
+           |         CAST(sum(CAST(floor(value * 10000 + 0.5 + 1e-6) AS BIGINT))
+           |              AS BIGINT) // 100 AS b
+           |  FROM dedup
+           |  GROUP BY 1, 2, 3),
+           |j AS (
+           |  SELECT x.tkey, x.t, x.b AS bx, y.b AS byy
+           |  FROM bk x JOIN bk y ON y.tkey = x.tkey AND y.t = x.t
+           |  WHERE x.m = 'view' AND y.m = 'click'),
+           |pr AS (
+           |  SELECT a.tkey, a.bx - b.bx AS dx, a.byy - b.byy AS dy
+           |  FROM j a JOIN j b ON b.tkey = a.tkey AND a.t < b.t),
+           |ag AS (
+           |  SELECT tkey, CAST(count(*) AS BIGINT) AS n0,
+           |    CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |    CAST(sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           |  FROM pr GROUP BY tkey)
+           |SELECT tkey, n0, nc, nd,
+           |  ${sroundSql(
+              "CAST(nc - nd AS DOUBLE) / " +
+              "sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))")} AS tau
+           |FROM ag WHERE n0 >= 28 AND n0 > n1 AND n0 > n2
            |ORDER BY tkey""".stripMargin),
 
       "q_stl" -> (dpCte + ",\n" + bucketsCte("view") + ",\n" +

@@ -1522,6 +1522,21 @@ class PipelineSpec extends SparkSpec {
       "zorder must out-skip the single-dimension sort")
   }
 
+  test("pl_bootstrap: CI brackets the point estimate, replicates complete") {
+    val (n, mean, lo, hi, reps) = SparkEntry.queries("pl_bootstrap")(spark, sf)
+      .select($"n_docs", $"mean_pm", $"lo_pm", $"hi_pm", $"n_reps")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(n === docs.count() && reps === 50L)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] misses point $mean")
+    // Poisson(1) weights keep each replicate near corpus size, so the
+    // CI is tight relative to the mean (σ/√n scale, not O(mean))
+    assert(hi - lo < mean / 2, s"CI width ${hi - lo} implausibly wide")
+    // point estimate is the exact integer per-10k token mean
+    val exact = docs.select(size(split($"text", " ")).cast("long").as("x"))
+      .agg(sum($"x"), count(lit(1))).as[(Long, Long)].head()
+    assert(mean === exact._1 * 10000 / exact._2)
+  }
+
   test("pl_quality_auc: bounds, counts, better than chance on en") {
     val (np, nn, auc) = SparkEntry.queries("pl_quality_auc")(spark, sf)
       .select($"n_pos", $"n_neg", $"auc").as[(Long, Long, Double)].head()

@@ -33,6 +33,23 @@ class SeriesAnalyticsSpec extends SparkSpec {
     assert(px.map(_._1).sorted.toSeq === ps.map(_._1).sorted.toSeq)
   }
 
+  test("q_kendall: tau bounded, counts consistent, keys match spearman") {
+    val r = run("q_kendall")
+      .select($"tkey", $"n0", $"nc", $"nd", $"tau")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (k, n0, nc, nd, tau) =>
+      assert(nc + nd <= n0, s"$k: concordant+discordant exceed pairs")
+      assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9, s"$k tau=$tau")
+      // tau-b numerator sign is the concordance majority
+      assert((nc == nd) == (math.abs(tau) < 1.0) || math.signum(tau) ==
+        math.signum((nc - nd).toDouble), s"$k sign drifted")
+    }
+    val ps = run("q_spearman").select($"tkey").as[String].collect()
+    assert(r.map(_._1).sorted.toSeq === ps.sorted.toSeq,
+      "kendall and spearman must correlate the same entity pairs")
+  }
+
   test("q_stl: seasonal component is constant per (series, phase)") {
     val r = run("q_stl")
       .select($"skey", $"ts", $"seasonal", $"resid")
