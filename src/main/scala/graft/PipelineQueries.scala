@@ -1036,6 +1036,52 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // REAL audio decode end-to-end: deterministic s16le PCM payloads
+    // are built as actual little-endian bytes (ByteBuffer), parsed back
+    // partition-locally (the real byte-level decode a crawl pipeline
+    // runs), then per-frame energy/peak/zero-crossing features computed
+    // in-plan — the audio sibling of pl_mm_decode. The oracle replays
+    // the sample FORMULA (s16 round-trips exactly) and skips the codec
+    "pl_mm_audio" -> { (s, dir) =>
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id").cast("long").as("id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val bb = java.nio.ByteBuffer.allocate(512)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var k = 0
+          while (k < 256) {
+            bb.putShort((((id * 9973L + k * 131L) % 4096L) - 2048L).toShort)
+            k += 1
+          }
+          (id, bb.array())
+        }
+      }
+      val decoded = media.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bytes.length / 2
+          val arr = new Array[Int](n)
+          var i = 0
+          while (i < n) { arr(i) = bb.getShort(i * 2).toInt; i += 1 }
+          (id, arr.toSeq)
+        }
+      }.toDF("id", "samples")
+      val frames = decoded.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          f => slice(col("samples"), f * 64 + 1, 64))))
+        .withColumnRenamed("pos", "frame_idx")
+        .withColumnRenamed("col", "fr")
+      frames.select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+        aggregate(col("fr"), lit(0L), (a, x) => a + x * x).as("ssq"),
+        array_max(transform(col("fr"), x => abs(x))).cast("long").as("peak"),
+        aggregate(sequence(lit(2), lit(64)), lit(0L), (acc, i) =>
+          acc + when((element_at(col("fr"), i) < 0) =!=
+            (element_at(col("fr"), i - 1) < 0), 1L).otherwise(0L)).as("zc"))
+        .orderBy("id", "frame_idx")
+    },
+
     // perceptual-hash (aHash) image near-dup with the pixel source
     // stubbed: 60 sampled "pixels" → mean-threshold bits → 60-bit hash,
     // then near-dup grouping on the hash (keep_id = group min). Pixels
@@ -1255,6 +1301,82 @@ object PipelineQueries {
         .select(col("n_truth"), col("n_pred"), col("tp"),
           expr("(tp * 10000) div n_pred").as("prec_pm"),
           expr("(tp * 10000) div n_truth").as("rec_pm"))
+    },
+
+    // adjusted Rand index between the MinHash-LSH (verified) clustering
+    // and the SimHash clustering — ONE chance-corrected number for "can
+    // the cheap bit-signature dedup stand in for the shingle pipeline";
+    // contingency = one id join + hash agg, pair counts exact integers
+    "pl_rand_index" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.clusterAgreement(d,
+        Dedup.minhashLshPairs(d, 3, 0.8).select("id1", "id2"),
+        Dedup.simhashPairs(d, nBits = 60, maxHamming = 3)
+          .select("id1", "id2"))
+        .select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
+          sround(col("ari")).as("ari"))
+    },
+
+    // two-sample Kolmogorov-Smirnov distance between every source
+    // pair's token-count distributions: D = max |ecdf1 − ecdf2| as an
+    // EXACT per-10k integer (cross-multiplied cumulative counts — no
+    // float ecdf); the corpus pass is one (source, length) count, the
+    // KS walk runs on the ≤|lengths| grid per pair
+    "pl_ks_test" -> { (s, dir) =>
+      val dist = TextAnalysis.withTokens(docs(s, dir))
+        .select(col("source"), size(col("w_")).cast("long").as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val srcs = dist.select(col("source")).distinct()
+      val pr = srcs.as("x").crossJoin(srcs.as("y"))
+        .filter(col("x.source") < col("y.source"))
+        .select(col("x.source").as("s1"), col("y.source").as("s2"))
+      val j = pr.join(dist,
+        dist("source") === col("s1") || dist("source") === col("s2"))
+        .groupBy("s1", "s2", "v")
+        .agg(sum(when(col("source") === col("s1"), col("c"))
+          .otherwise(0L)).as("c1"),
+          sum(when(col("source") === col("s2"), col("c"))
+            .otherwise(0L)).as("c2"))
+      val w = Window.partitionBy("s1", "s2").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("s1", "s2")
+      j.withColumn("cum1", sum(col("c1")).over(w))
+        .withColumn("cum2", sum(col("c2")).over(w))
+        .withColumn("n1", sum(col("c1")).over(wAll))
+        .withColumn("n2", sum(col("c2")).over(wAll))
+        .withColumn("dn", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .groupBy("s1", "s2")
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(col("dn")).as("dmax"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          expr("(dmax * 10000) div (n1 * n2)").as("d_pm"))
+        .orderBy("s1", "s2")
+    },
+
+    // chi-square independence audit of the (source × lang) contingency
+    // table + Cramér's V effect size — is language mix actually uniform
+    // across sources; per-cell terms quantize to a 1e-6 grid before the
+    // order-free sum, margins are exact integers
+    "pl_chi2" -> { (s, dir) =>
+      val ct = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("o"))
+      val rm = ct.groupBy("source").agg(sum(col("o")).as("ri"))
+      val cm = ct.groupBy("lang").agg(sum(col("o")).as("cj"))
+      val tot = ct.agg(sum(col("o")).as("n"),
+        count_distinct(col("source")).as("nr"),
+        count_distinct(col("lang")).as("nc"))
+      val dev = (col("o") * col("n") - col("ri") * col("cj")).cast("double")
+      val term = dev * dev / (col("n") * col("ri") * col("cj")).cast("double")
+      val agg = ct.join(rm, "source").join(cm, "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("tq", floor(term * 1e6 + 0.5).cast("long"))
+        .groupBy("n", "nr", "nc")
+        .agg(sum(col("tq")).as("chi2q"))
+      val chi2 = col("chi2q").cast("double") / 1e6
+      agg.select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        sround(chi2).as("chi2"),
+        sround(sqrt(chi2 / (col("n") *
+          least(col("nr") - 1, col("nc") - 1)).cast("double"))).as("cramers_v"))
     },
 
     // exact edit-distance confirmation of SimHash candidates: the
@@ -1801,6 +1923,99 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
         |  CAST(list_sum(rp) AS BIGINT) AS pxsum
         |FROM px ORDER BY id""".stripMargin
 
+    // audio oracle: the s16le sample FORMULA (exact short round-trip),
+    // per-frame energy/peak aggregates + a lag-window zero-cross count
+    val mmAudio =
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |sm AS (
+        |  SELECT id, k, ((id * 9973 + k * 131) % 4096) - 2048 AS s,
+        |         k // 64 AS f
+        |  FROM ids, (SELECT unnest(range(0, 256)) AS k) ks),
+        |feat AS (
+        |  SELECT id, f AS frame_idx, CAST(sum(s * s) AS BIGINT) AS ssq,
+        |         CAST(max(abs(s)) AS BIGINT) AS peak
+        |  FROM sm GROUP BY id, f),
+        |zcs AS (
+        |  SELECT id, f AS frame_idx,
+        |    CAST(sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS zc
+        |  FROM (SELECT id, f, s,
+        |          lag(s) OVER (PARTITION BY id, f ORDER BY k) AS prev
+        |        FROM sm)
+        |  WHERE prev IS NOT NULL GROUP BY id, f)
+        |SELECT feat.id, feat.frame_idx, ssq, peak, zcs.zc
+        |FROM feat JOIN zcs USING (id, frame_idx)
+        |ORDER BY id, frame_idx""".stripMargin
+
+    // KS oracle: cross-multiplied cumulative counts per source pair —
+    // the exact integer D without any float ecdf
+    val ksTest =
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |dist AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |         FROM t GROUP BY source, v),
+        |pr AS (
+        |  SELECT x.source AS s1, y.source AS s2
+        |  FROM (SELECT DISTINCT source FROM dist) x,
+        |       (SELECT DISTINCT source FROM dist) y
+        |  WHERE x.source < y.source),
+        |j AS (
+        |  SELECT pr.s1, pr.s2, d.v,
+        |    CAST(sum(CASE WHEN d.source = pr.s1 THEN d.c ELSE 0 END)
+        |         AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN d.source = pr.s2 THEN d.c ELSE 0 END)
+        |         AS BIGINT) AS c2
+        |  FROM pr JOIN dist d ON d.source = pr.s1 OR d.source = pr.s2
+        |  GROUP BY pr.s1, pr.s2, d.v),
+        |k AS (
+        |  SELECT s1, s2,
+        |    CAST(sum(c1) OVER (PARTITION BY s1, s2 ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum1,
+        |    CAST(sum(c2) OVER (PARTITION BY s1, s2 ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum2,
+        |    CAST(sum(c1) OVER (PARTITION BY s1, s2) AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER (PARTITION BY s1, s2) AS BIGINT) AS n2
+        |  FROM j),
+        |a AS (
+        |  SELECT s1, s2, max(n1) AS n1, max(n2) AS n2,
+        |         max(abs(cum1 * n2 - cum2 * n1)) AS dmax
+        |  FROM k GROUP BY s1, s2)
+        |SELECT s1, s2, n1, n2, (dmax * 10000) // (n1 * n2) AS d_pm
+        |FROM a ORDER BY s1, s2""".stripMargin
+
+    // chi-square oracle: integer margins, per-cell deviation terms on a
+    // 1e-6 grid before the order-free sum, fixed-shape V read
+    val chi2 =
+      s"""WITH ct AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents GROUP BY source, lang),
+         |rm AS (SELECT source, CAST(sum(o) AS BIGINT) AS ri
+         |       FROM ct GROUP BY source),
+         |cm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cj
+         |       FROM ct GROUP BY lang),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |               CAST(count(DISTINCT source) AS BIGINT) AS nr,
+         |               CAST(count(DISTINCT lang) AS BIGINT) AS nc
+         |        FROM ct),
+         |cell AS (
+         |  SELECT tot.n, tot.nr, tot.nc,
+         |    CAST(floor((CAST(ct.o * tot.n - rm.ri * cm.cj AS DOUBLE) *
+         |                CAST(ct.o * tot.n - rm.ri * cm.cj AS DOUBLE) /
+         |                CAST(tot.n * rm.ri * cm.cj AS DOUBLE)) * 1e6 + 0.5)
+         |         AS BIGINT) AS tq
+         |  FROM ct JOIN rm USING (source) JOIN cm USING (lang), tot),
+         |agg AS (SELECT n, nr, nc, CAST(sum(tq) AS BIGINT) AS chi2q
+         |        FROM cell GROUP BY n, nr, nc)
+         |SELECT n, (nr - 1) * (nc - 1) AS dof,
+         |  ${sroundSql("CAST(chi2q AS DOUBLE) / 1e6")} AS chi2,
+         |  ${sroundSql(
+            "sqrt((CAST(chi2q AS DOUBLE) / 1e6) / " +
+            "CAST(n * least(nr - 1, nc - 1) AS DOUBLE))")} AS cramers_v
+         |FROM agg""".stripMargin
+
     val fcLangScores = TextAnalysis.langProfiles.map { case (lang, ws) =>
       s"len(list_filter(w, t -> t IN (${stopIn(ws)}))) AS s_$lang"
     }.mkString(",\n    ")
@@ -2122,6 +2337,7 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT id, min(r) AS cid FROM reach GROUP BY id)
          |WHERE id = cid ORDER BY doc_id""".stripMargin
 
+
     val unigramNll =
       s"""WITH tokx AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -2430,6 +2646,47 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
       s"""WITH $simhashCtes
          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
+
+    // ARI oracle: BOTH detector chains in one recursive WITH — the
+    // minhash/jaccard chain keeps clustersCtes's names, the simhash
+    // chain is the shared CTE text with _s2-namespaced names, then the
+    // pair-counting contingency identity
+    val randIndex = {
+      val sim2 = simhashCtes.replaceAll(
+        "\\b(tokx|hs|votes|sim|ck|okc|cand)\\b", "$1_s2")
+      val expSql = "CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE) / " +
+        "CAST(tot AS DOUBLE)"
+      s"""$clustersCtes,
+         |lab1 AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |$sim2,
+         |fp2 AS (SELECT id1, id2 FROM cand_s2 WHERE hamming <= 3),
+         |edges2 AS (
+         |  SELECT id1 AS a, id2 AS b FROM fp2
+         |  UNION ALL
+         |  SELECT id2, id1 FROM fp2),
+         |reach2 AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach2.r FROM reach2 JOIN edges2 e ON e.b = reach2.id),
+         |lab2 AS (SELECT id, min(r) AS cid FROM reach2 GROUP BY id),
+         |ctg AS (
+         |  SELECT l1.cid AS c1, l2.cid AS c2, CAST(count(*) AS BIGINT) AS nij
+         |  FROM lab1 l1 JOIN lab2 l2 USING (id) GROUP BY 1, 2),
+         |sij AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sum_ij,
+         |               CAST(sum(nij) AS BIGINT) AS n FROM ctg),
+         |sa AS (SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS sum_a FROM (
+         |         SELECT CAST(sum(nij) AS BIGINT) AS ai FROM ctg GROUP BY c1)),
+         |sb AS (SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS sum_b FROM (
+         |         SELECT CAST(sum(nij) AS BIGINT) AS bj FROM ctg GROUP BY c2)),
+         |fin AS (SELECT n, sum_ij, sum_a, sum_b, (n * (n - 1)) // 2 AS tot
+         |        FROM sij, sa, sb)
+         |SELECT n, sum_ij, sum_a, sum_b,
+         |  ${sroundSql(
+              s"CASE WHEN (CAST(sum_a + sum_b AS DOUBLE) / 2.0 - $expSql) = 0 " +
+              s"THEN 1.0 ELSE (CAST(sum_ij AS DOUBLE) - $expSql) / " +
+              s"(CAST(sum_a + sum_b AS DOUBLE) / 2.0 - $expSql) END")} AS ari
+         |FROM fin""".stripMargin
+    }
 
     // detector-evaluation oracle: the exact-Jaccard truth chain and the
     // simhash candidate chain side by side (disjoint CTE namespaces),
@@ -4091,6 +4348,10 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_dedup_simhash" -> simhash,
       "pl_neardup_eval" -> neardupEval,
       "pl_neardup_edit" -> neardupEdit,
+      "pl_rand_index" -> randIndex,
+      "pl_ks_test" -> ksTest,
+      "pl_chi2" -> chi2,
+      "pl_mm_audio" -> mmAudio,
       "pl_heaps" -> heaps,
       "pl_zipf" -> zipf,
       "pl_kn_nll" -> knNll,

@@ -1122,6 +1122,45 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
+  /** Adjusted Rand index between the cluster labelings induced by two
+    * near-dup pair relations — "do the cheap detector's clusters agree
+    * with the expensive detector's" as ONE number, chance-corrected
+    * (ARI = 0 for random agreement, 1 for identical partitions). The
+    * contingency table is one join on the doc id + one hash agg; every
+    * pair count (Σ C(nij,2) and the margins) is an exact integer, the
+    * expectation/normalization is a final fixed-shape float read.
+    * Output: one row (n, sum_ij, sum_a, sum_b, ari).
+    */
+  def clusterAgreement(docs: DataFrame, pairs1: DataFrame,
+      pairs2: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val nodes = docs.select(col(idCol).cast("long").as("id"))
+    val l1 = clusters(pairs1, nodes).withColumnRenamed("cid", "c1")
+    val l2 = clusters(pairs2, nodes).withColumnRenamed("cid", "c2")
+    val ct = l1.join(l2, "id").groupBy("c1", "c2")
+      .agg(count(lit(1)).as("nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // C(c,2); the double division is exact (even product, < 2^53)
+    def pairsOf(c: Column): Column = ((c * (c - 1)) / 2).cast("long")
+    val sij = ct.agg(sum(pairsOf(col("nij"))).as("sum_ij"),
+      sum(col("nij")).as("n"))
+    val sa = ct.groupBy("c1").agg(sum(col("nij")).as("ai"))
+      .agg(sum(pairsOf(col("ai"))).as("sum_a"))
+    val sb = ct.groupBy("c2").agg(sum(col("nij")).as("bj"))
+      .agg(sum(pairsOf(col("bj"))).as("sum_b"))
+    val j = sij.crossJoin(sa).crossJoin(sb)
+      .withColumn("tot", pairsOf(col("n")))
+    val expE = col("sum_a").cast("double") * col("sum_b").cast("double") /
+      col("tot").cast("double")
+    val den = (col("sum_a") + col("sum_b")).cast("double") / 2.0 - expE
+    val out = j.select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
+      when(den === 0.0, lit(1.0))
+        .otherwise((col("sum_ij").cast("double") - expE) / den).as("ari"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ct.unpersist(); l1.unpersist(); l2.unpersist()
+    out
+  }
+
   /** Exact edit-distance VERIFICATION of a candidate near-dup pair
     * relation — the confirm stage after a cheap signature pass
     * (SimHash/MinHash bands): `levenshtein` on the two texts, and a
