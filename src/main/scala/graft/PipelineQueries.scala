@@ -1070,7 +1070,7 @@ object PipelineQueries {
       }.toDF("id", "samples")
       val frames = decoded.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(3)),
-          f => slice(col("samples"), f * 64 + 1, 64))))
+          f => slice(col("samples"), f * 64 + 1, lit(64)))))
         .withColumnRenamed("pos", "frame_idx")
         .withColumnRenamed("col", "fr")
       frames.select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
