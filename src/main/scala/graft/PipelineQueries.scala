@@ -1299,8 +1299,13 @@ object PipelineQueries {
           sum(when(col("in_t").isNotNull && col("in_p").isNotNull, 1L)
             .otherwise(0L)).as("tp"))
         .select(col("n_truth"), col("n_pred"), col("tp"),
-          expr("(tp * 10000) div n_pred").as("prec_pm"),
-          expr("(tp * 10000) div n_truth").as("rec_pm"))
+          // explicit zero-guard, mirrored in the oracle: Spark's `div`
+          // returns NULL on /0 while DuckDB's `//` raises — guard both
+          // sides identically so an empty detector yields NULL rates
+          when(col("n_pred") === 0, lit(null).cast("long"))
+            .otherwise(expr("(tp * 10000) div n_pred")).as("prec_pm"),
+          when(col("n_truth") === 0, lit(null).cast("long"))
+            .otherwise(expr("(tp * 10000) div n_truth")).as("rec_pm"))
     },
 
     // adjusted Rand index between the MinHash-LSH (verified) clustering
@@ -2709,8 +2714,10 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |         CAST(sum(in_t * in_p) AS BIGINT) AS tp
          |  FROM j)
          |SELECT n_truth, n_pred, tp,
-         |       (tp * 10000) // n_pred AS prec_pm,
-         |       (tp * 10000) // n_truth AS rec_pm
+         |       CASE WHEN n_pred = 0 THEN NULL
+         |            ELSE (tp * 10000) // n_pred END AS prec_pm,
+         |       CASE WHEN n_truth = 0 THEN NULL
+         |            ELSE (tp * 10000) // n_truth END AS rec_pm
          |FROM ag""".stripMargin
 
     // edit-distance confirmation oracle: the shared simhash candidate

@@ -921,7 +921,11 @@ object SeriesAnalytics {
       d.withColumn("i", row_number().over(w).cast("long"))
         .groupBy("metric")
         .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
-          sum(col("i") * col("q")).as("siq"))
+          // Σi·q can exceed int64 at 100× scale (DuckDB promotes to
+          // HUGEINT; Spark would wrap silently) — accumulate in
+          // decimal(38,0) so both engines stay exact
+          sum(col("i").cast("decimal(19,0)") * col("q").cast("decimal(19,0)"))
+            .as("siq"))
         .filter(col("sq") > 0)
         .select(col("metric"), col("n"),
           sround((lit(2.0) * col("siq").cast("double")

@@ -1139,8 +1139,12 @@ object Dedup {
     val ct = l1.join(l2, "id").groupBy("c1", "c2")
       .agg(count(lit(1)).as("nij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // C(c,2); the double division is exact (even product, < 2^53)
-    def pairsOf(c: Column): Column = ((c * (c - 1)) / 2).cast("long")
+    // C(c,2) in pure integer math: the product is even and non-negative,
+    // so shiftright-by-1 is an exact /2 with no IEEE round-trip (a double
+    // division diverges from the oracle's integer `//2` past 2^53 ≈
+    // 9.4e7-doc clusters)
+    def pairsOf(c: Column): Column =
+      shiftright(c.cast("long") * (c.cast("long") - 1), 1)
     val sij = ct.agg(sum(pairsOf(col("nij"))).as("sum_ij"),
       sum(col("nij")).as("n"))
     val sa = ct.groupBy("c1").agg(sum(col("nij")).as("ai"))
