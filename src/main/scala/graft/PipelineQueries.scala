@@ -1497,6 +1497,73 @@ object PipelineQueries {
         .select(col("doc_id"), col("score"), col("n_tokens"),
           col("cum_tokens"), col("phase"))
         .orderBy("doc_id")
+    },
+
+    // per-doc n-gram novelty vs the earlier corpus (doc_id order): a
+    // doc's novel shingles are those whose GLOBAL first occurrence is
+    // this doc — the memorization/freshness signal behind "is this
+    // shard new material or a remix of what the model already saw".
+    // Plan: distinct (id, shingle) → ONE shingle-keyed window min →
+    // id-keyed agg; no join, no second shingle pass. Shuffle keys are
+    // the grams — at 100 TB swap Dedup.shingles for shingleHashes'
+    // 8-byte h (same plan, collision odds |sh|²/2⁶⁴)
+    "pl_ngram_novelty" -> { (s, dir) =>
+      val sh = Dedup.shingles(docs(s, dir))
+      val firstId = min(col("id")).over(Window.partitionBy("shingle"))
+      sh.withColumn("first_id", firstId)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("id") === col("first_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 10000) div n_grams").as("novelty_pm"))
+        .orderBy("doc_id")
+    },
+
+    // per-source byte-weighted duplication inflation: how many of a
+    // source's characters are redundant copies of byte-identical texts
+    // (inflation_pm = 10000 ⇒ fully unique, 20000 ⇒ every byte stored
+    // twice) — the corpus-health number that says WHERE exact dedup
+    // will pay before running it. Two map-side-combined aggs
+    // ((source, digest) then source); nothing else shuffles, text
+    // never crosses the exchange (only its md5 + length)
+    "pl_dup_inflation" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"),
+          min(length(col("text"))).cast("long").as("len"))
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_docs"),
+          sum(col("cnt") * col("len")).as("total_chars"),
+          sum(col("len")).as("uniq_chars"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("uniq_chars"),
+          when(col("uniq_chars") === 0, lit(null).cast("long"))
+            .otherwise(expr("(total_chars * 10000) div uniq_chars"))
+            .as("inflation_pm"))
+        .orderBy("source")
+    },
+
+    // cross-source near-dup leakage: how many verified near-dup pairs
+    // (exact n-gram Jaccard ≥ 0.8 — the family's truth detector) cross
+    // a source boundary, counted per unordered source pair. The number
+    // that catches "benchmark X was scraped into crawl Y" before a
+    // training run. Pair-source-agnostic like pl_soft_dedup: at 100 TB
+    // the pair relation swaps for minhashLshPairs, and the source
+    // attachment stays two id-equi joins on the (tiny) pair side
+    "pl_cross_source_leak" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"))
+        .join(src.select(col("doc_id").as("id1"), col("source").as("sa")),
+          "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("sb")),
+          "id2")
+        .select(least(col("sa"), col("sb")).as("src1"),
+          greatest(col("sa"), col("sb")).as("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src1", "src2")
     })
 
   /** Inline fixture for [[queries]]' `pl_strip_html` — shared with its
@@ -2734,6 +2801,56 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |         JOIN documents b ON b.doc_id = p.id2)
          |SELECT id1, id2, lev, ((maxlen - lev) * 10000) // maxlen AS sim_pm
          |FROM v WHERE maxlen > 0 ORDER BY id1, id2""".stripMargin
+
+    // per-doc novelty: shingle first-occurrence via gram-keyed min(id),
+    // exact integer rate
+    val ngramNovelty =
+      s"""WITH $shingleCte,
+         |fo AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s)
+         |SELECT sh.id AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN sh.id = fo.first_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  (CAST(sum(CASE WHEN sh.id = fo.first_id THEN 1 ELSE 0 END)
+         |        AS BIGINT) * 10000) // CAST(count(*) AS BIGINT)
+         |    AS novelty_pm
+         |FROM sh JOIN fo ON fo.s = sh.s
+         |GROUP BY sh.id
+         |ORDER BY doc_id""".stripMargin
+
+    // byte-weighted duplication inflation per source: group on the text
+    // digest, then exact integer sums; NULL guard mirrors the gate
+    val dupInflation =
+      """WITH g AS (
+        |  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(min(length(text)) AS BIGINT) AS len
+        |  FROM documents GROUP BY source, md5(text)),
+        |a AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |         CAST(sum(cnt * len) AS BIGINT) AS total_chars,
+        |         CAST(sum(len) AS BIGINT) AS uniq_chars
+        |  FROM g GROUP BY source)
+        |SELECT source, n_docs, total_chars, uniq_chars,
+        |  CASE WHEN uniq_chars = 0 THEN NULL
+        |       ELSE (total_chars * 10000) // uniq_chars END AS inflation_pm
+        |FROM a ORDER BY source""".stripMargin
+
+    // cross-source leakage: the exact-jaccard truth pair chain (same
+    // CTEs as neardupEval's truth side), sources reattached per pair,
+    // unordered source-pair counts
+    val crossSourceLeak =
+      s"""WITH $shingleCte,
+         |${cappedShingleCte(1000)},
+         |${jaccardCtes("shf")},
+         |p AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.8),
+         |e AS (
+         |  SELECT least(a.source, b.source) AS src1,
+         |         greatest(a.source, b.source) AS src2
+         |  FROM p JOIN documents a ON a.doc_id = p.id1
+         |         JOIN documents b ON b.doc_id = p.id2)
+         |SELECT src1, src2, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM e GROUP BY src1, src2
+         |ORDER BY src1, src2""".stripMargin
 
     val heaps =
       """WITH ids AS (
@@ -4355,6 +4472,9 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_dedup_simhash" -> simhash,
       "pl_neardup_eval" -> neardupEval,
       "pl_neardup_edit" -> neardupEdit,
+      "pl_ngram_novelty" -> ngramNovelty,
+      "pl_dup_inflation" -> dupInflation,
+      "pl_cross_source_leak" -> crossSourceLeak,
       "pl_rand_index" -> randIndex,
       "pl_ks_test" -> ksTest,
       "pl_chi2" -> chi2,

@@ -1131,6 +1131,15 @@ object Dedup {
     * expectation/normalization is a final fixed-shape float read.
     * Output: one row (n, sum_ij, sum_a, sum_b, ari).
     */
+  /** Exact C(c,2) on longs: the product c·(c−1) is even and
+    * non-negative, so shiftright-by-1 is an exact /2 with no IEEE
+    * round-trip (a double division diverges from the oracle's integer
+    * `//2` past 2^53 ≈ 9.4e7-doc clusters; this form is exact up to
+    * c ≈ 3.04e9, where the product itself overflows int64).
+    */
+  private[graft] def pairsOf(c: Column): Column =
+    shiftright(c.cast("long") * (c.cast("long") - 1), 1)
+
   def clusterAgreement(docs: DataFrame, pairs1: DataFrame,
       pairs2: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("id"))
@@ -1139,12 +1148,6 @@ object Dedup {
     val ct = l1.join(l2, "id").groupBy("c1", "c2")
       .agg(count(lit(1)).as("nij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // C(c,2) in pure integer math: the product is even and non-negative,
-    // so shiftright-by-1 is an exact /2 with no IEEE round-trip (a double
-    // division diverges from the oracle's integer `//2` past 2^53 ≈
-    // 9.4e7-doc clusters)
-    def pairsOf(c: Column): Column =
-      shiftright(c.cast("long") * (c.cast("long") - 1), 1)
     val sij = ct.agg(sum(pairsOf(col("nij"))).as("sum_ij"),
       sum(col("nij")).as("n"))
     val sa = ct.groupBy("c1").agg(sum(col("nij")).as("ai"))

@@ -1735,4 +1735,65 @@ class PipelineSpec extends SparkSpec {
     // phases must be non-decreasing along the curriculum order
     assert(ordered.map(_._5).sliding(2).forall(w => w(0) <= w(1)))
   }
+
+  test("pairsOf: exact C(c,2) where IEEE double division rounds") {
+    // c large enough that c·(c−1) exceeds 2^53 (double mantissa) but
+    // stays under int64: the shiftright form must equal BigInt truth;
+    // the old double-division form provably drifts here
+    val cs = Seq(3037000499L /* max int64-safe c */ , 200000003L, 7L, 1L, 0L)
+    val got = cs.toDF("c").select(Dedup.pairsOf($"c").as("p"))
+      .as[Long].collect().toSeq
+    val want = cs.map(c => (BigInt(c) * (BigInt(c) - 1) / 2).toLong)
+    assert(got === want)
+    val viaDouble = cs.map(c => ((c.toDouble * (c - 1).toDouble) / 2).toLong)
+    assert(viaDouble !== want) // the bug this guards against is real
+  }
+
+  test("pl_ngram_novelty: first doc fully novel, rates exact, totals tie out") {
+    val r = SparkEntry.queries("pl_ngram_novelty")(spark, sf)
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty_pm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    val first = r.minBy(_._1)
+    assert(first._3 === first._2 && first._4 === 10000L,
+      "earliest doc must be 100% novel")
+    r.foreach { case (id, g, nv, pm) =>
+      assert(nv <= g && g > 0, s"doc $id counts inconsistent")
+      assert(pm === nv * 10000 / g, s"doc $id rate drifted")
+    }
+    // every distinct shingle is novel in exactly one doc
+    val distinctShingles = Dedup.shingles(docs).select("shingle")
+      .distinct().count()
+    assert(r.map(_._3).sum === distinctShingles)
+  }
+
+  test("pl_dup_inflation: inflation >= 1, doc totals tie out") {
+    val r = SparkEntry.queries("pl_dup_inflation")(spark, sf)
+      .select($"source", $"n_docs", $"total_chars", $"uniq_chars",
+        $"inflation_pm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.map(_._2).sum === docs.count())
+    r.foreach { case (src, n, tot, uniq, pm) =>
+      assert(uniq <= tot, s"$src unique chars exceed total")
+      assert(pm >= 10000L, s"$src inflation below 1x")
+      assert(pm === tot * 10000 / uniq, s"$src rate drifted")
+    }
+    // total chars across sources must equal the raw corpus char count
+    val totalChars = docs.select(sum(length($"text"))).as[Long].head()
+    assert(r.map(_._3).sum === totalChars)
+  }
+
+  test("pl_cross_source_leak: unordered source pairs, total ties to truth") {
+    val r = SparkEntry.queries("pl_cross_source_leak")(spark, sf)
+      .select($"src1", $"src2", $"n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (a, b, n) =>
+      assert(a <= b, "source pair not canonical")
+      assert(n > 0)
+    }
+    assert(r.map(t => (t._1, t._2)).distinct.length === r.length)
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.8).count()
+    assert(r.map(_._3).sum === truth)
+  }
 }

@@ -315,4 +315,19 @@ class SeriesAnalyticsSpec extends SparkSpec {
     val siq = (1L to n).map(_ * 50L).sum
     assert(2.0 * siq - (n + 1) * n * 50L === 0.0)
   }
+
+  test("q_gini siq accumulator: decimal sum exact where a long sum wraps") {
+    // the Σi·q aggregation shape from q_gini (SeriesAnalytics): products
+    // near int64 max must accumulate exactly (DuckDB promotes to HUGEINT;
+    // a bigint sum would wrap silently)
+    val rows = Seq((1L, 4000000000000000000L), (2L, 4000000000000000000L),
+      (3L, 1234567890123456789L))
+    val got = rows.toDF("i", "q")
+      .agg(sum($"i".cast("decimal(19,0)") * $"q".cast("decimal(19,0)"))
+        .as("siq"))
+      .select($"siq".cast("string")).as[String].head()
+    val want = rows.map { case (i, q) => BigInt(i) * BigInt(q) }.sum
+    assert(BigInt(got) === want)
+    assert(want > BigInt(Long.MaxValue)) // a long accumulator WOULD wrap
+  }
 }
