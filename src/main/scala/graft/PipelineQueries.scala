@@ -1155,6 +1155,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // tokenizer fertility: BPE pieces per whitespace word, by source —
+    // the tokenizer-efficiency number that prices a corpus in model
+    // tokens (fertility_pm 10000 = 1 piece/word) and flags sources the
+    // vocab serves badly. Reuses the trained merge list; encode is the
+    // shuffle-free broadcast map of pl_bpe, then ONE source-keyed agg
+    "pl_tok_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, BpeMergeCount)
+      val enc = TextAnalysis.bpeEncode(d, merges)
+        .select(col("doc_id"), col("n_pieces").cast("long").as("n_pieces"))
+      d.select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_words"))
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("source"), col("n_words"), col("n_pieces"),
+          when(col("n_words") === 0, lit(null).cast("long"))
+            .otherwise(expr("(n_pieces * 10000) div n_words"))
+            .as("fertility_pm"))
+        .orderBy("source")
+    },
+
     // HTML → text cleanup (extraction-adjacent pass); inline fixture —
     // the synthetic corpus is already plain text
     "pl_strip_html" -> { (s, dir) =>
@@ -3883,6 +3907,22 @@ SELECT t.doc_id, coalesce(array_to_string(pd.pl, ' '), '') AS pieces_str,
        CAST(coalesce(len(pd.pl), 0) AS BIGINT) AS n_pieces
 FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
 
+    // fertility oracle: same trained chain, piece counts per word
+    // instance, one source-keyed rollup; NULL guard mirrors the gate
+    val tokFertility = bpeChainSql(BpeMergeCount) + s""",
+enc AS (SELECT w, CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS np
+        FROM w$BpeMergeCount),
+t AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+wd AS (SELECT doc_id, source, unnest(ws) AS w FROM t),
+fw AS (SELECT * FROM wd WHERE w != ''),
+pd AS (SELECT fw.source, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(e.np) AS BIGINT) AS n_pieces
+       FROM fw JOIN enc e ON e.w = fw.w GROUP BY fw.source)
+SELECT source, n_words, n_pieces,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE (n_pieces * 10000) // n_words END AS fertility_pm
+FROM pd ORDER BY source"""
+
     // fixture interpolated from the shared UrlFixture constant
     val urlValues = UrlFixture
       .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
@@ -4451,6 +4491,7 @@ FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
       "pl_wordpiece" -> wordpieceSql,
       "pl_bpe_train" -> bpeTrainSql,
       "pl_bpe" -> bpeSql,
+      "pl_tok_fertility" -> tokFertility,
       "pl_char_entropy" -> charEntropySql,
       "pl_corpus_stats" -> corpusStats,
       "pl_dedup_clusters" -> clusters,

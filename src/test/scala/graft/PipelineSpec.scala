@@ -1783,6 +1783,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_._3).sum === totalChars)
   }
 
+  test("pl_tok_fertility: >= 1 piece per word, pieces tie out to pl_bpe") {
+    val r = SparkEntry.queries("pl_tok_fertility")(spark, sf)
+      .select($"source", $"n_words", $"n_pieces", $"fertility_pm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (src, w, p, pm) =>
+      assert(p >= w, s"$src encoded below 1 piece/word")
+      assert(pm === p * 10000 / w, s"$src rate drifted")
+    }
+    // total pieces must equal pl_bpe's per-doc encoding of the corpus
+    val bpeTotal = SparkEntry.queries("pl_bpe")(spark, sf)
+      .select(sum($"n_pieces")).as[Long].head()
+    assert(r.map(_._3).sum === bpeTotal)
+  }
+
   test("pl_cross_source_leak: unordered source pairs, total ties to truth") {
     val r = SparkEntry.queries("pl_cross_source_leak")(spark, sf)
       .select($"src1", $"src2", $"n_pairs")
