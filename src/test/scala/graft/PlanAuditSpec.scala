@@ -339,4 +339,28 @@ class PlanAuditSpec extends SparkSpec {
       s"pair-union register merge degenerated to a cartesian\n$plan")
     assert(f.sortAggregates == 0, "register max/harmonic sums must stay hash-agg")
   }
+
+  test("ngram novelty: gram-keyed window + id agg, join-free") {
+    val (f, plan) = fp("pl_ngram_novelty")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0,
+      s"novelty must ride ONE shingle window, not a join\n$plan")
+    assert(f.exchanges <= 3, s"novelty shuffles grew: ${f.exchanges}\n$plan")
+    assert(f.windows == 1, "exactly one first-occurrence window")
+  }
+
+  test("dup inflation: two map-side-combined aggs, text never shuffles") {
+    val (f, plan) = fp("pl_dup_inflation")
+    assert(f.broadcastJoins + f.sortMergeJoins + f.nestedLoopJoins == 0)
+    assert(f.exchanges <= 3, s"inflation shuffles grew: ${f.exchanges}")
+    assert(f.sortAggregates == 0)
+  }
+
+  test("cross-source leak and fertility: equi-joins only") {
+    Seq("pl_cross_source_leak", "pl_tok_fertility").foreach { q =>
+      val (f, plan) = fp(q)
+      assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian\n$plan")
+      assert(f.sortAggregates == 0, s"$q lost hash aggregation")
+    }
+  }
 }
