@@ -1527,13 +1527,14 @@ object PipelineQueries {
     // doc's novel shingles are those whose GLOBAL first occurrence is
     // this doc — the memorization/freshness signal behind "is this
     // shard new material or a remix of what the model already saw".
-    // Plan: distinct (id, shingle) → ONE shingle-keyed window min →
-    // id-keyed agg; no join, no second shingle pass. Shuffle keys are
-    // the grams — at 100 TB swap Dedup.shingles for shingleHashes'
-    // 8-byte h (same plan, collision odds |sh|²/2⁶⁴)
+    // Plan: per-doc-distinct hashed shingles (ONE typed flatMap, md5
+    // once per shingle) → ONE hash-keyed window min → id-keyed agg; no
+    // join, no second shingle pass. Only 8-byte keys cross the
+    // exchange — the oracle derives the SAME 60-bit md5 hash, so even
+    // a collision (odds |sh|²/2⁶⁰) cannot diverge the two engines
     "pl_ngram_novelty" -> { (s, dir) =>
-      val sh = Dedup.shingles(docs(s, dir))
-      val firstId = min(col("id")).over(Window.partitionBy("shingle"))
+      val sh = Dedup.shingleHashes(docs(s, dir)).select(col("id"), col("hp"))
+      val firstId = min(col("id")).over(Window.partitionBy("hp"))
       sh.withColumn("first_id", firstId)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_grams"),
@@ -2826,20 +2827,21 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |SELECT id1, id2, lev, ((maxlen - lev) * 10000) // maxlen AS sim_pm
          |FROM v WHERE maxlen > 0 ORDER BY id1, id2""".stripMargin
 
-    // per-doc novelty: shingle first-occurrence via gram-keyed min(id),
-    // exact integer rate
+    // per-doc novelty: first occurrence per md5-derived 60-bit shingle
+    // hash (the exact hash the Spark side shuffles), exact integer rate
     val ngramNovelty =
       s"""WITH $shingleCte,
-         |fo AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s)
-         |SELECT sh.id AS doc_id,
+         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS hp FROM sh),
+         |fo AS (SELECT hp, min(id) AS first_id FROM hs GROUP BY hp)
+         |SELECT hs.id AS doc_id,
          |  CAST(count(*) AS BIGINT) AS n_grams,
-         |  CAST(sum(CASE WHEN sh.id = fo.first_id THEN 1 ELSE 0 END)
+         |  CAST(sum(CASE WHEN hs.id = fo.first_id THEN 1 ELSE 0 END)
          |       AS BIGINT) AS n_novel,
-         |  (CAST(sum(CASE WHEN sh.id = fo.first_id THEN 1 ELSE 0 END)
+         |  (CAST(sum(CASE WHEN hs.id = fo.first_id THEN 1 ELSE 0 END)
          |        AS BIGINT) * 10000) // CAST(count(*) AS BIGINT)
          |    AS novelty_pm
-         |FROM sh JOIN fo ON fo.s = sh.s
-         |GROUP BY sh.id
+         |FROM hs JOIN fo USING (hp)
+         |GROUP BY hs.id
          |ORDER BY doc_id""".stripMargin
 
     // byte-weighted duplication inflation per source: group on the text

@@ -1761,10 +1761,14 @@ class PipelineSpec extends SparkSpec {
       assert(nv <= g && g > 0, s"doc $id counts inconsistent")
       assert(pm === nv * 10000 / g, s"doc $id rate drifted")
     }
-    // every distinct shingle is novel in exactly one doc
-    val distinctShingles = Dedup.shingles(docs).select("shingle")
+    // every distinct (hashed) shingle is novel in exactly one doc
+    val distinctShingles = Dedup.shingleHashes(docs).select("hp")
       .distinct().count()
     assert(r.map(_._3).sum === distinctShingles)
+    // and the hash space is collision-free on this corpus, so the
+    // hashed count equals the distinct shingle-string count
+    assert(distinctShingles ===
+      Dedup.shingles(docs).select("shingle").distinct().count())
   }
 
   test("pl_dup_inflation: inflation >= 1, doc totals tie out") {
