@@ -1570,16 +1570,16 @@ object PipelineQueries {
     },
 
     // cross-source near-dup leakage: how many verified near-dup pairs
-    // (exact n-gram Jaccard ≥ 0.8 — the family's truth detector) cross
-    // a source boundary, counted per unordered source pair. The number
-    // that catches "benchmark X was scraped into crawl Y" before a
-    // training run. Pair-source-agnostic like pl_soft_dedup: at 100 TB
-    // the pair relation swaps for minhashLshPairs, and the source
+    // (MinHash-LSH candidates, exact-Jaccard ≥ 0.8 verified — the
+    // family's at-scale detector) cross a source boundary, counted per
+    // unordered source pair. The number that catches "benchmark X was
+    // scraped into crawl Y" before a training run. Pair-source-agnostic
+    // like pl_soft_dedup — any pair relation plugs in; the source
     // attachment stays two id-equi joins on the (tiny) pair side
     "pl_cross_source_leak" -> { (s, dir) =>
       val d = docs(s, dir)
       val src = d.select(col("doc_id"), col("source"))
-      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.8)
+      Dedup.minhashLshPairs(d, 3, 0.8)
         .select(col("id1"), col("id2"))
         .join(src.select(col("doc_id").as("id1"), col("source").as("sa")),
           "id1")
@@ -2861,14 +2861,22 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
         |       ELSE (total_chars * 10000) // uniq_chars END AS inflation_pm
         |FROM a ORDER BY source""".stripMargin
 
-    // cross-source leakage: the exact-jaccard truth pair chain (same
-    // CTEs as neardupEval's truth side), sources reattached per pair,
-    // unordered source-pair counts
+    // cross-source leakage: the MinHash-LSH verified pair chain (same
+    // signature/band/cap CTEs as the pl_dedup_minhash oracle), sources
+    // reattached per pair, unordered source-pair counts
     val crossSourceLeak =
       s"""WITH $shingleCte,
-         |${cappedShingleCte(1000)},
-         |${jaccardCtes("shf")},
-         |p AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.8),
+         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM hs GROUP BY id),
+         |$bandCandCtes,
+         |${jaccardCtes()},
+         |p AS (
+         |  SELECT p.id1, p.id2 FROM pairs p
+         |  JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
+         |  WHERE p.jac >= 0.8),
          |e AS (
          |  SELECT least(a.source, b.source) AS src1,
          |         greatest(a.source, b.source) AS src2
