@@ -86,13 +86,17 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(3))
     // committed per-gate expectations: the escalation trigger's baseline
     val expected = expectedFor(sfDir)
-    // cap fresh-JVM escalations per sweep (~10 s each) so a systemic
-    // shift (e.g. a config change slowing every gate) degrades to the
-    // in-process numbers instead of 146 child JVMs
-    var escalationsLeft = 30
+    // NO cap on fresh-JVM escalations: the r11 sweep-of-record exhausted
+    // a 20-slot budget mid-sweep and shipped 40 rows >2× their floor that
+    // the escalator never reached — the record read 1.64× the floor sum
+    // for an engine whose like-for-like cost vs the last clean sweep was
+    // 1.02×. Children run AFTER spark.stop() (machine to themselves) and
+    // cost ~10 s each, so even a systemic-shift worst case (all 223
+    // gates) is ~35 min of ground-truthing, which is strictly better
+    // than publishing numbers known to be contamination.
     // second-chance children for escalations whose first child still
     // reads >2× the committed floor (bounded — each retry is ~10 s)
-    var retriesLeft = 10
+    var retriesLeft = 40
     val toEscalate = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = picked.map { case (name, fn) =>
       // let the ContextCleaner reclaim the previous queries' shuffle
@@ -186,10 +190,7 @@ object Bench {
       val overExpected = expected.get(name)
         .exists(e => median > 2.0 * math.max(e, 0.2))
       val stillSpread = spreadOf(times) > 2.0 && median < 10.0
-      if (args.isEmpty && (overExpected || stillSpread) && escalationsLeft > 0) {
-        escalationsLeft -= 1
-        toEscalate += name
-      }
+      if (args.isEmpty && (overExpected || stillSpread)) toEscalate += name
       name -> median
     }
     // free the sweep JVM's executors/heap BEFORE the ground-truth

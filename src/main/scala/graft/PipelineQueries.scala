@@ -1530,11 +1530,16 @@ object PipelineQueries {
     // Plan: per-doc-distinct hashed shingles (ONE typed flatMap, md5
     // once per shingle) → ONE hash-keyed window min → id-keyed agg; no
     // join, no second shingle pass. Only 8-byte keys cross the
-    // exchange — the oracle derives the SAME 60-bit md5 hash, so even
-    // a collision (odds |sh|²/2⁶⁰) cannot diverge the two engines
+    // exchange — the key is the FULL 60-bit md5 hash (h >>> 4, the top
+    // 60 bits of the digest — NOT the mod-MinhashP reduction, whose
+    // 2³¹ space would birthday-collide at corpus scale and silently
+    // map novel shingles onto earlier docs). The oracle derives the
+    // SAME 60-bit hash, so even a residual collision (odds |sh|²/2⁶⁰)
+    // cannot diverge the two engines
     "pl_ngram_novelty" -> { (s, dir) =>
-      val sh = Dedup.shingleHashes(docs(s, dir)).select(col("id"), col("hp"))
-      val firstId = min(col("id")).over(Window.partitionBy("hp"))
+      val sh = Dedup.shingleHashes(docs(s, dir))
+        .select(col("id"), shiftrightunsigned(col("h"), 4).as("h60"))
+      val firstId = min(col("id")).over(Window.partitionBy("h60"))
       sh.withColumn("first_id", firstId)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_grams"),
@@ -2828,10 +2833,12 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |FROM v WHERE maxlen > 0 ORDER BY id1, id2""".stripMargin
 
     // per-doc novelty: first occurrence per md5-derived 60-bit shingle
-    // hash (the exact hash the Spark side shuffles), exact integer rate
+    // hash (the exact FULL 60-bit hash the Spark side shuffles — no
+    // mod-MinhashP reduction, see the gate's collision note), exact
+    // integer rate
     val ngramNovelty =
       s"""WITH $shingleCte,
-         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS hp FROM sh),
+         |hs AS (SELECT id, ${h60Sql("s")} AS hp FROM sh),
          |fo AS (SELECT hp, min(id) AS first_id FROM hs GROUP BY hp)
          |SELECT hs.id AS doc_id,
          |  CAST(count(*) AS BIGINT) AS n_grams,
@@ -3918,7 +3925,12 @@ SELECT t.doc_id, coalesce(array_to_string(pd.pl, ' '), '') AS pieces_str,
 FROM t LEFT JOIN per_doc pd USING (doc_id) ORDER BY doc_id"""
 
     // fertility oracle: same trained chain, piece counts per word
-    // instance, one source-keyed rollup; NULL guard mirrors the gate
+    // instance, one source-keyed rollup; NULL guard mirrors the gate.
+    // The source set comes from `documents` via LEFT JOIN so a
+    // degenerate source whose docs all tokenize to zero words still
+    // surfaces as (source, 0, 0, NULL) — the exact shape the Spark
+    // side produces (bpeEncode emits a row for every doc, empty ones
+    // included)
     val tokFertility = bpeChainSql(BpeMergeCount) + s""",
 enc AS (SELECT w, CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS np
         FROM w$BpeMergeCount),
@@ -3927,11 +3939,14 @@ wd AS (SELECT doc_id, source, unnest(ws) AS w FROM t),
 fw AS (SELECT * FROM wd WHERE w != ''),
 pd AS (SELECT fw.source, CAST(count(*) AS BIGINT) AS n_words,
               CAST(sum(e.np) AS BIGINT) AS n_pieces
-       FROM fw JOIN enc e ON e.w = fw.w GROUP BY fw.source)
-SELECT source, n_words, n_pieces,
-       CASE WHEN n_words = 0 THEN NULL
-            ELSE (n_pieces * 10000) // n_words END AS fertility_pm
-FROM pd ORDER BY source"""
+       FROM fw JOIN enc e ON e.w = fw.w GROUP BY fw.source),
+srcs AS (SELECT DISTINCT source FROM documents)
+SELECT srcs.source,
+       CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(pd.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CASE WHEN coalesce(pd.n_words, 0) = 0 THEN NULL
+            ELSE (pd.n_pieces * 10000) // pd.n_words END AS fertility_pm
+FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
 
     // fixture interpolated from the shared UrlFixture constant
     val urlValues = UrlFixture
