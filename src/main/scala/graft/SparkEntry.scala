@@ -337,6 +337,23 @@ object SparkEntry {
           SubQuery(metric = "purchase", aggregator = "none", downsample = Some("6h-avg-null"))))
       },
 
+      // §2.5 gap fill: NaN-filled 6h buckets (FillPolicy.NaN,
+      // query/Downsample.scala). NaN≠NaN defeats a hash oracle, so the
+      // gate projects the filled NaN to a sentinel double (−1e9, via
+      // nanvl) and the oracle CASEs its LEFT-JOIN NULL gaps to the same
+      // sentinel — the planner's coalesce-to-NaN fill path is what's
+      // under test, and a real bucket avg landing exactly on the
+      // sentinel would render identically in both engines anyway.
+      "q_fill_nan" -> { (s, dir) =>
+        // nanvl BEFORE out(): out's sround floors to LONG, and NaN.toLong
+        // is 0 — the sentinel must replace NaN ahead of that cast
+        out(Planner.planSub(
+          DpView.dp(s, dir),
+          TsQuery(T0, T1),
+          SubQuery(metric = "purchase", aggregator = "none", downsample = Some("6h-avg-nan")))
+          .withColumn("value", nanvl(col("value"), lit(-1.0e9))))
+      },
+
       // §2.7 duplicate timestamps: latest ingested wins
       "q_dedup_lastwins" -> { (s, dir) =>
         val d = DpView.dp(s, dir)
@@ -1615,6 +1632,20 @@ object SparkEntry {
            |  FROM (SELECT DISTINCT skey FROM ds))
            |SELECT s.skey AS skey, s.b // 1000 AS ts,
            |       floor((d.v) * 10000 + 0.5 + 1e-6) / 10000.0 AS value
+           |FROM spine s LEFT JOIN ds d ON s.skey = d.skey AND s.b = d.b
+           |ORDER BY 1, 2, 3""".stripMargin),
+
+      "q_fill_nan" -> (dpCte + ",\n" +
+        dedupCte("purchase", "", T0, scanEnd(T1, SIXH)) + ",\n" +
+        s"""ds AS (
+           |  SELECT skey, ts - ts % $SIXH AS b, avg(value) AS v
+           |  FROM dedup GROUP BY skey, ts - ts % $SIXH),
+           |spine AS (
+           |  SELECT skey, unnest(generate_series($T0, $T1, $SIXH)) AS b
+           |  FROM (SELECT DISTINCT skey FROM ds))
+           |SELECT s.skey AS skey, s.b // 1000 AS ts,
+           |       CASE WHEN d.v IS NULL THEN -1.0e9
+           |            ELSE floor((d.v) * 10000 + 0.5 + 1e-6) / 10000.0 END AS value
            |FROM spine s LEFT JOIN ds d ON s.skey = d.skey AND s.b = d.b
            |ORDER BY 1, 2, 3""".stripMargin),
 
