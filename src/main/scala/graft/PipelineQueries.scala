@@ -197,18 +197,21 @@ object PipelineQueries {
     // smoothed modified 1/2-gram precision against the REST of the
     // corpus (clip = min(c_doc, c_corpus − c_doc)), bleu = geometric
     // mean — high Self-BLEU flags a templated/memorized corpus; clip
-    // and total counts are exact integers, the gram joins are map-side-
-    // combined shuffle joins on the gram key
+    // and total counts are exact integers. Per-doc gram counts come
+    // from ONE typed flatMap (local hashmap, one md5 per DISTINCT gram
+    // per doc — gramHashCounts): the explode + (doc, gram) groupBy that
+    // shuffled every gram STRING instance is now map-side local work,
+    // and only 8-byte oracle-shared hashes cross the corpus-count
+    // exchange. (The r11 draft that md5'd per token INSTANCE
+    // declaratively was 1.3× slower and rejected; hashing once per
+    // distinct-per-doc item in typed code is the winning recipe, the
+    // same one that bought pl_ngram_novelty 8.9×.)
     "pl_self_bleu" -> { (s, dir) =>
-      val tk = TextAnalysis.withTokens(docs(s, dir))
       def prec(n: Int) = {
-        val grams = tk.filter(size(col("w_")) >= n)
-          .select(col("doc_id"),
-            explode(TextAnalysis.ngramsOf(col("w_"), n)).as("g"))
-        val dc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cd"))
+        val dc = TextAnalysis.gramHashCounts(docs(s, dir), n)
         val gc = dc.groupBy("g").agg(sum(col("cd")).as("cg"))
         dc.join(gc, "g")
-          .groupBy("doc_id")
+          .groupBy(col("id").as("doc_id"))
           .agg(sum(least(col("cd"), col("cg") - col("cd"))).as(s"clip$n"),
             sum(col("cd")).as(s"tot$n"))
       }
@@ -1975,10 +1978,14 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     // Self-BLEU oracle: per-order clip/total integer counts against the
     // rest-of-corpus, +1-smoothed precisions, geometric mean in the
     // same expression shape as the Spark side
+    // gram keys are the Spark-shared 60-bit md5 hash (gramHashCounts),
+    // so both engines group/join on identical 8-byte keys and even a
+    // hash collision cannot diverge them
     val selfBleu =
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |u AS (SELECT doc_id, unnest(w) AS g FROM tok),
+        |u AS (SELECT doc_id, ${h60Sql("g")} AS g FROM
+        |      (SELECT doc_id, unnest(w) AS g FROM tok)),
         |du AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cd
         |       FROM u GROUP BY doc_id, g),
         |gu AS (SELECT g, CAST(sum(cd) AS BIGINT) AS cg FROM du GROUP BY g),
@@ -1986,10 +1993,10 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
         |  SELECT doc_id, CAST(sum(least(cd, cg - cd)) AS BIGINT) AS clip1,
         |         CAST(sum(cd) AS BIGINT) AS tot1
         |  FROM du JOIN gu USING (g) GROUP BY doc_id),
-        |bgr AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |bgr AS (SELECT doc_id, ${h60Sql("g")} AS g FROM
+        |      (SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |         i -> w[i] || ' ' || w[i+1])) AS g
-        |  FROM tok WHERE len(w) >= 2),
+        |       FROM tok WHERE len(w) >= 2)),
         |db AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cd
         |       FROM bgr GROUP BY doc_id, g),
         |gb AS (SELECT g, CAST(sum(cd) AS BIGINT) AS cg FROM db GROUP BY g),

@@ -149,6 +149,52 @@ object TextAnalysis {
     */
   def wordNgrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
 
+  /** Per-doc n-gram MULTIPLICITY counts keyed by the oracle-shared
+    * 60-bit md5 gram hash: `(id, g, cd)` with `g = md5_60(gram)` and
+    * `cd` the gram's occurrence count in that doc.
+    *
+    * ONE typed flatMap does tokenize → n-gram → LOCAL hashmap count →
+    * one md5 per DISTINCT gram per doc. A document's grams all live in
+    * its own row, so the per-(doc, gram) aggregation that the
+    * explode + groupBy formulation shuffles is computed map-side here
+    * for free, and everything downstream shuffles 8-byte longs, never
+    * gram text (the Dedup.shingleHashes recipe, applied to counted
+    * multisets). DuckDB reproduces the hash (`substr(md5(g),1,15)`), so
+    * a collision cannot diverge the engines.
+    */
+  def gramHashCounts(docs: DataFrame, n: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i <= toks.length - n) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+            counts.updateWith(sb.toString)(c => Some(c.getOrElse(0L) + 1L))
+            i += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          counts.iterator.map { case (s, c) =>
+            val d = md.digest(s.getBytes("UTF-8"))
+            var h = 0L
+            var k = 0
+            while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+            (id, h >>> 4, c)
+          }
+        }
+      }
+      .toDF("id", "g", "cd")
+  }
+
   /** Fraction of token occurrences that are repeats of an earlier token
     * (1 − distinct/total) — the token-level analogue of Gopher's
     * duplicate-line fraction (the corpus is single-line docs). Pure
