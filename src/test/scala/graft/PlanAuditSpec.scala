@@ -363,4 +363,137 @@ class PlanAuditSpec extends SparkSpec {
       assert(f.sortAggregates == 0, s"$q lost hash aggregation")
     }
   }
+
+  // ---- BNLJ bounded-build-side invariant -------------------------------
+  // These gates legitimately carry BroadcastNestedLoopJoin nodes — the
+  // scalar-subquery shape: a 1-row stat frame / k-row centroid or query
+  // block crossed against a big relation. That is fine at 100 TB ONLY
+  // while the broadcast side stays data-size-independent. This audit
+  // walks every BNLJ in each gate's AQE-final executed plan and fails if
+  // a build side stops being provably bounded (a grouping-free aggregate,
+  // a literal LocalTableScan, a limit, or compositions thereof) — i.e.
+  // if a refactor ever turns one into an unbounded nested loop.
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.QueryStageExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+  /** Children, stepping through AQE stage wrappers, exchange reuse and
+    * cached-relation leaves so the walk sees the real producing plan.
+    */
+  private def planKids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan) // AQE wrapper is a leaf; the real tree is inside
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
+    case other => other.children
+  }
+
+  private def collectBnlj(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+    (p match {
+      case b: BroadcastNestedLoopJoinExec => Seq(b)
+      case _ => Seq.empty
+    }) ++ planKids(p).flatMap(collectBnlj)
+
+  /** A plan is BOUNDED when its row count cannot grow with input data:
+    * grouping-free aggregates (exactly 1 row), literal frames, limits,
+    * and any composition of bounded inputs (joins/unions of k-row frames
+    * stay k-row-class). A scan/leaf that can grow with the corpus is
+    * unbounded, and so is anything that only transforms one.
+    */
+  /** A filter that pins an id column to a literal point/range/list —
+    * the "query block" shape (e.g. `vec_id < 10`): ids are dense and
+    * unique in the gate tables, so a literal id bound fixes the row
+    * count no matter how large the corpus grows.
+    */
+  private def literallyIdBounded(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists {
+      case LessThan(a: AttributeReference, _: Literal) => a.name.contains("id")
+      case LessThanOrEqual(a: AttributeReference, _: Literal) => a.name.contains("id")
+      case EqualTo(a: AttributeReference, _: Literal) => a.name.contains("id")
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        a.name.contains("id")
+      // modulo subsample (`pmod(id, step) = r`): the IVF centroid frame.
+      // Bounded by the SIZING CONTRACT, not structurally — the caller
+      // sizes step ∝ √n (Similarity.ivfIndex doc; the constant-step
+      // variant was measured quadratic and fixed in r8), so the
+      // broadcast stays √n-class, the FAISS coarse-quantizer footprint.
+      case EqualTo(Pmod(a: AttributeReference, _: Literal, _), _: Literal) =>
+        a.name.contains("id")
+      case _ => false
+    }
+  }
+
+  /** Corpus-row identities: an aggregate KEYED on one of these has one
+    * group per document/vector, i.e. corpus cardinality — the one
+    * aggregate shape that is NOT compressive.
+    */
+  private val rowIdentityNames =
+    Set("doc_id", "vec_id", "id", "nid", "qid", "id1", "id2")
+
+  private def boundedRows(p: SparkPlan): Boolean = p match {
+    // any aggregate NOT keyed on a row identity is compressive: its row
+    // count is the key-grid cardinality (dimension values, length grids,
+    // cluster/band ids), which is data-scale-independent by construction
+    // in every gate. Grouping-free = exactly 1 row.
+    case a: BaseAggregateExec
+        if !a.groupingExpressions.exists(g =>
+          g.references.exists(r => rowIdentityNames(r.name)) ||
+            rowIdentityNames(g.name)) => true
+    case f: org.apache.spark.sql.execution.FilterExec
+        if literallyIdBounded(f.condition) => true
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      boundedRows(a.executedPlan)
+    case q: QueryStageExec => boundedRows(q.plan)
+    case r: ReusedExchangeExec => boundedRows(r.child)
+    case c: InMemoryTableScanExec => boundedRows(c.relation.cachedPlan)
+    case _ =>
+      val n = p.getClass.getSimpleName
+      if (n.startsWith("LocalTableScan")) true
+      else if (n.contains("Limit") || n.startsWith("TakeOrderedAndProject")) true
+      else if (planKids(p).isEmpty) false // file/RDD scan leaves grow with data
+      else planKids(p).forall(boundedRows)
+  }
+
+  test("every BNLJ build side is a bounded aggregate/literal/limit frame") {
+    // the gates PLANS.md records with BNLJ > 0 (the deliberate
+    // scalar-subquery / broadcast-block designs)
+    val bnljGates = Seq(
+      "pl_ann_recall", "pl_bigram_nll", "pl_bootstrap", "pl_budget_alloc",
+      "pl_budget_sample", "pl_ccnet_bucket", "pl_chi2", "pl_hard_neg",
+      "pl_kl_div", "pl_kn_nll", "pl_knn", "pl_knn_ivf", "pl_knn_ivfpq",
+      "pl_knn_rerank", "pl_knn_sq8", "pl_ks_test", "pl_rand_index",
+      "pl_sbo_nll", "pl_silhouette", "q_series_outlier")
+    var audited = 0
+    bnljGates.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count() // AQE-final plan
+      // a gate may legitimately lose its BNLJ to a plan improvement —
+      // only the ones present get audited
+      collectBnlj(df.queryExecution.executedPlan).foreach { b =>
+        audited += 1
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        assert(boundedRows(build),
+          s"$name: BNLJ build side is NOT bounded — this nested loop " +
+            s"would be corpus-sized at scale\n${build.treeString}")
+      }
+    }
+    // non-vacuity guard: the walker must actually SEE the nested loops
+    // (if AQE ever wraps them in a node planKids doesn't step through,
+    // this fails loudly instead of green-lighting an unaudited plan)
+    assert(audited >= 10,
+      s"only $audited BNLJ nodes found across ${bnljGates.size} gates — " +
+        "the plan walker is missing nodes")
+  }
 }
