@@ -826,6 +826,31 @@ object PipelineQueries {
         .orderBy("qid", "nid")
     },
 
+    // IVF index PERSISTENCE round-trip: build the index, WRITE the two
+    // tables a production deployment persists (centroids + inverted
+    // lists, cid-partitionable), READ them back, and search from the
+    // reloaded tables — the batch-over-batch read path a 100 TB
+    // deployment actually exercises (pl_dedup_incr proves the dedup
+    // half of the same story). Distinct query slice + probe width from
+    // pl_knn_ivf so the two gates can't mask each other; the oracle
+    // replays the same assign/probe/rank pipeline (parquet round-trips
+    // doubles exactly, so persistence must be value-invisible).
+    "pl_ivf_index" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("ivf_index_gate").toString
+      val (cent, assigned) = Similarity.ivfIndex(e, centStep = 16)
+      cent.write.parquet(s"$root/centroids")
+      assigned.write.parquet(s"$root/lists")
+      Similarity.ivfSearch(
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/lists"),
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        k = 5, nProbe = 2)
+        .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
     // LSH-bucketed ANN — the scale path; hyperplanes are md5-derived so
     // the oracle replays bucket assignment exactly (plus a brute-force
     // recall check in PipelineSpec).
@@ -3176,7 +3201,9 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
 
     val cosOf = (a: String, b: String) =>
       s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-    val ivf =
+    // parameterized so the persistence round-trip gate (pl_ivf_index)
+    // replays the same chain on its own query slice / probe width
+    def ivfSql(qPred: String, nProbe: Int): String =
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
@@ -3192,7 +3219,7 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |    SELECT q.vec_id AS qid, q.v AS qv, c.cid,
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY ${cosOf("q.v", "c.cv")} DESC, c.cid) AS rk
-         |    FROM e q, cent c WHERE q.vec_id < 10) WHERE rk <= 3),
+         |    FROM e q, cent c WHERE $qPred) WHERE rk <= $nProbe),
          |s AS (
          |  SELECT qid, nid, ${cosOf("qv", "nv")} AS cos
          |  FROM probe JOIN asg USING (cid) WHERE qid != nid),
@@ -3202,6 +3229,7 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  FROM s)
          |SELECT qid, nid, ${sroundSql("cos")} AS cos FROM r WHERE rk <= 5
          |ORDER BY qid, nid""".stripMargin
+    val ivf = ivfSql("q.vec_id < 10", 3)
 
     // Replays Similarity.lshKnn(dim=64, nPlanes=4, nTables=4) exactly:
     // plane component (p, d) = (md5-hex60(p || '_' || d) % 2001 - 1000) /
@@ -4601,6 +4629,7 @@ FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
       "pl_rproj" -> rproj,
       "pl_knn_sq8" -> sq8Knn,
       "pl_knn_ivf" -> ivf,
+      "pl_ivf_index" -> ivfSql("q.vec_id >= 10 AND q.vec_id < 20", 2),
       "pl_knn_lsh" -> lshKnn,
       "pl_embed_prep" -> embedPrep,
       "pl_kmeans" -> kmeans,
