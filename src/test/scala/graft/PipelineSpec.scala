@@ -1573,6 +1573,29 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_._4).max > 0.9, "no high-coverage doc in a dup corpus")
   }
 
+  test("gramHashCounts ≡ explode + per-(doc,gram) count under the shared hash") {
+    // the typed local-hashmap path (one md5 per DISTINCT gram per doc)
+    // must produce exactly the relation the declarative
+    // explode → groupBy(doc, md5h60(gram)) → count formulation does —
+    // the pl_self_bleu rewrite rests on this equivalence
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 200)
+    Seq(1, 2, 3).foreach { n =>
+      val got = TextAnalysis.gramHashCounts(d, n)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = TextAnalysis.withTokens(d)
+        .filter(size($"w_") >= n)
+        .select($"doc_id",
+          explode(TextAnalysis.ngramsOf($"w_", n)).as("g"))
+        .groupBy($"doc_id",
+          graft.functions.GraftFunctions.md5Hash60($"g").as("h"))
+        .agg(count(lit(1)).as("c"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"n=$n")
+      assert(got.nonEmpty, s"n=$n produced no rows")
+    }
+  }
+
   test("mm resize: nearest-neighbor index map is exact") {
     import graft.pipeline.Multimodal
     val df = Seq((1L, (0 until 64).toArray)).toDF("id", "px")
