@@ -1341,7 +1341,11 @@ object PipelineQueries {
     // outer join on the canonical (id1 < id2) pair key and exact
     // integer rates.
     "pl_neardup_eval" -> { (s, dir) =>
-      val t = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
+      // truth = the PREFIX-FILTER exact-Jaccard path (r12): provably
+      // lossless (no df cap), and measured LINEAR sf0.1→sf1 where the
+      // inverted-index chain is quadratic-prone — the truth chain was
+      // this gate's dominant cost (14.4 of 18.4 s at sf1)
+      val t = Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8)
         .select(col("id1"), col("id2"), lit(1L).as("in_t"))
       val p = Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
         .select(col("id1"), col("id2"), lit(1L).as("in_p"))
@@ -2825,10 +2829,12 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     // detector-evaluation oracle: the exact-Jaccard truth chain and the
     // simhash candidate chain side by side (disjoint CTE namespaces),
     // compared by one full outer join on the canonical pair key
+    // truth side = the UNCAPPED exact pair set (the prefix-filter
+    // operator's contract — its candidate pruning is provably lossless,
+    // so the oracle is plain exact Jaccard, same as pl_dedup_prefix's)
     val neardupEval =
       s"""WITH $shingleCte,
-         |${cappedShingleCte(1000)},
-         |${jaccardCtes("shf")},
+         |${jaccardCtes()},
          |truth AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.8),
          |$simhashCtes,
          |pred AS (SELECT id1, id2 FROM cand WHERE hamming <= 3),
