@@ -1145,6 +1145,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // unigram-LM (SentencePiece-family) Viterbi segmentation — the
+    // third subword family next to BPE and WordPiece: exact DP argmax
+    // over per-position piece scores, NOT greedy longest-match (greedy
+    // and Viterbi genuinely disagree on this vocab — the spec pins a
+    // case). Oracle replays the same additive-key DP in one recursive
+    // CTE over character positions (corpus words are ≤8 chars, so the
+    // recursion is ≤8 steps over the distinct-word relation)
+    "pl_unigram_encode" -> { (s, dir) =>
+      TextAnalysis.unigramEncode(docs(s, dir), UnigramVocab)
+        .orderBy("doc_id")
+    },
+
     // character-entropy quality signal (gibberish low / encoded-blob
     // high); nano-nat integer terms summed order-free, bits derived at
     // the end — cross-engine-deterministic by construction
@@ -1652,6 +1664,22 @@ object PipelineQueries {
       Seq("sc", "tab", "val", "wind", "cust", "str", "fast", "the", "fi",
         "##an", "##ble", "##ue", "##ow", "##le", "##omer", "##eam",
         "##ast", "##lter", "##er", "##ing")
+
+  /** Inline scored vocabulary for [[queries]]' `pl_unigram_encode` —
+    * multi-char pieces only (every single character is an implicit
+    * piece, so any word segments); all 2–4 chars (`maxLen` 4). Chosen to
+    * cover the synthetic corpus's head words with OVERLAPPING options
+    * ("cust"+"omer" vs "c"+"ust"+…, "wind"+"ow" vs "win"+"dow") so the
+    * Viterbi argmax does real work. Scores derive from each piece's own
+    * md5 (see TextAnalysis.unigramEncode), so gate and oracle can never
+    * drift.
+    */
+  private[graft] val UnigramVocab: Seq[String] = Seq(
+    "join", "hash", "row", "scan", "cust", "omer", "ust", "colu", "umn",
+    "filt", "er", "ter", "all", "mer", "ge", "slow", "ord", "vec", "tor",
+    "line", "data", "tab", "le", "agg", "val", "ue", "key", "str", "eam",
+    "wind", "ow", "win", "dow", "grou", "up", "part", "ba", "tch", "spa",
+    "rk", "sm")
 
   /** Merge-rule count for the BPE gates — small enough that the unrolled
     * oracle stays a readable ~65-CTE query, large enough that the learned
@@ -3927,6 +3955,59 @@ ORDER BY qid, nid"""
          |FROM t LEFT JOIN per_doc pd USING (doc_id)
          |ORDER BY doc_id""".stripMargin
 
+    // unigram-LM Viterbi oracle: the SAME additive-key DP as
+    // TextAnalysis.unigramEncode — key(p) = 128·score(p) − 1 with
+    // score(p) = 500·len + md5h60(p) mod 400 for vocab pieces, 100 for
+    // the implicit single-char fallback; per-position argmax over the
+    // key via greatest() (NULL candidates = disallowed pieces are
+    // ignored, Postgres semantics); one recursive step per character
+    // position over the DISTINCT-word relation (corpus words ≤ 8
+    // chars), final (n_pieces, score) decomposed from the key exactly
+    val unigramValues = UnigramVocab.map(p => s"('$p')").mkString(", ")
+    val unigramEncodeSql =
+      s"""WITH RECURSIVE
+         |uv(p) AS (VALUES $unigramValues),
+         |vk AS MATERIALIZED (
+         |  SELECT p, (500 * length(p) +
+         |             ${h60Sql("p")} % 400) * 128 - 1 AS k
+         |  FROM uv),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |fw AS (SELECT doc_id, unnest(ws) AS w FROM t),
+         |fwn AS (SELECT doc_id, w FROM fw WHERE w != ''),
+         |dw AS (SELECT DISTINCT w FROM fwn),
+         |dp AS (
+         |  SELECT w, CAST(length(w) AS INTEGER) AS n, 0 AS i,
+         |         [CAST(0 AS BIGINT)] AS bs
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT w, n, i + 1,
+         |    bs || [greatest(
+         |      bs[i + 1] + 12799,
+         |      CASE WHEN i + 1 >= 2 THEN
+         |        bs[i] + (SELECT k FROM vk WHERE p = substr(w, i, 2)) END,
+         |      CASE WHEN i + 1 >= 3 THEN
+         |        bs[i - 1] + (SELECT k FROM vk WHERE p = substr(w, i - 1, 3)) END,
+         |      CASE WHEN i + 1 >= 4 THEN
+         |        bs[i - 2] + (SELECT k FROM vk WHERE p = substr(w, i - 2, 4)) END)]
+         |  FROM dp WHERE i < n),
+         |fin AS (
+         |  SELECT w, bs[n + 1] AS key,
+         |         (128 - bs[n + 1] % 128) % 128 AS np
+         |  FROM dp WHERE i = n),
+         |agg AS (
+         |  SELECT fwn.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(fin.np) AS BIGINT) AS n_pieces,
+         |         CAST(sum((fin.key + fin.np) // 128) AS BIGINT) AS score
+         |  FROM fwn JOIN fin ON fin.w = fwn.w
+         |  GROUP BY fwn.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(agg.score, 0) AS BIGINT) AS score
+         |FROM t LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
     // per-char -p·ln(p) terms quantized to integer nano-nats before the
     // sum (order-free), bits derived from the summed integer — mirrors
     // the Spark gate exactly
@@ -4555,6 +4636,7 @@ FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
       "pl_mm_resize" -> mmResize,
       "pl_lr_train" -> lrTrain,
       "pl_wordpiece" -> wordpieceSql,
+      "pl_unigram_encode" -> unigramEncodeSql,
       "pl_bpe_train" -> bpeTrainSql,
       "pl_bpe" -> bpeSql,
       "pl_tok_fertility" -> tokFertility,

@@ -127,6 +127,19 @@ object GraftFunctions {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** JVM twin of [[md5Hash60]] (top 60 bits of the md5 digest) — for
+    * driver-side precomputation of literal keys (e.g. vocabulary piece
+    * scores) that must agree with the oracle's `substr(md5(x),1,15)`.
+    */
+  def md5Hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h >>> 4
+  }
+
   /** Nearest-centroid id over a codebook — ONE [[NearestCentroid]] node
     * carrying the centroids as data, so k=256 production codebooks
     * compile where k literal structs would not. `book` must be sorted

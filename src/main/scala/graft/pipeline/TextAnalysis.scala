@@ -944,4 +944,85 @@ object TextAnalysis {
         (col("nllq").cast("double") /
           (col("n_scored").cast("double") * lit(1e6))).as("nll"))
   }
+
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) VITERBI segmentation —
+    * the third major subword family next to [[bpeEncode]] and
+    * [[wordpiece]]: each word takes the segmentation that maximizes its
+    * total piece score under a fixed scored vocabulary, found by exact
+    * DP over character positions (not greedy longest-match).
+    *
+    * Determinism contract (oracle-replayable): piece scores are pure
+    * integers derived from the piece itself —
+    * `500·len(p) + (md5h60(p) mod 400)` for vocabulary pieces, 100 for
+    * the implicit single-character fallback (every 1-char string is a
+    * piece, so any word segments) — and the DP maximizes the ADDITIVE
+    * key `128·score − n_pieces`, which encodes the (max score, then
+    * fewest pieces) tie-break in one integer: per-position argmax over
+    * this key is a plain integer comparison both engines replay exactly
+    * (n_pieces ≤ word length < 128, so the decomposition
+    * `n = (128 − key mod 128) mod 128` is lossless).
+    *
+    * 100 TB shape: the scored vocabulary rides the closure (real vocabs
+    * are ~1 MB), the DP is per-word JVM work behind a per-partition
+    * word cache (cost ∝ partition vocabulary, not token stream — the
+    * [[bpeEncode]] plumbing), and nothing shuffles but the final
+    * per-doc rows.
+    */
+  def unigramEncode(docs: DataFrame, vocab: Seq[String], maxLen: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocab.forall(p => p.length >= 2 && p.length <= maxLen),
+      "vocab pieces must be 2..maxLen chars (singles are implicit)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // driver-precomputed additive keys: key(p) = 128·score(p) − 1
+    val pieceKey: Map[String, Long] = vocab.map { p =>
+      val score = 500L * p.length +
+        graft.functions.GraftFunctions.md5Hash60Jvm(p) % 400L
+      p -> (score * 128L - 1L)
+    }.toMap
+    val singleKey = 100L * 128L - 1L
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Long]
+        def wordKey(w: String): Long = cache.getOrElseUpdate(w, {
+          val n = w.length
+          val bs = new Array[Long](n + 1)
+          var j = 1
+          while (j <= n) {
+            var best = bs(j - 1) + singleKey
+            var l = 2
+            while (l <= maxLen && l <= j) {
+              pieceKey.get(w.substring(j - l, j)) match {
+                case Some(k) =>
+                  val c = bs(j - l) + k
+                  if (c > best) best = c
+                case scala.None => ()
+              }
+              l += 1
+            }
+            bs(j) = best
+            j += 1
+          }
+          bs(n)
+        })
+        it.map { case (id, text) =>
+          var words = 0L
+          var pieces = 0L
+          var score = 0L
+          text.split(" ", -1).foreach { w =>
+            if (w.nonEmpty) {
+              words += 1
+              val k = wordKey(w)
+              val np = ((128L - k % 128L) % 128L)
+              pieces += np
+              score += (k + np) / 128L
+            }
+          }
+          (id, words, pieces, score)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "score")
+  }
 }

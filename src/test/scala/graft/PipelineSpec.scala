@@ -1596,6 +1596,55 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("unigram Viterbi ≡ brute-force best segmentation; beats greedy") {
+    import graft.functions.GraftFunctions.md5Hash60Jvm
+    val vocab = PipelineQueries.UnigramVocab
+    val keyOf: Map[String, Long] = vocab.map { p =>
+      p -> ((500L * p.length + md5Hash60Jvm(p) % 400L) * 128L - 1L)
+    }.toMap
+    val single = 100L * 128L - 1L
+    // exhaustive enumeration of every segmentation into vocab pieces +
+    // single chars, maximizing the same additive key
+    def brute(w: String): Long = {
+      if (w.isEmpty) 0L
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val piece = w.substring(0, l)
+        val k = if (l == 1) Some(single) else keyOf.get(piece)
+        k.map(_ + brute(w.substring(l)))
+      }.max
+    }
+    val words = Seq("window", "customer", "filter", "stream", "xyzq",
+      "scan", "a", "aggregate", "partition", "query")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEncode(df, vocab)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    words.zipWithIndex.foreach { case (w, i) =>
+      val k = brute(w)
+      val np = (128L - k % 128L) % 128L
+      val sc = (k + np) / 128L
+      val (_, gw, gp, gs) = got(i)
+      assert(gw === 1L, s"word $w")
+      assert((gp, gs) === ((np, sc)), s"word $w: DP != brute force")
+    }
+    // Viterbi genuinely differs from greedy longest-match on this
+    // vocab: on "query" greedy commits to 'q'+"ue" and strands "ry" as
+    // singles, while the DP looks ahead to the better 'q'+'u'+"er"+'y'
+    // split — the case that proves this is exact DP, not longest-match
+    def greedy(w: String): Long = {
+      var i = 0; var k = 0L
+      while (i < w.length) {
+        val l = (math.min(4, w.length - i) to 2 by -1)
+          .find(ll => keyOf.contains(w.substring(i, i + ll))).getOrElse(1)
+        k += (if (l == 1) single else keyOf(w.substring(i, i + l)))
+        i += l
+      }
+      k
+    }
+    assert(greedy("query") != brute("query"),
+      "the pinned look-ahead case must separate greedy from Viterbi")
+  }
+
   test("mm resize: nearest-neighbor index map is exact") {
     import graft.pipeline.Multimodal
     val df = Seq((1L, (0 until 64).toArray)).toDF("id", "px")
