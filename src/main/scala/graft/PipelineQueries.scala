@@ -1157,6 +1157,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // unigram-LM vocabulary TRAINING: top-48 corpus substrings by
+    // word-frequency weight, integer bit-length scores — the trained
+    // artifact (like pl_bpe_train's merge table); the substring
+    // explosion runs on the DISTINCT-WORD relation, so training cost
+    // rides the vocabulary-sized aggregate, never the token stream
+    "pl_unigram_train" -> { (s, dir) =>
+      TextAnalysis.unigramTrain(docs(s, dir), k = 48)
+        .orderBy("rank")
+    },
+
     // character-entropy quality signal (gibberish low / encoded-blob
     // high); nano-nat integer terms summed order-free, bits derived at
     // the end — cross-engine-deterministic by construction
@@ -4008,6 +4018,31 @@ ORDER BY qid, nid"""
          |FROM t LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
 
+    // unigram-train oracle: distinct 2..4-char substrings PER WORD TYPE
+    // (list_distinct, one count per word type × its instance count),
+    // top-48 by (weight DESC, piece ASC), integer bit-length scores
+    // (bin() digit count = Spark's conv(weight,10,2) length)
+    val unigramTrainSql =
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |fw AS (SELECT unnest(ws) AS w FROM t),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+        |       FROM fw WHERE w != '' GROUP BY w),
+        |subs AS (
+        |  SELECT wcnt, unnest(list_distinct(flatten(
+        |    list_transform(range(2, 5), l ->
+        |      list_transform(range(1, length(w) - l + 2),
+        |        i -> substr(w, i, CAST(l AS INTEGER))))))) AS p
+        |  FROM wc),
+        |pw AS (SELECT p, CAST(sum(wcnt) AS BIGINT) AS weight
+        |       FROM subs GROUP BY p),
+        |rk AS (SELECT p, weight,
+        |         row_number() OVER (ORDER BY weight DESC, p) AS rank
+        |       FROM pw)
+        |SELECT CAST(rank AS BIGINT) AS rank, p AS piece, weight,
+        |       CAST(200 * length(p) + 32 * length(bin(weight)) AS BIGINT)
+        |         AS score
+        |FROM rk WHERE rank <= 48 ORDER BY rank""".stripMargin
+
     // per-char -p·ln(p) terms quantized to integer nano-nats before the
     // sum (order-free), bits derived from the summed integer — mirrors
     // the Spark gate exactly
@@ -4637,6 +4672,7 @@ FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
       "pl_lr_train" -> lrTrain,
       "pl_wordpiece" -> wordpieceSql,
       "pl_unigram_encode" -> unigramEncodeSql,
+      "pl_unigram_train" -> unigramTrainSql,
       "pl_bpe_train" -> bpeTrainSql,
       "pl_bpe" -> bpeSql,
       "pl_tok_fertility" -> tokFertility,

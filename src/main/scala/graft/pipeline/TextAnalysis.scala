@@ -968,6 +968,56 @@ object TextAnalysis {
     * [[bpeEncode]] plumbing), and nothing shuffles but the final
     * per-doc rows.
     */
+  /** Unigram-LM vocabulary TRAINING (the SentencePiece seed+prune shape,
+    * reduced to its deterministic core): candidate pieces are every
+    * distinct 2..maxLen-char substring of each corpus word, weighted by
+    * the word's instance count (word-level document frequency — a piece
+    * counts once per word type, times how often the word occurs); the
+    * vocabulary is the top `k` pieces by (weight DESC, piece ASC), each
+    * scored `200·len + 32·bits(weight)` (bits = binary digit count, the
+    * exact-integer log₂ surrogate — cross-engine, no float log).
+    *
+    * Scale shape: the only corpus pass is the word-count aggregate; the
+    * substring explosion runs on the DISTINCT-WORD relation (the
+    * vocabulary, Zipf-bounded), and the trained table is k rows —
+    * exactly the [[bpeTrain]] contract (training cost rides the
+    * vocabulary-sized aggregate, never the token stream).
+    */
+  def unigramTrain(docs: DataFrame, k: Int = 48, maxLen: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .as[(String, Long)]
+    val pieces = wc.flatMap { case (w, cnt) =>
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var l = 2
+      while (l <= maxLen) {
+        var i = 0
+        while (i + l <= w.length) {
+          val s = w.substring(i, i + l)
+          if (seen.add(s)) out += ((s, cnt))
+          i += 1
+        }
+        l += 1
+      }
+      out
+    }.toDF("p", "cnt")
+    val ranked = pieces.groupBy("p").agg(sum(col("cnt")).as("weight"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("p"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("rank").cast("long").as("rank"), col("p").as("piece"),
+      col("weight"),
+      (lit(200L) * length(col("p")) +
+        lit(32L) * length(conv(col("weight"), 10, 2))).cast("long")
+        .as("score"))
+  }
+
   def unigramEncode(docs: DataFrame, vocab: Seq[String], maxLen: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(vocab.forall(p => p.length >= 2 && p.length <= maxLen),

@@ -1645,6 +1645,27 @@ class PipelineSpec extends SparkSpec {
       "the pinned look-ahead case must separate greedy from Viterbi")
   }
 
+  test("unigram train: top-k substrings, monotone weights, feeds encode") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val trained = TextAnalysis.unigramTrain(d, k = 20)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(trained.length === 20)
+    assert(trained.forall { case (_, p, _, _) =>
+      p.length >= 2 && p.length <= 4 })
+    val ws = trained.map(_._3)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+      "weights must be non-increasing by rank")
+    // the exact-integer log2 surrogate: score = 200·len + 32·bits(weight)
+    trained.foreach { case (_, p, w, s) =>
+      assert(s === 200L * p.length +
+        32L * java.lang.Long.toBinaryString(w).length, s"piece $p")
+    }
+    // closing the loop: the trained vocabulary drives the Viterbi encoder
+    val enc = TextAnalysis.unigramEncode(d, trained.map(_._2).toSeq)
+      .agg(sum($"n_pieces")).as[Long].head()
+    assert(enc > 0L)
+  }
+
   test("mm resize: nearest-neighbor index map is exact") {
     import graft.pipeline.Multimodal
     val df = Seq((1L, (0 until 64).toArray)).toDF("id", "px")

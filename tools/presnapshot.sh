@@ -7,7 +7,7 @@
 #   tools/presnapshot.sh                 # compile only (fast gate)
 #   tools/presnapshot.sh q_gini pl_mm    # compile + targeted verify of
 #                                        #   the named gate substrings
-#   tools/presnapshot.sh --full          # compile + full 226-gate verify
+#   tools/presnapshot.sh --full          # compile + full 227-gate verify
 #
 # Exit 0 = safe to snapshot. Any non-zero = DO NOT COMMIT.
 set -euo pipefail
