@@ -69,7 +69,12 @@ object StreamJoin {
     */
   case class AsofRow(side: Int, ts: Long, payload: String)
   case class AsofState(rows: Seq[AsofRow])
-  private case class AsofOutRaw(ts: Long, payload: String,
+  // NOT private: whole-stage codegen generates Java that reads this
+  // class's accessors, and janino cannot resolve methods on a
+  // private nested class — every micro-batch then logs an ERROR and
+  // falls back to interpreted expression evaluation (correct but
+  // slower, and the fallback spams the driver log once per stage)
+  case class AsofOutRaw(ts: Long, payload: String,
       asofTs: Option[Long], rpayload: Option[String])
 
   /** Streaming AS-OF enrichment — Spark has no native stream-stream
