@@ -97,6 +97,13 @@ object Bench {
     // second-chance children for escalations whose first child still
     // reads >2× the committed floor (bounded — each retry is ~10 s)
     var retriesLeft = 40
+    // spread-ONLY escalations (median fine, samples noisy) stay capped:
+    // on a noisy host every sub-10 s gate can spread >2× from ambient
+    // jitter alone, and uncapped that buys ~227 children (~38 min) with
+    // no contamination evidence. 30 slots covers every observed real
+    // case; the overExpected trigger — the one with a floor violation
+    // to explain — remains uncapped (the r11 lesson).
+    var spreadBudget = 30
     val toEscalate = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = picked.map { case (name, fn) =>
       // let the ContextCleaner reclaim the previous queries' shuffle
@@ -190,36 +197,82 @@ object Bench {
       val overExpected = expected.get(name)
         .exists(e => median > 2.0 * math.max(e, 0.2))
       val stillSpread = spreadOf(times) > 2.0 && median < 10.0
-      if (args.isEmpty && (overExpected || stillSpread)) toEscalate += name
+      val spreadOnly = stillSpread && !overExpected
+      if (args.isEmpty && (overExpected || (spreadOnly && spreadBudget > 0))) {
+        if (spreadOnly) spreadBudget -= 1
+        toEscalate += name
+      }
       name -> median
     }
     // free the sweep JVM's executors/heap BEFORE the ground-truth
     // children run — they need the machine to themselves
     spark.stop()
+    // CANARY-GATED slots: a ground-truth child is only trustworthy on an
+    // idle host, and the r12 record shipped two rows at 2.7×/4.5× floor
+    // because their children themselves ran contended (the same record's
+    // q_series_outlier child read 4.11 s for a 0.33 s gate — 12×
+    // inflation INSIDE the escalation path). Before each child slot, a
+    // known-cheap gate runs in its own child; if IT reads >2× its
+    // committed floor the host is busy — sleep and re-probe rather than
+    // burn the measurement. A clean canary (or any clean gate child)
+    // vouches for the next 60 s of slots so consecutive escalations
+    // don't each pay a ~10 s probe.
+    val canary: Option[(String, Double)] =
+      expected.filter(_._2 >= 0.15).minByOption(_._2)
+    var lastIdleNanos = 0L
+    def slotVouched(): Unit = lastIdleNanos = System.nanoTime()
+    def awaitIdleSlot(): Unit = canary.foreach { case (cn, cf) =>
+      if (lastIdleNanos > 0 &&
+          System.nanoTime() - lastIdleNanos < 60e9.toLong) return
+      val cFloor = 2.0 * math.max(cf, 0.2)
+      var tries = 0
+      var clean = false
+      while (!clean && tries < 4) {
+        val c = runChild(cn)
+        clean = c < 0 || c <= cFloor // a canary CRASH must not deadlock
+        if (!clean) {
+          System.err.println(
+            s"[bench-canary] $cn read $c vs floor $cf — host busy, backing off")
+          Thread.sleep(15000)
+        }
+        tries += 1
+      }
+      // after 4 busy probes proceed anyway: min(in-sweep, children)
+      // still bounds the damage, and stalling forever helps nobody
+      slotVouched()
+    }
     val finalResults = results.map { case (name, median) =>
       if (!toEscalate.contains(name)) name -> median
       else {
+        val floor = expected.get(name).map(e => math.max(e, 0.2))
+        def cleanEnough(v: Double): Boolean =
+          v > 0 && floor.forall(f => v <= 2.0 * f)
+        awaitIdleSlot()
         val iso = runChild(name)
-        // SECOND-CHANCE child: a child JVM can itself land in a busy
+        if (cleanEnough(iso)) slotVouched()
+        // SECOND-CHANCE children: a child JVM can itself land in a busy
         // window on a loaded machine (r8 driver record: children agreed
         // with 4-5× inflated in-sweep medians that targeted reruns put
-        // at 1.4-2.1 s). When the first child is still >2× the
-        // committed floor, one more child — a few seconds — buys the
-        // record a second independent shot at an idle window.
-        val floor = expected.get(name).map(e => math.max(e, 0.2))
-        val iso2 =
-          if (iso > 0 && floor.exists(f => iso > 2.0 * f) && retriesLeft > 0) {
-            retriesLeft -= 1
-            runChild(name)
-          } else -1.0
+        // at 1.4-2.1 s). While the best child is still >2× the committed
+        // floor, up to two more children — a few seconds each — buy the
+        // record independent shots at an idle window.
+        val retries = scala.collection.mutable.ArrayBuffer.empty[Double]
+        while (retries.size < 2 && retriesLeft > 0 &&
+               !(Seq(iso) ++ retries).exists(cleanEnough)) {
+          retriesLeft -= 1
+          awaitIdleSlot()
+          val r = runChild(name)
+          if (cleanEnough(r)) slotVouched()
+          retries += r
+        }
         System.err.println(
           s"[bench-escalate] $name in-sweep $median -> isolated $iso" +
-            (if (iso2 > 0) s" / retry $iso2" else ""))
+            (if (retries.nonEmpty) retries.mkString(" / retry ", ",", "") else ""))
         // record the SMALLEST attested measurement: contamination only
         // ever inflates, and each carries its own inflation source —
         // shared-JVM cache/GC wake here, cold-JIT ramp or a busy
         // machine in the children — so min() is the best attested cost
-        val candidates = Seq(median, iso, iso2).filter(_ > 0)
+        val candidates = (Seq(median, iso) ++ retries).filter(_ > 0)
         name -> candidates.min
       }
     }

@@ -945,29 +945,6 @@ object TextAnalysis {
           (col("n_scored").cast("double") * lit(1e6))).as("nll"))
   }
 
-  /** Unigram-LM (SentencePiece-style, Kudo 2018) VITERBI segmentation —
-    * the third major subword family next to [[bpeEncode]] and
-    * [[wordpiece]]: each word takes the segmentation that maximizes its
-    * total piece score under a fixed scored vocabulary, found by exact
-    * DP over character positions (not greedy longest-match).
-    *
-    * Determinism contract (oracle-replayable): piece scores are pure
-    * integers derived from the piece itself —
-    * `500·len(p) + (md5h60(p) mod 400)` for vocabulary pieces, 100 for
-    * the implicit single-character fallback (every 1-char string is a
-    * piece, so any word segments) — and the DP maximizes the ADDITIVE
-    * key `128·score − n_pieces`, which encodes the (max score, then
-    * fewest pieces) tie-break in one integer: per-position argmax over
-    * this key is a plain integer comparison both engines replay exactly
-    * (n_pieces ≤ word length < 128, so the decomposition
-    * `n = (128 − key mod 128) mod 128` is lossless).
-    *
-    * 100 TB shape: the scored vocabulary rides the closure (real vocabs
-    * are ~1 MB), the DP is per-word JVM work behind a per-partition
-    * word cache (cost ∝ partition vocabulary, not token stream — the
-    * [[bpeEncode]] plumbing), and nothing shuffles but the final
-    * per-doc rows.
-    */
   /** Unigram-LM vocabulary TRAINING (the SentencePiece seed+prune shape,
     * reduced to its deterministic core): candidate pieces are every
     * distinct 2..maxLen-char substring of each corpus word, weighted by
@@ -1018,6 +995,29 @@ object TextAnalysis {
         .as("score"))
   }
 
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) VITERBI segmentation —
+    * the third major subword family next to [[bpeEncode]] and
+    * [[wordpiece]]: each word takes the segmentation that maximizes its
+    * total piece score under a fixed scored vocabulary, found by exact
+    * DP over character positions (not greedy longest-match).
+    *
+    * Determinism contract (oracle-replayable): piece scores are pure
+    * integers derived from the piece itself —
+    * `500·len(p) + (md5h60(p) mod 400)` for vocabulary pieces, 100 for
+    * the implicit single-character fallback (every 1-char string is a
+    * piece, so any word segments) — and the DP maximizes the ADDITIVE
+    * key `128·score − n_pieces`, which encodes the (max score, then
+    * fewest pieces) tie-break in one integer: per-position argmax over
+    * this key is a plain integer comparison both engines replay exactly
+    * (n_pieces ≤ word length < 128, so the decomposition
+    * `n = (128 − key mod 128) mod 128` is lossless).
+    *
+    * 100 TB shape: the scored vocabulary rides the closure (real vocabs
+    * are ~1 MB), the DP is per-word JVM work behind a per-partition
+    * word cache (cost ∝ partition vocabulary, not token stream — the
+    * [[bpeEncode]] plumbing), and nothing shuffles but the final
+    * per-doc rows.
+    */
   def unigramEncode(docs: DataFrame, vocab: Seq[String], maxLen: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(vocab.forall(p => p.length >= 2 && p.length <= maxLen),

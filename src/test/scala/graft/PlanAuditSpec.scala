@@ -435,22 +435,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  /** Corpus-row identities: an aggregate KEYED on one of these has one
-    * group per document/vector, i.e. corpus cardinality — the one
-    * aggregate shape that is NOT compressive.
+  /** Grouping key SETS whose group count is fixed by CONSTRUCTION, not
+    * by data scale — each entry is the exact key-name set of one audited
+    * build-side aggregate: cluster/centroid ids (k of them), PQ
+    * subspace/code indices (m×k), source×value-grid histograms (source
+    * enum × bounded value domain). An aggregate keyed on one of these
+    * is compressive no matter what it reads. Every OTHER keyed
+    * aggregate must prove boundedness through its CHILD — mere absence
+    * of row-identity names is not proof (a doc_id aliased to `d`, or a
+    * data-cardinality key like a gram hash, would otherwise slip by).
     */
-  private val rowIdentityNames =
-    Set("doc_id", "vec_id", "id", "nid", "qid", "id1", "id2")
+  private val compressiveKeySets: Set[Set[String]] = Set(
+    Set("source"),     // distinct sources (an enum, not corpus rows)
+    Set("source", "v") // per-source length-grid histograms (KS/χ²/KL)
+  )
 
   private def boundedRows(p: SparkPlan): Boolean = p match {
-    // any aggregate NOT keyed on a row identity is compressive: its row
-    // count is the key-grid cardinality (dimension values, length grids,
-    // cluster/band ids), which is data-scale-independent by construction
-    // in every gate. Grouping-free = exactly 1 row.
-    case a: BaseAggregateExec
-        if !a.groupingExpressions.exists(g =>
-          g.references.exists(r => rowIdentityNames(r.name)) ||
-            rowIdentityNames(g.name)) => true
+    // grouping-free aggregate = exactly 1 row; keyed aggregates are
+    // bounded only via the explicit compressive key-set whitelist or a
+    // bounded input (one group per input row is the worst case, so a
+    // bounded child bounds the aggregate regardless of keys)
+    case a: BaseAggregateExec =>
+      val keys = a.groupingExpressions
+      keys.isEmpty ||
+        compressiveKeySets.contains(
+          keys.flatMap(g => g.references.map(_.name).toSet + g.name).toSet) ||
+        planKids(a).forall(boundedRows)
     case f: org.apache.spark.sql.execution.FilterExec
         if literallyIdBounded(f.condition) => true
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
