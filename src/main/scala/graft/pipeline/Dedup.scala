@@ -37,15 +37,18 @@ object Dedup {
     * FIRST occurrence of each distinct span (smallest (doc_id, position)),
     * and reassemble the surviving spans in document order.
     *
-    * Scale shape: one shuffle keyed by the span digest (the row_number
-    * window — first-occurrence choice must see all copies of a span), one
-    * shuffle keyed by doc id to reassemble. Span text never shuffles
-    * twice: the reassembly carries (id, pos, span) only for KEPT spans.
-    * Hot spans (boilerplate repeated millions of times) are exactly the
-    * rows this drops, so the digest key's skew is bounded by the window's
-    * rank-1 cutoff — at 100 TB swap row_number for a min_by(struct(id,
-    * pos)) aggregation + re-join if a single span's copies exceed one
-    * task's spill budget.
+    * Scale shape: span TEXT never shuffles. The first-occurrence choice
+    * reduces each span to its 8-byte xxhash64 and runs as a
+    * min(struct(id, pos)) aggregation keyed on that hash — map-side
+    * combined, so a hot span (boilerplate repeated millions of times)
+    * collapses to one candidate per map task before the exchange ever
+    * sees it (the row_number-window formulation this replaced shuffled
+    * the raw sentence string as the key AND funneled every copy of a hot
+    * span into one task). Winners fold to per-doc kept-position lists
+    * (second keyed agg, again 8-byte keys), and ONE id-keyed join back
+    * to the input reassembles each document per-row from its own split —
+    * hash collisions (~|spans|²/2⁶⁴) merge two distinct spans and cost a
+    * span wrongly dropped, the [[dupWindowStats]] trade.
     *
     * Returns (doc_id, clean_text, n_spans, n_dropped); documents whose
     * every span was seen earlier come back with empty clean_text rather
@@ -53,22 +56,37 @@ object Dedup {
     */
   def spanDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sep: String = "\\. ", joiner: String = ". "): DataFrame = {
+    val arr = split(col(textCol), sep)
+    // (h, id, pos): one row per non-empty span, text reduced to its hash
+    // BEFORE anything shuffles; pos indexes the full split array so the
+    // reassembly can address spans without re-deriving the filter
     val spans = docs
       .select(col(idCol).cast("long").as("id"),
-        posexplode(split(col(textCol), sep)).as(Seq("pos", "span")))
+        posexplode(arr).as(Seq("pos", "span")))
       .filter(length(col("span")) > 0)
-    val firstW = Window.partitionBy(col("span")).orderBy(col("id"), col("pos"))
-    val kept = spans
-      .withColumn("rn", row_number().over(firstW))
-      .withColumn("keep", col("rn") === 1)
-    kept.groupBy(col("id"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("span"))))),
-          s => s("span")), joiner).as("clean_text"),
-        count(lit(1)).as("n_spans"),
-        count(when(!col("keep"), lit(1))).as("n_dropped"))
-      .select(col("id").as(idCol), col("clean_text"), col("n_spans"), col("n_dropped"))
+      .select(xxhash64(col("span")).as("h"), col("id"), col("pos"))
+    // globally first occurrence per distinct span: min over (id, pos)
+    val winners = spans.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"))
+    // per-doc kept positions, ascending (document order)
+    val keepPos = winners.groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("keeps"))
+    docs
+      .select(col(idCol).cast("long").as("id"), arr.as("sp_"))
+      .withColumn("n_spans",
+        size(filter(col("sp_"), s => length(s) > 0)).cast("long"))
+      .filter(col("n_spans") > 0) // no spans ⇒ absent, as before
+      .join(keepPos, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        when(col("keeps").isNull, lit(""))
+          .otherwise(array_join(transform(col("keeps"),
+            p => element_at(col("sp_"), p + 1)), joiner)).as("clean_text"),
+        col("n_spans"),
+        (col("n_spans") -
+          when(col("keeps").isNull, lit(0)).otherwise(size(col("keeps"))))
+          .cast("long").as("n_dropped"))
   }
 
   /** Window-level duplication profile — the fixed-window flavor of
