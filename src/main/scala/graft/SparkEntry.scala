@@ -114,16 +114,23 @@ object SparkEntry {
     * each is followed by processAllAvailable.
     */
   private def runReplay(s: SparkSession, out: DataFrame, qn: String,
-      outputMode: String = "append")(
+      outputMode: String = "append", partitions: Int = 1,
+      extraConfs: Map[String, String] = Map.empty)(
       batches: () => Seq[() => Unit]): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get(
       "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val prevExtra = extraConfs.keys
+      .map(k => k -> s.conf.getOption(k)).toMap
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckpt = if (java.nio.file.Files.isWritable(shm))
       java.nio.file.Files.createTempDirectory(shm, "graft_replay_ckpt")
     else java.nio.file.Files.createTempDirectory("graft_replay_ckpt")
-    s.conf.set("spark.sql.shuffle.partitions", "1")
+    // 1 partition is the measured default (per-batch fixed cost dominates
+    // the small-state replays); heavy keyed-state gates override it so
+    // state-store work parallelizes (q_sessionize_stream's A/B, r13)
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    extraConfs.foreach { case (k, v) => s.conf.set(k, v) }
     // every processAllAvailable otherwise appends a NO-DATA micro-batch
     // for watermark bookkeeping — doubling the per-batch fixed cost of a
     // bounded replay. The replays don't need them: joins emit on data,
@@ -140,6 +147,10 @@ object SparkEntry {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      prevExtra.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.list(p).forEach(rm(_))
@@ -844,7 +855,15 @@ object SparkEntry {
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"))
         val qn = s"q_sessionize_stream_${streamGateSeq.incrementAndGet()}"
-        runReplay(s, st, qn) { () =>
+        // 8 state partitions: this is the one replay whose keyed state is
+        // corpus-sized (every user's open sessions), so the session-merge
+        // sort + state-store work must parallelize — the r13 sf1 A/B read
+        // 23.6 s (1 part) / 15.2 (4) / 11.5 (8) / 11.9 (16), and sf0.1
+        // agrees (3.8 → 3.3 s). RocksDB provider (13.5 s) and map-side
+        // session merge (12.5 s) were both A/B'd on top of 8 and REJECTED
+        // — at this state size the default in-memory provider wins and
+        // the local merge just pays an extra per-batch sort.
+        runReplay(s, st, qn, partitions = 8) { () =>
           // time-ordered halves: batch 2 is never late vs batch 1's
           // watermark, but sessions STRADDLING the cut exercise the
           // open-state merge
