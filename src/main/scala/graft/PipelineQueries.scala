@@ -418,6 +418,52 @@ object PipelineQueries {
       out
     },
 
+    // END-TO-END curation composition — the full training-data pipeline
+    // as ONE lazy plan, priced and oracle-gated as a whole (each stage
+    // is individually gated elsewhere; nothing else prices cross-stage
+    // plan bloat like a lost ReuseExchange between stages):
+    //   C4/Gopher filter chain (incl. exact dedup as its first rule)
+    //   → MinHash-LSH near-dedup (drop the larger id of every verified
+    //     pair ≥ 0.8)
+    //   → benchmark decontamination (eval = doc_id % 13 == 0 of the raw
+    //     corpus; eval ids leave the train set, contaminated 4-gram
+    //     sharers are dropped)
+    //   → per-source mixture replication (src0×2.5, src1×0.25)
+    //   → token-budget bin packing of the replicated stream, keyed on
+    //     unit_id = doc_id·4 + epoch (epochs < 4 by the rate map).
+    // The +10000 duplicate union gives the two dedup stages real work
+    // (the pl_filter_chain / pl_dedup_exact fixture).
+    "pl_e2e_curation" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val u = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      // the stage boundaries are persisted: surv1 feeds the LSH chain AND
+      // the anti-join, train feeds the gram stream AND the survivor
+      // anti-join — without the persists each reference re-runs the whole
+      // upstream chain (ReuseExchange does not fire across these
+      // asymmetric references — the r8 lesson; with the two persists the
+      // executed plan carries 9 real shuffles, PlanAuditSpec-budgeted)
+      val surv1 = FilterChain.c4Filter(u).filter(col("keep"))
+        .select("doc_id", "text", "source")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val drop2 = Dedup.minhashLshPairs(surv1, n = 3, threshold = 0.8)
+        .select(col("id2").as("doc_id")).distinct()
+      val train = surv1.join(drop2, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 13 =!= 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalSet = d.filter(col("doc_id") % 13 === 0)
+      val contaminated = Dedup.decontaminate(train, evalSet, n = 4)
+        .select(col("id").as("doc_id"))
+      val surv3 = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = Sampling.mixtureSample(surv3, "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.25))
+        .withColumn("unit_id", col("doc_id") * 4 + col("epoch"))
+      Sampling.packBins(mixed, "unit_id",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 512, nBuckets = 8)
+        .select(col("doc_id"), col("epoch"), col("source"), col("bucket"),
+          col("bin"))
+        .orderBy("doc_id", "epoch")
+    },
+
     // pairwise matches → dedup GROUPS: connected components over the
     // (verified) minhash pairs; cid = min reachable id = the doc to keep
     "pl_dedup_clusters" -> { (s, dir) =>
@@ -1753,18 +1799,23 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
 
   // ------------------------------------------------------------- oracles
 
-  private val tokCte =
-    "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+  private def tokCteOn(rel: String) =
+    s"tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel)"
+  private val tokCte = tokCteOn("documents")
 
-  /** Distinct 3-gram shingles per doc (mirror of Dedup.shingles n=3). */
-  private val shingleCte =
-    s"""$tokCte,
+  /** Distinct 3-gram shingles per doc (mirror of Dedup.shingles n=3),
+    * parameterized on the doc relation so composed oracles (e2e
+    * curation) can run the same chain over a survivor CTE.
+    */
+  private def shingleCteOn(rel: String) =
+    s"""${tokCteOn(rel)},
        |sh AS (
        |  SELECT DISTINCT doc_id AS id, s FROM (
        |    SELECT doc_id,
        |           unnest(list_transform(range(1, len(w) - 1),
        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
        |    FROM tok))""".stripMargin
+  private val shingleCte = shingleCteOn("documents")
 
   /** Exact-jaccard pair CTEs over relation `rel(id, s)` (→ relation
     * `pairs(id1,id2,jac)`).
@@ -4609,7 +4660,111 @@ FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
          |SELECT doc_id AS id, count(*) AS n_flagged
          |FROM hit WHERE nh = 4 GROUP BY doc_id ORDER BY id""".stripMargin
 
+    // end-to-end curation: every stage's CTE chain verbatim from its own
+    // gate's oracle, each reading the previous stage's survivor CTE
+    // (MATERIALIZED — the near-dedup chain reads surv1 three times, and
+    // DuckDB would otherwise inline the whole filter chain into each
+    // reference). Stage rules identical to pl_filter_chain,
+    // pl_dedup_minhash (drop = larger id of each verified pair),
+    // pl_decontam (n=4 vs the doc_id % 13 eval slice), pl_mixture,
+    // pl_pack — keyed here on unit_id = doc_id·4 + epoch.
+    val e2eCuration =
+      s"""WITH d AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text, source FROM documents),
+         |t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM d),
+         |${maxRunCtes("t")},
+         |feat AS (
+         |  SELECT doc_id, keep_id, len(w) AS ntok,
+         |    $dupFracSql AS dupfrac,
+         |    $qualitySql AS q,
+         |    $fcLangScores
+         |  FROM t),
+         |best AS (SELECT *, greatest($fcLangBest) AS best FROM feat),
+         |fcr AS (
+         |  SELECT feat.doc_id,
+         |    CASE WHEN feat.doc_id != keep_id THEN 'duplicate'
+         |         WHEN (CASE $fcLangCase ELSE 'und' END) != 'en' THEN 'lang'
+         |         WHEN ntok < 15 THEN 'too_short'
+         |         WHEN ntok > 95 THEN 'too_long'
+         |         WHEN dupfrac > 0.65 THEN 'repetitive_tokens'
+         |         WHEN mr.max_run > 2 THEN 'repetitive_run'
+         |         WHEN q < 0.31 THEN 'low_quality'
+         |         ELSE 'ok' END AS reason
+         |  FROM best feat JOIN mr ON feat.doc_id = mr.doc_id),
+         |surv1 AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text, d.source FROM d
+         |  JOIN fcr ON d.doc_id = fcr.doc_id WHERE fcr.reason = 'ok'),
+         |${shingleCteOn("surv1")},
+         |hs AS (SELECT id, ${h60Sql("s")} % ${Dedup.MinhashP} AS h FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM hs GROUP BY id),
+         |$bandCandCtes,
+         |${jaccardCtes()},
+         |drop2 AS (
+         |  SELECT DISTINCT p.id2 AS doc_id
+         |  FROM pairs p JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
+         |  WHERE p.jac >= 0.8),
+         |surv2 AS MATERIALIZED (
+         |  SELECT * FROM surv1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+         |    AND doc_id % 13 != 0),
+         |tg AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv2),
+         |gg AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+         |  FROM tg),
+         |evg AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    list_transform(range(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+         |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+         |        WHERE doc_id % 13 = 0)),
+         |contam AS (SELECT DISTINCT gg.doc_id FROM gg JOIN evg USING (s)),
+         |surv3 AS MATERIALIZED (
+         |  SELECT * FROM surv2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |mxr AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2.5
+         |         WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS rate,
+         |    ${bucketSql("mix")} AS b
+         |  FROM surv3),
+         |mxc AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(rate) AS BIGINT) +
+         |      (CASE WHEN b < floor((rate - floor(rate)) * 10000)
+         |            THEN 1 ELSE 0 END) AS copies
+         |  FROM mxr),
+         |mixed AS (
+         |  SELECT doc_id, source, CAST(e AS BIGINT) AS epoch FROM (
+         |    SELECT doc_id, source, unnest(range(copies)) AS e FROM mxc)),
+         |pk AS (
+         |  SELECT m.doc_id, m.epoch, m.source,
+         |         m.doc_id * 4 + m.epoch AS unit_id,
+         |         CAST(len(string_split(s3.text, ' ')) AS BIGINT) AS ntok
+         |  FROM mixed m JOIN surv3 s3 ON m.doc_id = s3.doc_id),
+         |pb AS (
+         |  SELECT *, CAST(('0x' || substr(md5(CAST(unit_id AS VARCHAR) || '_pack'), 1, 15)) AS BIGINT) % 8 AS bucket
+         |  FROM pk),
+         |pc AS (
+         |  SELECT doc_id, epoch, source, bucket,
+         |    coalesce(SUM(ntok) OVER (PARTITION BY bucket ORDER BY unit_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM pb)
+         |SELECT doc_id, epoch, source, bucket,
+         |       CAST(bucket AS VARCHAR) || '_' || CAST(cum // 512 AS VARCHAR) AS bin
+         |FROM pc ORDER BY doc_id, epoch""".stripMargin
+
     Map(
+      "pl_e2e_curation" -> e2eCuration,
       "pl_decontam_bloom" -> decontamBloom,
       "pl_hll_distinct" -> hllDistinct,
       "pl_hll_overlap" -> hllOverlap,

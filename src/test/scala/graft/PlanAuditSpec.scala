@@ -37,6 +37,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(f.exchanges <= 4)
   }
 
+  test("e2e curation: composed plan carries no cross-stage bloat") {
+    // the end-to-end composition (filter chain → LSH dedup → decontam →
+    // mixture → pack) exists exactly to price cross-operator plan bloat:
+    // a refactor that loses the stage-boundary persists (the r8
+    // asymmetric-self-join lesson — each downstream reference re-runs
+    // the whole upstream chain) shows up here as a budget breach before
+    // it shows up as an sf1 regression. Measured: 9 real shuffles with
+    // the two persists.
+    // The count walks the EXECUTED tree — each cached relation priced
+    // once, exchange reuse priced zero — because the string fingerprint
+    // re-prints every cached subtree at every scan site.
+    val (f, plan) = fp("pl_e2e_curation")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"a curation stage degenerated\n$plan")
+    assert(f.sortAggregates == 0, s"lost hash aggregation\n$plan")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("pl_e2e_curation")(spark, sf)
+    df.count()
+    val seenCaches = scala.collection.mutable.Set.empty[SparkPlan]
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case _: ReusedExchangeExec => Seq.empty // reuse: already priced
+        case c: InMemoryTableScanExec =>
+          if (seenCaches.add(c.relation.cachedPlan)) Seq(c.relation.cachedPlan)
+          else Seq.empty
+        case other => planKids(other)
+      }
+      self + kids.map(shuffles).sum
+    }
+    val n = shuffles(df.queryExecution.executedPlan)
+    assert(n <= 14,
+      s"composed curation shuffles: $n — cross-stage plan bloat (budget 14)")
+  }
+
   test("near-dup blocked join: equi-join only — no cartesian, no BNLJ") {
     val (f, plan) = fp("pl_neardup_cos")
     assert(f.nestedLoopJoins == 0,
