@@ -20,6 +20,18 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** √n sizing for the coarse structures the IVF / SemDeDup gates build
+    * (centroid subsample step, kmeans k): max(floorAt, ⌊√n⌋). A CONSTANT
+    * here makes centroid count ∝ n and assignment work ∝ n² — the r13
+    * sf10 rehearsal measured the fixed-16 gate at 59× on 10× data; √n is
+    * the IVF working point (the ivfIndex contract). floor(sqrt) over an
+    * exact integer count is IEEE-identical in Spark and DuckDB, so the
+    * oracle replays the choice with
+    * `greatest(f, CAST(floor(sqrt(count(*))) AS BIGINT))`.
+    */
+  private def sqrtSized(e: DataFrame, floorAt: Long): Int =
+    math.max(floorAt, math.floor(math.sqrt(e.count().toDouble)).toLong).toInt
+
   /** 60-bit md5 hash shared with Spark's GraftFunctions.md5Hash60. */
   private def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
@@ -888,7 +900,7 @@ object PipelineQueries {
     "pl_knn_ivf" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5,
-        centStep = 16, nProbe = 3)
+        centStep = sqrtSized(e, 16), nProbe = 3)
         .select(col("qid"), col("nid"), sround(col("cos")).as("cos"))
         .orderBy("qid", "nid")
     },
@@ -905,7 +917,7 @@ object PipelineQueries {
     "pl_ivf_index" -> { (s, dir) =>
       val e = emb(s, dir)
       val root = ivfGateRoot
-      val (cent, assigned) = Similarity.ivfIndex(e, centStep = 16)
+      val (cent, assigned) = Similarity.ivfIndex(e, centStep = sqrtSized(e, 16))
       cent.write.mode("overwrite").parquet(s"$root/centroids")
       assigned.write.mode("overwrite").parquet(s"$root/lists")
       Similarity.ivfSearch(
@@ -985,7 +997,7 @@ object PipelineQueries {
       val e = emb(s, dir)
       val qs = e.filter(col("vec_id") < 10)
       val brute = Similarity.bruteKnn(e, qs, k = 5).select(col("qid"), col("nid"))
-      val approx = Similarity.ivfKnn(e, qs, k = 5)
+      val approx = Similarity.ivfKnn(e, qs, k = 5, centStep = sqrtSized(e, 16))
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       brute.join(approx, Seq("qid", "nid"), "left")
         .groupBy("qid")
@@ -1054,7 +1066,9 @@ object PipelineQueries {
     // SemDeDup: the pl_kmeans clustering + within-cluster cosine pairs
     // ≥ 0.4 + hash-min components; cid = kept representative
     "pl_semdedup" -> { (s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), k = 8, iters = 2, threshold = 0.4)
+      val e = emb(s, dir)
+      Similarity.semanticDedup(e, k = sqrtSized(e, 8), iters = 2,
+        threshold = 0.4)
         .orderBy("id")
     },
 
@@ -3322,7 +3336,9 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 16 = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id %
+         |  (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))
+         |   FROM embeddings) = 0),
          |asg AS (
          |  SELECT nid, nv, cid FROM (
          |    SELECT a.vec_id AS nid, a.v AS nv, c.cid,
@@ -3766,7 +3782,9 @@ ORDER BY qid, nid"""
          |  SELECT qid, nid,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
          |  FROM bs),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 16 = 0),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id %
+         |  (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))
+         |   FROM embeddings) = 0),
          |asg AS (
          |  SELECT nid, nv, cid FROM (
          |    SELECT a.vec_id AS nid, a.v AS nv, c.cid,
@@ -3800,7 +3818,9 @@ ORDER BY qid, nid"""
       s"""WITH RECURSIVE e AS (
          |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id <
+         |  (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))
+         |   FROM embeddings)),
          |${kmAssign("c0", "a1")},
          |${kmUpdate("a1", "c0", "c1")},
          |${kmAssign("c1", "a2")},

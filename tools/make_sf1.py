@@ -20,7 +20,15 @@ neighborhood (which would measure a synthetic dup explosion, not scale):
 
 Other tables symlink to sf0.1 (no graft gate reads them).
 
-Usage: python3 tools/make_sf1.py [dst_dir]   (default /dev/shm/sf1)
+Usage: python3 tools/make_sf1.py [dst_dir] [shards]
+       (defaults /dev/shm/sf1, 10; the r13 sf10 rehearsal uses
+        `python3 tools/make_sf1.py /dev/shm/sf10 100`)
+
+Shard counts above the embedding dimensionality (64) reuse rotations,
+so shards s >= 64 additionally NEGATE the vector: norms and
+within-shard cosines are untouched (both sides of any within-shard
+pair flip), while a shard sharing its rotation with shard s-64 sees
+cos -> -cos, so no cross-shard exact duplicates appear.
 """
 import os
 import sys
@@ -29,7 +37,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/sf1"
-SHARDS = 10
+SHARDS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -67,10 +75,13 @@ COPY (
 con.sql(f"""
 COPY (
   SELECT e.vec_id + s.s * 1000000 AS vec_id,
-         CASE WHEN s.s = 0 THEN e.embedding
-              ELSE CAST(list_concat(e.embedding[s.s + 1:],
-                                    e.embedding[1:s.s]) AS FLOAT[])
-         END AS embedding,
+         CAST(list_transform(
+           CASE WHEN s.s % 64 = 0 THEN e.embedding
+                ELSE CAST(list_concat(e.embedding[s.s % 64 + 1:],
+                                      e.embedding[1:s.s % 64]) AS FLOAT[])
+           END,
+           x -> x * (CASE WHEN s.s >= 64 THEN -1 ELSE 1 END)) AS FLOAT[])
+           AS embedding,
          e.label
   FROM '{SRC}/embeddings.parquet' e,
        (SELECT unnest(range({SHARDS})) AS s) s
