@@ -1449,7 +1449,9 @@ object PipelineQueries {
       // this gate's dominant cost (14.4 of 18.4 s at sf1)
       val t = Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8)
         .select(col("id1"), col("id2"), lit(1L).as("in_t"))
-      val p = Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
+      // same AUTO-radius detector pl_neardup_edit verifies, so this
+      // gate RECORDS the recall cost of each scale's tightened radius
+      val p = Dedup.simhashPairsAuto(docs(s, dir))
         .select(col("id1"), col("id2"), lit(1L).as("in_p"))
       t.join(p, Seq("id1", "id2"), "full_outer")
         .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
@@ -1548,8 +1550,14 @@ object PipelineQueries {
     // only on candidate pairs, all-integer output
     "pl_neardup_edit" -> { (s, dir) =>
       val d = docs(s, dir)
-      val cand = Dedup.simhashPairs(d, nBits = 60, maxHamming = 3)
-        .select(col("id1"), col("id2"))
+      // AUTO-radius signature pass (r13): at a fixed 60-bit budget the
+      // radius-3 candidate set grows birthday-rate (verified pairs 17.4×
+      // on 10× docs, SCALING.md), and the Levenshtein DP downstream pays
+      // for every one — the probe tightens the Hamming radius when the
+      // measured chunk-bucket collision mass exceeds 64 candidates/doc,
+      // so verify cost tracks docs, not pairs. Recall cost is priced by
+      // pl_neardup_eval under the same detector.
+      val cand = Dedup.simhashPairsAuto(d).select(col("id1"), col("id2"))
       Dedup.editVerify(d, cand).orderBy("id1", "id2")
     },
 
@@ -2908,6 +2916,46 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
 
+    // ADAPTIVE-radius simhash chain (pl_neardup_edit / pl_neardup_eval):
+    // replays Dedup.simhashPairsAuto's measured candidates-per-doc probe
+    // — Σ C(bucket,2) at 4- then 3-way chunking, first within 64·n wins,
+    // else 2-way — all-integer, so the SQL choice is bit-identical to
+    // the gate's. `sim` is MATERIALIZED: the probe + chunk CTEs scan it
+    // four times and DuckDB would otherwise re-expand the token-vote
+    // pipeline per scan.
+    val simhashAutoCtes = {
+      val simBody = simhashCtes.substring(0,
+        simhashCtes.indexOf(",\nck AS MATERIALIZED"))
+        .replace("sim AS (", "sim AS MATERIALIZED (")
+      s"""$simBody,
+         |smm4 AS (SELECT CAST(coalesce(sum((b * (b - 1)) // 2), 0) AS BIGINT) AS m
+         |  FROM (SELECT count(*) AS b
+         |        FROM sim, (VALUES (0), (1), (2), (3)) cs(i)
+         |        GROUP BY cs.i, (simhash >> (cs.i * 15)) & 32767)),
+         |smm3 AS (SELECT CAST(coalesce(sum((b * (b - 1)) // 2), 0) AS BIGINT) AS m
+         |  FROM (SELECT count(*) AS b
+         |        FROM sim, (VALUES (0), (1), (2)) cs(i)
+         |        GROUP BY cs.i, (simhash >> (cs.i * 20)) & 1048575)),
+         |smn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sim),
+         |cprm AS (SELECT CASE WHEN smm4.m <= 64 * smn.n THEN 4
+         |                     WHEN smm3.m <= 64 * smn.n THEN 3
+         |                     ELSE 2 END AS c
+         |         FROM smm4, smm3, smn),
+         |ck AS MATERIALIZED (
+         |  SELECT id, simhash, cs.i AS c,
+         |    (simhash >> (cs.i * (60 // p.c)))
+         |      & ((CAST(1 AS BIGINT) << (60 // p.c)) - 1) AS v
+         |  FROM sim, cprm p, (VALUES (0), (1), (2), (3)) cs(i)
+         |  WHERE cs.i < p.c),
+         |okc AS (
+         |  SELECT c, v FROM ck GROUP BY c, v HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id1, b.id AS id2,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+         |  JOIN okc o ON a.c = o.c AND a.v = o.v)""".stripMargin
+    }
+
     // ARI oracle: BOTH detector chains in one recursive WITH — the
     // minhash/jaccard chain keeps clustersCtes's names, the simhash
     // chain is the shared CTE text with _s2-namespaced names, then the
@@ -2959,8 +3007,9 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
       s"""WITH $shingleCte,
          |${jaccardCtes()},
          |truth AS (SELECT id1, id2 FROM pairs WHERE jac >= 0.8),
-         |$simhashCtes,
-         |pred AS (SELECT id1, id2 FROM cand WHERE hamming <= 3),
+         |$simhashAutoCtes,
+         |pred AS (SELECT id1, id2 FROM cand
+         |         WHERE hamming <= (SELECT c - 1 FROM cprm)),
          |j AS (
          |  SELECT CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_t,
          |         CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END AS in_p
@@ -2982,8 +3031,9 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     // chain, then DuckDB's builtin levenshtein on the reattached texts —
     // integer similarity, no float rule needed
     val neardupEdit =
-      s"""WITH $simhashCtes,
-         |p AS (SELECT id1, id2 FROM cand WHERE hamming <= 3),
+      s"""WITH $simhashAutoCtes,
+         |p AS (SELECT id1, id2 FROM cand
+         |      WHERE hamming <= (SELECT c - 1 FROM cprm)),
          |v AS (
          |  SELECT p.id1, p.id2,
          |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,

@@ -1109,9 +1109,14 @@ object Dedup {
     // for exactly the same reason)
     val sh = simhash(docs, nBits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunks = maxHamming + 1
+    pairsFromSimhash(sh, nBits, maxHamming, maxBucket)
+  }
+
+  /** (id, simhash) → one row per pigeonhole chunk: (id, simhash, c, v). */
+  private def simhashChunked(sh: DataFrame, nBits: Int,
+      chunks: Int): DataFrame = {
     val width = nBits / chunks
-    val chunked0 = sh.select(
+    sh.select(
       col("id"), col("simhash"),
       explode(array((0 until chunks).map(c =>
         struct(
@@ -1119,6 +1124,14 @@ object Dedup {
           shiftright(col("simhash"), c * width)
             .bitwiseAND((1L << width) - 1).as("v"))): _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
+  }
+
+  /** Chunk-bucket candidate join over a pre-persisted (id, simhash)
+    * relation; unpersists `sh` once the pair set is materialized.
+    */
+  private def pairsFromSimhash(sh: DataFrame, nBits: Int, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val chunked0 = simhashChunked(sh, nBits, maxHamming + 1)
     // bucket-size guard: semi-join on the same (c, v) key the candidate
     // join shuffles on, so it rides the exchange that join needs anyway
     val chunked =
@@ -1138,6 +1151,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
     materializeAndRelease(pairs, sh)
+  }
+
+  /** SimHash near-dup pairs with a MEASURED candidates-per-doc probe
+    * choosing the verification radius — the 100 TB knob for the
+    * fixed-radius [[simhashPairs]].
+    *
+    * At a fixed 60-bit budget the chunk width is 60/(maxHamming+1), so
+    * the chunk-bucket collision mass — and with it the exact-verify
+    * stage downstream (Levenshtein DP in `pl_neardup_edit`) — grows
+    * ~n²/2^width: birthday-rate, measured 17.4× verified pairs on 10×
+    * docs at radius 3 (SCALING.md). Production near-dup pipelines
+    * tighten the Hamming radius as the corpus grows for exactly this
+    * reason; this operator derives the choice from the DATA instead of
+    * a config constant:
+    *
+    *   for chunks c in 4, 3: candidate mass Σ_buckets C(B,2) over the
+    *   c-way chunking (one hash-agg over the persisted (id, simhash)
+    *   relation — no join); pick the first c with mass ≤ budget·n,
+    *   else c = 2. maxHamming = c − 1, lossless at that radius by
+    *   pigeonhole.
+    *
+    * All-integer (counts and C(B,2) on longs), so a SQL oracle replays
+    * the identical choice via scalar subqueries — same contract as the
+    * floor(sqrt(n)) IVF/SemDeDup sizing. The probe prices the ACTUAL
+    * corpus correlation (topic-correlated sign bits measured 56
+    * candidates/doc on the 5k-doc test corpus where the random-collision
+    * model predicts 0.6), which is why it measures instead of deriving
+    * from n alone. The recall cost of a tightened radius is priced by
+    * `pl_neardup_eval` at each scale.
+    */
+  def simhashPairsAuto(docs: DataFrame, nBits: Int = 60,
+      maxBucket: Int = 1000, budgetPerDoc: Long = 64): DataFrame = {
+    val sh = simhash(docs, nBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sh.count()
+    // Σ C(bucket,2) at a c-way chunking: exact candidate count before
+    // the radius filter (and before the maxBucket guard — the probe
+    // prices true density; the cap stays as the final skew fuse)
+    def candMass(chunks: Int): Long =
+      simhashChunked(sh, nBits, chunks)
+        .groupBy("c", "v").agg(count(lit(1)).as("b"))
+        .agg(coalesce(sum(pairsOf(col("b"))), lit(0L)).as("m"))
+        .head().getLong(0)
+    val budget = budgetPerDoc * n
+    val chunks =
+      if (candMass(4) <= budget) 4
+      else if (candMass(3) <= budget) 3
+      else 2
+    pairsFromSimhash(sh, nBits, maxHamming = chunks - 1, maxBucket)
   }
 
   /** Adjusted Rand index between the cluster labelings induced by two
