@@ -105,6 +105,28 @@ object SparkEntry {
   // invokes a gate several times in one session)
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(rmTree(_))
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Per-process scratch root for file-source replay batches and sinks,
+    * tmpfs-preferred, reclaimed at exit (the graft_store_gate pattern).
+    * Invocations write under unique subdirs (a prior invocation's sink
+    * may still back a lazily-consumed result).
+    */
+  private lazy val replayGateRoot: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val rootPath = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_replay_gate")
+    else java.nio.file.Files.createTempDirectory("graft_replay_gate")
+    sys.addShutdownHook {
+      try rmTree(rootPath) catch { case _: java.io.IOException => () }
+    }
+    rootPath.toString
+  }
+
   /** Drive a streaming replay to completion: memory sink `qn`, tmpfs
     * checkpoint, and a LOW shuffle-partition count for the replay's
     * duration — a stateful micro-batch pays per-partition state-store
@@ -115,7 +137,8 @@ object SparkEntry {
     */
   private def runReplay(s: SparkSession, out: DataFrame, qn: String,
       outputMode: String = "append", partitions: Int = 1,
-      extraConfs: Map[String, String] = Map.empty)(
+      extraConfs: Map[String, String] = Map.empty,
+      sinkPath: Option[String] = None)(
       batches: () => Seq[() => Unit]): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get(
@@ -139,9 +162,16 @@ object SparkEntry {
     // 1.6 s per gate, byte-identical emitted set).
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
-      val q = out.writeStream.format("memory")
+      // parquet sink when the replay's OUTPUT is corpus-sized (the
+      // memory sink funnels every emitted row into the driver); memory
+      // sink otherwise — reading the result back needs no table scan
+      val w0 = out.writeStream
         .option("checkpointLocation", ckpt.toString)
-        .queryName(qn).outputMode(outputMode).start()
+        .outputMode(outputMode)
+      val q = sinkPath match {
+        case Some(p) => w0.format("parquet").option("path", p).start()
+        case None => w0.format("memory").queryName(qn).start()
+      }
       try batches().foreach { b => b(); q.processAllAvailable() }
       finally q.stop()
     } finally {
@@ -836,15 +866,61 @@ object SparkEntry {
       // equality (diff == gap stays in-session).
       "q_sessionize_stream" -> { (s, dir) =>
         import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val gapMs = 30L * 60 * 1000
         val ev = DpView.events(s, dir).select(
           col("user_id"), DpView.tsMillis.as("ts"), col("event_id"))
-        val rows = ev.as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
-        val maxTs = rows.iterator.map(_._2).max
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, Long)]
-        val st = mem.toDS().toDF("user_id", "ts", "event_id")
+        // FILE-SOURCE replay (r13): this is the one replay whose INPUT is
+        // the whole corpus — the MemoryStream harness collected every
+        // event to the driver and shipped each half back as a
+        // LocalRelation inside the task binary (233 MiB tasks at sf10,
+        // a driver funnel scaling with the corpus). Here the batches are
+        // written as four single-file parquet batches (distributed
+        // compute, one-task writes) and readStream + maxFilesPerTrigger=1
+        // replays them in mod-time order — the production shape (files
+        // arriving at a directory), with the driver never holding a row.
+        val root = java.nio.file.Paths.get(replayGateRoot,
+          s"sess_${streamGateSeq.incrementAndGet()}")
+        val inDir = root.resolve("in")
+        val outDir = root.resolve("out")
+        java.nio.file.Files.createDirectories(inDir)
+        // time-ordered halves: batch 2 is never late vs batch 1's
+        // watermark (b1 = ts ≤ mid, b2 = ts > mid), but sessions
+        // STRADDLING the cut exercise the open-state merge. The split
+        // point only has to land mid-corpus — the emitted session set is
+        // split-invariant — so an approximate median is fine.
+        val bounds = ev.agg(
+          expr("approx_percentile(ts, 0.5, 100)").as("mid"),
+          max(col("ts")).as("mx")).head()
+        val (midTs, maxTs) = (bounds.getLong(0), bounds.getLong(1))
+        def writeBatch(df: DataFrame, idx: Int): Unit = {
+          val stage = root.resolve(s"stage$idx")
+          df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = inDir.resolve(f"b$idx%04d.parquet")
+          java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // explicit ascending mod times: FileStreamSource replays in
+          // mod-time order, and sequential writes can land in the same
+          // filesystem timestamp tick
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L))
+          rmTree(stage)
+        }
+        writeBatch(ev.filter(col("ts") <= midTs), 0)
+        writeBatch(ev.filter(col("ts") > midTs), 1)
+        // TWO sentinel batches: the first advances the watermark past
+        // every real session, but append-mode emission fires in the
+        // batch AFTER the advance — the second sentinel is that batch
+        writeBatch(Seq((-1L, maxTs + 10 * gapMs, 0L))
+          .toDF("user_id", "ts", "event_id"), 2)
+        writeBatch(Seq((-1L, maxTs + 11 * gapMs, 0L))
+          .toDF("user_id", "ts", "event_id"), 3)
+        val st = s.readStream
+          .schema("user_id BIGINT, ts BIGINT, event_id BIGINT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir.toString)
           .withColumn("ets", timestamp_millis(col("ts")))
           .withWatermark("ets", "0 seconds")
           .groupBy(col("user_id"),
@@ -854,7 +930,6 @@ object SparkEntry {
             count(lit(1)).as("n_events"))
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"))
-        val qn = s"q_sessionize_stream_${streamGateSeq.incrementAndGet()}"
         // 8 state partitions: this is the one replay whose keyed state is
         // corpus-sized (every user's open sessions), so the session-merge
         // sort + state-store work must parallelize — the r13 sf1 A/B read
@@ -863,21 +938,15 @@ object SparkEntry {
         // session merge (12.5 s) were both A/B'd on top of 8 and REJECTED
         // — at this state size the default in-memory provider wins and
         // the local merge just pays an extra per-batch sort.
-        runReplay(s, st, qn, partitions = 8) { () =>
-          // time-ordered halves: batch 2 is never late vs batch 1's
-          // watermark, but sessions STRADDLING the cut exercise the
-          // open-state merge
-          val (b1, b2) = rows.splitAt(rows.length / 2)
-          // TWO sentinel batches: the first advances the watermark past
-          // every real session, but append-mode emission fires in the
-          // batch AFTER the advance — the second sentinel is that batch
-          Seq(
-            () => mem.addData(b1.toSeq: _*),
-            () => mem.addData(b2.toSeq: _*),
-            () => mem.addData(Seq((-1L, maxTs + 10 * gapMs, 0L)): _*),
-            () => mem.addData(Seq((-1L, maxTs + 11 * gapMs, 0L)): _*))
+        // Parquet sink: the emitted session set is also corpus-sized, so
+        // it must not land in a driver-memory table either.
+        runReplay(s, st, qn = "", partitions = 8,
+          sinkPath = Some(outDir.toString)) { () =>
+          // one drain: maxFilesPerTrigger=1 turns the four staged files
+          // into four ordered micro-batches under processAllAvailable
+          Seq(() => ())
         }
-        s.table(qn).filter(col("user_id") >= 0)
+        s.read.parquet(outDir.toString).filter(col("user_id") >= 0)
           .orderBy("user_id", "session_start")
       },
 

@@ -477,8 +477,13 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"Q=1000 did not take the broadcast-frame path:\n${plan.take(2000)}")
     val a = viaDispatch.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // force the per-query expression path for the equality check. At
+    // Q=1000 its single doConsume exceeds the 64KB JVM method limit, so
+    // this run logs "ERROR CodeGenerator ... Code grows beyond 64 KB"
+    // and falls back to interpreted — EXPECTED here (it is the very
+    // degeneracy the dispatcher exists to avoid), not a product bug
     val b = Similarity.pqAdcKnn(codes, q1000, books, k = 5,
-        maxExprQueries = 0) // force the per-query expression path
+        maxExprQueries = 0)
       .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
     assert(a.length === 1000 * 5 && a.toSeq === b.toSeq)
     codes.unpersist()
