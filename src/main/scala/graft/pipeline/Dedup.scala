@@ -1134,12 +1134,22 @@ object Dedup {
     val chunked0 = simhashChunked(sh, nBits, maxHamming + 1)
     // bucket-size guard: semi-join on the same (c, v) key the candidate
     // join shuffles on, so it rides the exchange that join needs anyway
-    val chunked =
+    val chunkedG =
       if (maxBucket <= 0) chunked0
       else chunked0.join(
         chunked0.groupBy("c", "v").agg(count(lit(1)).as("_bc"))
           .filter(col("_bc") <= maxBucket).drop("_bc"),
         Seq("c", "v"), "left_semi")
+    // pin the candidate join's task count with a NUMBERED repartition on
+    // the join keys (HashPartitioning the join reuses; AQE never
+    // coalesces REPARTITION_BY_NUM): the join's INPUT is a few dozen MB
+    // of (id, simhash, chunk) rows, so byte-targeted coalescing folds it
+    // onto 1-2 tasks — but its OUTPUT is the multiplicative candidate
+    // expansion (Σ C(bucket,2), millions of bit_count+filter evaluations)
+    // that AQE's input-byte model cannot see. Measured at sf10 under
+    // parallelismFirst=false: 117 s → seconds, the whole gap one stage.
+    val par = sh.sparkSession.sparkContext.defaultParallelism
+    val chunked = chunkedG.repartition(par, col("c"), col("v"))
     val pairs = chunked.as("a")
       .join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
@@ -1267,13 +1277,30 @@ object Dedup {
       textCol: String = "text", minSimPm: Long = 0L): DataFrame = {
     val t1 = docs.select(col(idCol).cast("long").as("id1"), col(textCol).as("t1_"))
     val t2 = docs.select(col(idCol).cast("long").as("id2"), col(textCol).as("t2_"))
-    pairs.join(t1, "id1").join(t2, "id2")
+    // pin the DP stage's parallelism with a NUMBERED repartition (AQE
+    // never coalesces REPARTITION_BY_NUM): the joined pair-text relation
+    // is small in BYTES but each row carries an O(len²) Levenshtein, so
+    // byte-targeted partition coalescing (advisory 64MB) folds ~minutes
+    // of DP CPU onto 2-8 tasks — measured 115 s vs 13 s at sf10 for the
+    // identical plan, the whole gap being this stage's task count. The
+    // extra round-robin exchange moves only the verified candidates
+    // (bounded by the signature pass) and perfectly balances the DP.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val scored = pairs.join(t1, "id1").join(t2, "id2")
+      .repartition(par)
       .withColumn("lev", levenshtein(col("t1_"), col("t2_")).cast("long"))
       .withColumn("maxlen",
         greatest(length(col("t1_")), length(col("t2_"))).cast("long"))
       .filter(col("maxlen") > 0)
       .select(col("id1"), col("id2"), col("lev"),
         expr("((maxlen - lev) * 10000) div maxlen").as("sim_pm"))
-      .filter(col("sim_pm") >= minSimPm)
+    // the sim_pm filter only when it BITES: at minSimPm = 0 it is a
+    // tautology (0 ≤ lev ≤ maxlen ⇒ sim_pm ≥ 0), but Catalyst still
+    // pushes it through the repartition INTO the join condition —
+    // putting a second levenshtein evaluation inside the SMJ stage,
+    // whose AQE byte-coalesced reader runs ~2 tasks (sf10: 110 s of the
+    // gate's 118; with the filter skipped the DP runs once, above the
+    // pinned 32-way repartition)
+    if (minSimPm <= 0L) scored else scored.filter(col("sim_pm") >= minSimPm)
   }
 }
