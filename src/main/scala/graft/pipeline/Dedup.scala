@@ -1140,16 +1140,15 @@ object Dedup {
         chunked0.groupBy("c", "v").agg(count(lit(1)).as("_bc"))
           .filter(col("_bc") <= maxBucket).drop("_bc"),
         Seq("c", "v"), "left_semi")
-    // pin the candidate join's task count with a NUMBERED repartition on
-    // the join keys (HashPartitioning the join reuses; AQE never
-    // coalesces REPARTITION_BY_NUM): the join's INPUT is a few dozen MB
-    // of (id, simhash, chunk) rows, so byte-targeted coalescing folds it
-    // onto 1-2 tasks — but its OUTPUT is the multiplicative candidate
-    // expansion (Σ C(bucket,2), millions of bit_count+filter evaluations)
-    // that AQE's input-byte model cannot see. Measured at sf10 under
-    // parallelismFirst=false: 117 s → seconds, the whole gap one stage.
-    val par = sh.sparkSession.sparkContext.defaultParallelism
-    val chunked = chunkedG.repartition(par, col("c"), col("v"))
+    // NO pinned repartition here, by measurement: the candidate join's
+    // output is a multiplicative expansion AQE's input-byte model can't
+    // see, but forcing a numbered repartition on (c, v) bought nothing
+    // at sf10 (12.7 s vs 11.9) while DOUBLING the fixed-radius gates at
+    // sf0.1 (pl_dedup_simhash 0.57 → 1.21 s) — bit_count+filter per
+    // candidate is cheap enough that the coalesced join stage keeps up;
+    // the expensive per-candidate work (Levenshtein) lives in
+    // [[editVerify]], which pins its own DP stage.
+    val chunked = chunkedG
     val pairs = chunked.as("a")
       .join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
