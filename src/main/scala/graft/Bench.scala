@@ -217,14 +217,21 @@ object Bench {
     // burn the measurement. A clean canary (or any clean gate child)
     // vouches for the next 60 s of slots so consecutive escalations
     // don't each pay a ~10 s probe.
+    // floor ≥ 0.5 s: a smaller gate's child is dominated by session
+    // bring-up + JIT (~0.3 s), so the r13 first cut (smallest ≥ 0.15,
+    // i.e. q_rollup_1h at 0.152) read 0.44 s on an IDLE host — over its
+    // 2× bar from overhead alone — and every probe "backed off" through
+    // 4 × 15 s sleeps. The absolute +0.35 s allowance below covers the
+    // same overhead on the chosen gate.
     val canary: Option[(String, Double)] =
-      expected.filter(_._2 >= 0.15).minByOption(_._2)
+      expected.filter(_._2 >= 0.5).minByOption(_._2)
+        .orElse(expected.filter(_._2 >= 0.15).minByOption(_._2))
     var lastIdleNanos = 0L
     def slotVouched(): Unit = lastIdleNanos = System.nanoTime()
     def awaitIdleSlot(): Unit = canary.foreach { case (cn, cf) =>
       if (lastIdleNanos > 0 &&
           System.nanoTime() - lastIdleNanos < 60e9.toLong) return
-      val cFloor = 2.0 * math.max(cf, 0.2)
+      val cFloor = 2.0 * math.max(cf, 0.2) + 0.35
       var tries = 0
       var clean = false
       while (!clean && tries < 4) {
