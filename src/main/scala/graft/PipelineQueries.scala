@@ -2890,9 +2890,13 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     val bits = (0 until nBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    // shared simhash chain (ends at `cand(id1, id2, hamming)`) — reused
-    // by pl_dedup_simhash and the soft-dedup oracle's pair source
-    val simhashCtes =
+    // shared token-vote prefix (ends at `sim(id, simhash)`): both the
+    // fixed-radius and adaptive chains compose on top of it — `sim` is
+    // MATERIALIZED for the adaptive chain, whose probe + chunk CTEs scan
+    // it four times (DuckDB would otherwise re-expand the token-vote
+    // pipeline per scan)
+    def simhashVoteCtes(simMaterialized: Boolean): String = {
+      val simKw = if (simMaterialized) "MATERIALIZED " else ""
       s"""tokx AS (
          |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
          |hs AS (SELECT id, ${h60Sql("t")} AS h FROM tokx),
@@ -2900,7 +2904,12 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  SELECT id,
          |    $votes
          |  FROM hs GROUP BY id),
-         |sim AS (SELECT id, $bits AS simhash FROM votes),
+         |sim AS $simKw(SELECT id, $bits AS simhash FROM votes)""".stripMargin
+    }
+    // shared simhash chain (ends at `cand(id1, id2, hamming)`) — reused
+    // by pl_dedup_simhash and the soft-dedup oracle's pair source
+    val simhashCtes =
+      s"""${simhashVoteCtes(simMaterialized = false)},
          |ck AS MATERIALIZED (
          |  SELECT id, simhash, c, (simhash >> (c * 15)) & 32767 AS v
          |  FROM sim, (VALUES (0), (1), (2), (3)) cs(c)),
@@ -2920,14 +2929,9 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
     // replays Dedup.simhashPairsAuto's measured candidates-per-doc probe
     // — Σ C(bucket,2) at 4- then 3-way chunking, first within 64·n wins,
     // else 2-way — all-integer, so the SQL choice is bit-identical to
-    // the gate's. `sim` is MATERIALIZED: the probe + chunk CTEs scan it
-    // four times and DuckDB would otherwise re-expand the token-vote
-    // pipeline per scan.
+    // the gate's.
     val simhashAutoCtes = {
-      val simBody = simhashCtes.substring(0,
-        simhashCtes.indexOf(",\nck AS MATERIALIZED"))
-        .replace("sim AS (", "sim AS MATERIALIZED (")
-      s"""$simBody,
+      s"""${simhashVoteCtes(simMaterialized = true)},
          |smm4 AS (SELECT CAST(coalesce(sum((b * (b - 1)) // 2), 0) AS BIGINT) AS m
          |  FROM (SELECT count(*) AS b
          |        FROM sim, (VALUES (0), (1), (2), (3)) cs(i)

@@ -87,12 +87,7 @@ object SparkEntry {
       java.nio.file.Files.createTempDirectory(shm, "graft_store_gate")
     else java.nio.file.Files.createTempDirectory("graft_store_gate")
     sys.addShutdownHook { // throwaway fixture: reclaim the tmpfs at exit
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(rootPath) catch { case _: java.io.IOException => () }
+      try rmTree(rootPath) catch { case _: java.io.IOException => () }
     }
     val root = rootPath.toString
     val st = new graft.store.Store(s, root)
@@ -106,8 +101,17 @@ object SparkEntry {
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(rmTree(_))
+    if (java.nio.file.Files.isDirectory(p)) {
+      // snapshot-then-close before deleting: a bare Files.list(...)
+      // .forEach leaks the directory stream's fd AND mutates the
+      // directory while its stream is open
+      val ls = java.nio.file.Files.list(p)
+      val kids = try {
+        val b = List.newBuilder[java.nio.file.Path]
+        ls.forEach(b += _); b.result()
+      } finally ls.close()
+      kids.foreach(rmTree)
+    }
     java.nio.file.Files.deleteIfExists(p)
   }
 
@@ -181,12 +185,7 @@ object SparkEntry {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(ckpt) catch { case _: java.io.IOException => () }
+      try rmTree(ckpt) catch { case _: java.io.IOException => () }
     }
   }
 
@@ -878,8 +877,16 @@ object SparkEntry {
         // compute, one-task writes) and readStream + maxFilesPerTrigger=1
         // replays them in mod-time order — the production shape (files
         // arriving at a directory), with the driver never holding a row.
-        val root = java.nio.file.Paths.get(replayGateRoot,
-          s"sess_${streamGateSeq.incrementAndGet()}")
+        val seq = streamGateSeq.incrementAndGet()
+        val root = java.nio.file.Paths.get(replayGateRoot, s"sess_$seq")
+        // reclaim older invocations' RAM-backed sinks (keep this one and
+        // its immediate predecessor, whose result frame the caller may
+        // still be consuming lazily): /dev/shm otherwise accumulates one
+        // corpus-sized parquet sink per invocation for the JVM's lifetime
+        (1L until seq - 1).foreach { old =>
+          try rmTree(java.nio.file.Paths.get(replayGateRoot, s"sess_$old"))
+          catch { case _: java.io.IOException => () }
+        }
         val inDir = root.resolve("in")
         val outDir = root.resolve("out")
         java.nio.file.Files.createDirectories(inDir)
@@ -895,9 +902,11 @@ object SparkEntry {
         def writeBatch(df: DataFrame, idx: Int): Unit = {
           val stage = root.resolve(s"stage$idx")
           df.repartition(1).write.mode("overwrite").parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage)
+          val ls = java.nio.file.Files.list(stage)
+          val part = try ls
             .filter(p => p.getFileName.toString.endsWith(".parquet"))
             .findFirst().get()
+          finally ls.close()
           val dst = inDir.resolve(f"b$idx%04d.parquet")
           java.nio.file.Files.move(part, dst,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

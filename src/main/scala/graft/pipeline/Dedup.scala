@@ -1148,9 +1148,8 @@ object Dedup {
     // candidate is cheap enough that the coalesced join stage keeps up;
     // the expensive per-candidate work (Levenshtein) lives in
     // [[editVerify]], which pins its own DP stage.
-    val chunked = chunkedG
-    val pairs = chunked.as("a")
-      .join(chunked.as("b"),
+    val pairs = chunkedG.as("a")
+      .join(chunkedG.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic for the simhash auto-radius path (not committed). */
+/** Scratch diagnostic for the simhash auto-radius path. Lives under
+  * tools/ (NOT on sbt's source path — it is harness scaffolding, not
+  * product); to run it, copy into src/main/scala/graft/ temporarily:
+  *   PROBE_BENCH_ONLY=1 PROBE_GATE=<gate> sbt "runMain graft.ProbeNd <sfDir>"
+  */
 object ProbeNd {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/dev/shm/sf1")
