@@ -47,15 +47,50 @@ object PipelineQueries {
       java.nio.file.Files.createTempDirectory(shm, "graft_ivf_gate")
     else java.nio.file.Files.createTempDirectory("graft_ivf_gate")
     sys.addShutdownHook {
+      // snapshot-then-close (a bare Files.list.forEach leaks the dir
+      // stream's fd and mutates the directory under its open stream)
       def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val ls = java.nio.file.Files.list(p)
+          val kids = try {
+            val b = List.newBuilder[java.nio.file.Path]
+            ls.forEach(b += _); b.result()
+          } finally ls.close()
+          kids.foreach(rm)
+        }
         java.nio.file.Files.deleteIfExists(p)
       }
       try rm(rootPath) catch { case _: java.io.IOException => () }
     }
     rootPath.toString
   }
+
+  /** Memoized per source dir: the fixed-batch incremental-dedup gate
+    * times the BATCH PROBE against a PERSISTED index — the operator's
+    * actual contract (cost ∝ batch, never corpus). The corpus-side work
+    * a deployment amortizes across every batch — shingling, band
+    * signatures, and the once-per-index bucket-cap aggregate — runs
+    * once here and lands on parquet, exactly the two tables
+    * [[graft.pipeline.Dedup.incrementalNearDups]] documents as the
+    * persisted state. pl_dedup_incr (uncached, corpus-growing batch)
+    * keeps pricing the index BUILD path.
+    */
+  private val incrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private def incrIndexFixture(s: SparkSession, dir: String): (String, String) =
+    incrIndexCache.computeIfAbsent(dir, _ => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 =!= 0)
+      val sub = (scala.util.hashing.MurmurHash3.stringHash(dir)
+        .toLong & 0xffffffffL).toHexString
+      val bandP = s"$ivfGateRoot/incr_band_$sub"
+      val shP = s"$ivfGateRoot/incr_sh_$sub"
+      Dedup.capBandBuckets(Dedup.lshBandIndex(corpus), maxBucket = 100)
+        .write.mode("overwrite").parquet(bandP)
+      Dedup.shingleHashes(corpus).select("id", "h")
+        .write.mode("overwrite").parquet(shP)
+      (bandP, shP)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
@@ -428,6 +463,33 @@ object PipelineQueries {
           sround(col("jaccard")).as("jaccard"))
         .orderBy("new_id", "corpus_id")
       out
+    },
+
+    // incremental dedup, CONSTANT-size batch (r14): pl_dedup_incr's
+    // batch is 20% of the corpus, so its cost grows with the corpus and
+    // the gate can't distinguish an index-probe regression from fixture
+    // growth. Here the batch is pinned (doc_id < 2500 — the same ~600
+    // docs at every SF from sf0.1 up) and probes a PERSISTED,
+    // bucket-capped parquet index built once per source dir by
+    // [[incrIndexFixture]] — the deployment shape where corpus-side
+    // work is amortized across batches. What's left growing with the
+    // corpus is only the columnar scan of the two index tables (pruned
+    // by bucket-partitioned layout at 100 TB).
+    "pl_dedup_incr_fixed" -> { (s, dir) =>
+      val (bandP, shP) = incrIndexFixture(s, dir)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val fresh = d
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
+        .unionByName(
+          d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1 &&
+              col("doc_id") < 2500)
+            .withColumn("doc_id", col("doc_id") + 50000))
+      // maxBucket = 0: the cap is already baked into the persisted index
+      Dedup.incrementalNearDups(fresh, s.read.parquet(bandP),
+          s.read.parquet(shP), maxBucket = 0)
+        .select(col("new_id"), col("corpus_id"),
+          sround(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "corpus_id")
     },
 
     // END-TO-END curation composition — the full training-data pipeline
@@ -803,6 +865,21 @@ object PipelineQueries {
     "pl_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), nBits = 60, maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id1", "id2")
+    },
+
+    // AUTO-radius SimHash as a DIRECT gate (r14): the probe-chosen
+    // radius rides along as a column, so the radius-choice logic —
+    // measured chunk-bucket collision mass at 4/3-way chunking, widest
+    // radius within 64 candidates/doc — is oracle-pinned on its own
+    // before the pl_neardup_edit / pl_neardup_eval composites consume
+    // it. This is the at-scale sibling of the fixed-radius
+    // pl_dedup_simhash truth gate, whose radius-3 candidate set grows
+    // birthday-rate with the corpus.
+    "pl_dedup_simhash_auto" -> { (s, dir) =>
+      Dedup.simhashPairsAuto(docs(s, dir))
+        .select(col("id1"), col("id2"),
+          col("hamming").cast("long").as("hamming"), col("radius"))
         .orderBy("id1", "id2")
     },
 
@@ -2545,6 +2622,19 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |WHERE p.jac >= 0.8
          |ORDER BY p.new_id, p.corpus_id""".stripMargin
 
+    // constant-batch variant: identical chain, batch pinned to
+    // doc_id < 2500 (the persisted-index fixture is value-invisible —
+    // the same capped band index and shingle table, via parquet)
+    val dedupIncrFixed = {
+      val a1 = "WHERE doc_id % 5 = 0"
+      val a2 = "WHERE doc_id % 5 != 0 AND doc_id % 7 = 1"
+      require(dedupIncr.contains(a1) && dedupIncr.contains(a2),
+        "dedupIncrFixed batch anchors drifted out of dedupIncr")
+      dedupIncr
+        .replace(a1, a1 + " AND doc_id < 2500")
+        .replace(a2, a2 + " AND doc_id < 2500")
+    }
+
     // context-window chunking (size 12, stride 8): integer-ceil chunk
     // count, 1-based inclusive list_slice == Spark slice(start, length)
     val chunk =
@@ -2959,6 +3049,15 @@ w$k AS MATERIALIZED (SELECT w.w, w.f, replace(w.s, '<'||b.a||'><'||b.b||'>', '<'
          |  FROM ck a JOIN ck b ON a.c = b.c AND a.v = b.v AND a.id < b.id
          |  JOIN okc o ON a.c = o.c AND a.v = o.v)""".stripMargin
     }
+
+    // direct auto-radius gate: pairs within the probe-chosen radius,
+    // with the choice itself (radius = chunks − 1) as a column
+    val simhashAuto =
+      s"""WITH $simhashAutoCtes
+         |SELECT id1, id2, hamming,
+         |       CAST((SELECT c - 1 FROM cprm) AS BIGINT) AS radius
+         |FROM cand WHERE hamming <= (SELECT c - 1 FROM cprm)
+         |ORDER BY id1, id2""".stripMargin
 
     // ARI oracle: BOTH detector chains in one recursive WITH — the
     // minhash/jaccard chain keeps clustersCtes's names, the simhash
@@ -4910,6 +5009,7 @@ FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
       "pl_containment_est" -> containmentEstSql,
       "pl_dedup_minhash" -> minhash,
       "pl_dedup_incr" -> dedupIncr,
+      "pl_dedup_incr_fixed" -> dedupIncrFixed,
       "pl_dup_windows" -> dupWindows,
       "pl_window_dedup" -> windowDedup,
       "pl_chunk" -> chunk,
@@ -4944,6 +5044,7 @@ FROM srcs LEFT JOIN pd USING (source) ORDER BY source"""
       "pl_pack" -> pack,
       "pl_redact" -> redact,
       "pl_dedup_simhash" -> simhash,
+      "pl_dedup_simhash_auto" -> simhashAuto,
       "pl_neardup_eval" -> neardupEval,
       "pl_neardup_edit" -> neardupEdit,
       "pl_ngram_novelty" -> ngramNovelty,

@@ -614,6 +614,18 @@ object Dedup {
   def lshBandIndex(docs: DataFrame, n: Int = 3): DataFrame =
     bandRows(minhashSignatures(docs, n))
 
+  /** Drop band-index rows living in buckets above `maxBucket` members —
+    * the skew fuse a pipeline applies ONCE when (re)writing its
+    * persisted index rather than on every batch probe. `maxBucket <= 0`
+    * returns the index unchanged.
+    */
+  def capBandBuckets(index: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) index
+    else index.join(
+      index.groupBy("band", "x", "y").agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") <= maxBucket).drop("_bc"),
+      Seq("band", "x", "y"), "left_semi")
+
   /** Incremental near-dup detection: match NEW docs against an existing
     * corpus via its persisted [[lshBandIndex]] + shingle table, without
     * touching corpus text. The scale shape of continuous ingestion —
@@ -643,13 +655,10 @@ object Dedup {
     // pathological index bucket would multiply EVERY future batch's probe
     // fan-out, so cap corpus bucket membership before the band join (the
     // oracle replays the identical cap). At 100 TB the bucket counts are
-    // a once-per-index aggregate a pipeline would persist alongside it.
-    val okIndex =
-      if (maxBucket <= 0) corpusIndex
-      else corpusIndex.join(
-        corpusIndex.groupBy("band", "x", "y").agg(count(lit(1)).as("_bc"))
-          .filter(col("_bc") <= maxBucket).drop("_bc"),
-        Seq("band", "x", "y"), "left_semi")
+    // a once-per-index aggregate a pipeline would persist alongside it —
+    // pass maxBucket <= 0 with a [[capBandBuckets]]-pre-filtered index
+    // to price exactly that deployment shape (pl_dedup_incr_fixed).
+    val okIndex = capBandBuckets(corpusIndex, maxBucket)
     // consumed by two plan branches (pair join + corpus-set semi-join):
     // persisted so the index probe — the expensive part — runs once
     val cand = bandRows(newBase).as("a")
@@ -1207,7 +1216,10 @@ object Dedup {
       if (candMass(4) <= budget) 4
       else if (candMass(3) <= budget) 3
       else 2
+    // the chosen radius rides along so a gate can pin the CHOICE itself
+    // (pl_dedup_simhash_auto), not just the pair set it induces
     pairsFromSimhash(sh, nBits, maxHamming = chunks - 1, maxBucket)
+      .withColumn("radius", lit(chunks - 1).cast("long"))
   }
 
   /** Adjusted Rand index between the cluster labelings induced by two

@@ -235,6 +235,28 @@ class PlanAuditSpec extends SparkSpec {
       s"canon-key join degenerated\n$plan")
   }
 
+  test("auto-radius simhash: equi candidate join, hash-agg, bounded shuffles") {
+    // the probe (two collision-mass jobs) runs eagerly during
+    // construction; the RETURNED plan is the candidate chain on the
+    // persisted signature relation — the part that must stay an
+    // equi-join on (c, v) with the bucket cap as a semi-join, never a
+    // cartesian over signatures
+    val (f, plan) = fp("pl_dedup_simhash_auto")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"candidate join degenerated\n$plan")
+    assert(f.sortAggregates == 0, "bucket counts must stay hash-agg")
+    // measured: 7 (bucket-cap agg pair, cap semi-join, candidate
+    // self-join pair, pair distinct, output sort)
+    assert(f.exchanges <= 7, s"simhash_auto shuffles: ${f.exchanges}\n$plan")
+  }
+
+  test("fixed-batch incremental dedup: probe joins equi, no corpus cartesian") {
+    val (f, plan) = fp("pl_dedup_incr_fixed")
+    assert(f.nestedLoopJoins == 0 && !plan.contains("CartesianProduct"),
+      s"index probe degenerated\n$plan")
+    assert(f.sortAggregates == 0, "batch signatures must stay hash-agg")
+  }
+
   test("stupid backoff: count joins all equi on gram keys, hash-agg") {
     val (f, plan) = fp("pl_sbo_nll")
     assert(f.nestedLoopJoins <= 1, // the 1-row N·V scalar frame broadcast
