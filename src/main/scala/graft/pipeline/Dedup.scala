@@ -735,8 +735,20 @@ object Dedup {
     */
   private def subgraphLabels(pairs: DataFrame, maxIter: Int,
       driverEdgeCap: Long): DataFrame = {
-    if (pairs.count() <= driverEdgeCap) driverLabels(pairs)
-    else iterativeLabels(pairs, maxIter)
+    // the edge relation is consumed TWICE (size probe, then the
+    // driver collect or the iterative propagation's edge build) —
+    // persist it so the detector chain upstream runs once, not twice
+    // (pre-r14, an unpersisted chain like the simhash candidate join
+    // re-ran in full under driverLabels' collect: pl_rand_index's
+    // variance source). Edge frames are the duplicate subgraph only —
+    // the broadcast-regime size this function already assumes.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    val out =
+      if (n <= driverEdgeCap) driverLabels(p) // collects eagerly
+      else iterativeLabels(p, maxIter) // persists + materializes its own edges
+    p.unpersist()
+    out
   }
 
   /** Union-find over a collected edge list — the small-graph fast path.
