@@ -424,7 +424,16 @@ object PipelineQueries {
     // |S|−⌈t·|S|⌉+1 shingles enter the self-join; oracle = exact
     // uncapped Jaccard pairs, which is the operator's contract
     "pl_dedup_prefix" -> { (s, dir) =>
-      Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8)
+      // SPARK_GRAFT_PREFIX_STORAGE=disk_only re-runs the gate with the
+      // shingle relation's single-box memory lever thrown (the sf10
+      // measurement knob; storage level is value-invisible)
+      val lvl = sys.env.get("SPARK_GRAFT_PREFIX_STORAGE") match {
+        case Some("disk_only") =>
+          org.apache.spark.storage.StorageLevel.DISK_ONLY
+        case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      }
+      Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8,
+          shingleStorage = lvl)
         .select(col("id1"), col("id2"), sround(col("jaccard")).as("jaccard"))
         .orderBy("id1", "id2")
     },

@@ -179,6 +179,15 @@ object SparkEntry {
       try batches().foreach { b => b(); q.processAllAvailable() }
       finally q.stop()
     } finally {
+      // release every cached state-store provider: a stopped query's
+      // providers stay in the executor-global loaded-provider cache
+      // holding their last in-memory state maps until a maintenance
+      // sweep, and each replay here uses a fresh checkpoint so they can
+      // never be reused. For the corpus-sized session state this is
+      // gigabytes of dead heap — measured at sf10, the SECOND
+      // q_sessionize_stream invocation in a JVM ran 208 s vs 42 s cold,
+      // all of it GC thrash from the first invocation's retained state.
+      org.apache.spark.sql.GraftSqlBridge.unloadAllStateStores()
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       prevExtra.foreach {
@@ -949,7 +958,17 @@ object SparkEntry {
         // the local merge just pays an extra per-batch sort.
         // Parquet sink: the emitted session set is also corpus-sized, so
         // it must not land in a driver-memory table either.
-        runReplay(s, st, qn = "", partitions = 8,
+        // SPARK_GRAFT_SESS_PARTS / _PROVIDER are the measurement knobs
+        // for re-running the A/B at other state sizes (sf10 sweep, r14).
+        val sessParts = sys.env.get("SPARK_GRAFT_SESS_PARTS")
+          .flatMap(_.toIntOption).getOrElse(8)
+        val sessConfs = sys.env.get("SPARK_GRAFT_SESS_PROVIDER")
+          .filter(_ == "rocksdb").map(_ =>
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")).toMap
+        runReplay(s, st, qn = "", partitions = sessParts,
+          extraConfs = sessConfs,
           sinkPath = Some(outDir.toString)) { () =>
           // one drain: maxFilesPerTrigger=1 turns the four staged files
           // into four ordered micro-batches under processAllAvailable

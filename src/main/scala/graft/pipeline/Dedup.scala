@@ -324,9 +324,20 @@ object Dedup {
     * RAREST shingles.
     */
   def prefixFilterPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      shingleStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // `shingleStorage` is the single-box memory lever SCALING.md names
+    // for this operator: the persisted shingle relation is corpus-sized
+    // (250M rows / ~4 GB at the sf10 rehearsal) and consumed by two
+    // join branches, so on one box its storage-memory churn — not the
+    // plan — dominates above ~sf1 (cold-run pair stages 4.9 s vs 29 s
+    // once the cache competes with execution memory). DISK_ONLY trades
+    // re-read I/O for zero storage-memory pressure; on a real cluster
+    // the relation partitions across executors and the default
+    // MEMORY_AND_DISK is right.
     val sh0 = shingleHashes(docs, n).select("id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(shingleStorage)
     val dfreq = sh0.groupBy("h").agg(count(lit(1)).as("df"))
     val ranked = sh0.join(dfreq, "h")
       .withColumn("pos", row_number().over(
@@ -353,7 +364,7 @@ object Dedup {
       .withColumn("inIdx",
         col("pos") <= col("n") - ceil(lit(idxFrac) * col("n") - 1e-9) + 1)
       .select("id", "h", "pos", "n", "inIdx")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(shingleStorage)
     val prefIdx = prefProbe.filter(col("inIdx"))
     // Candidate join: smaller-side index prefix ⊠ larger-side probe
     // prefix on the shingle, with the LENGTH filter (J ≥ t forces

@@ -18,4 +18,14 @@ object GraftSqlBridge {
     */
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Unload every cached state-store provider (`private[sql]`). A
+    * stopped streaming query's providers stay in the executor-global
+    * cache holding their last in-memory state maps until a maintenance
+    * sweep; a bounded-replay harness that starts each replay from a
+    * fresh checkpoint can never reuse them, so it should drop them
+    * eagerly.
+    */
+  def unloadAllStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }

@@ -47,11 +47,15 @@ object ProbeNd {
         val w = SparkEntry.queries(gate)(spark, dir)
         w.count(); w.unpersist(true)
       }
-      timed(s"$gate timed run") {
-        val df = SparkEntry.queries(gate)(spark, dir)
-        println(s"[probe] rows=${df.count()}"); df.unpersist(true)
-        if (sys.env.contains("PROBE_EXPLAIN"))
-          println("[plan]\n" + df.queryExecution.executedPlan.toString)
+      val reps = sys.env.getOrElse("PROBE_REPS", "1").toInt
+      for (r <- 1 to reps) {
+        System.gc()
+        timed(s"$gate timed run $r") {
+          val df = SparkEntry.queries(gate)(spark, dir)
+          println(s"[probe] rows=${df.count()}"); df.unpersist(true)
+          if (sys.env.contains("PROBE_EXPLAIN"))
+            println("[plan]\n" + df.queryExecution.executedPlan.toString)
+        }
       }
       spark.stop(); return
     }
