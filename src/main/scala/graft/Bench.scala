@@ -227,8 +227,12 @@ object Bench {
     // remaining gates ship their in-sweep medians: a possibly-inflated
     // number for them, never a wrong one (contamination only inflates),
     // and strictly better than no record.
+    // 900 s default: the r14 shakedown sweep's 480 s only reached 5 of
+    // 25 escalations on a busy host (canary probes + second-chance
+    // children are ~10 s each), and the r12 driver run proves the cap
+    // comfortably fits sweep + ~15 min of children. Still a hard bound.
     val escBudgetNanos = sys.env.get("SPARK_GRAFT_BENCH_ESC_BUDGET_SEC")
-      .flatMap(_.toIntOption).getOrElse(480) * 1000000000L
+      .flatMap(_.toIntOption).getOrElse(900) * 1000000000L
     val escStart = System.nanoTime()
     def escBudgetLeft(): Boolean = System.nanoTime() - escStart < escBudgetNanos
     // CANARY-GATED slots: a ground-truth child is only trustworthy on an
