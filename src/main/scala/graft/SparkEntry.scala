@@ -926,8 +926,18 @@ object SparkEntry {
             java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L))
           rmTree(stage)
         }
-        writeBatch(ev.filter(col("ts") <= midTs), 0)
-        writeBatch(ev.filter(col("ts") > midTs), 1)
+        // the two corpus-half writes are independent single-file jobs;
+        // run them as CONCURRENT Spark jobs (each computes its filter +
+        // single-task write) instead of back-to-back — the replay can't
+        // start until both exist, so their wall time is on the gate
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val w0 = Future(writeBatch(ev.filter(col("ts") <= midTs), 0))
+          val w1 = Future(writeBatch(ev.filter(col("ts") > midTs), 1))
+          Await.result(w0, Duration.Inf); Await.result(w1, Duration.Inf)
+        }
         // TWO sentinel batches: the first advances the watermark past
         // every real session, but append-mode emission fires in the
         // batch AFTER the advance — the second sentinel is that batch
