@@ -324,6 +324,12 @@ object Bench {
         // machine in the children — so min() is the best attested cost
         val candidates = (Seq(median, iso) ++ retries).filter(_ > 0)
         escalated(name) = candidates.min
+        // re-emit after every ground-truthed gate: if the driver's cap
+        // kills this phase anyway, the LAST stdout line (what a
+        // tail-window parser sees) is still a complete, current total
+        // rather than r13's nothing
+        emit(results.map { case (n, m) => n -> escalated.getOrElse(n, m) },
+          sfDir)
       }
     }
     if (escalated.size < escOrder.size)
