@@ -329,7 +329,7 @@ object Bench {
         // tail-window parser sees) is still a complete, current total
         // rather than r13's nothing
         emit(results.map { case (n, m) => n -> escalated.getOrElse(n, m) },
-          sfDir)
+          sfDir, headlineBudget = 700)
       }
     }
     if (escalated.size < escOrder.size)
@@ -412,7 +412,15 @@ object Bench {
     } finally in.close()
   }
 
-  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
+  /** `headlineBudget`: byte budget for the stdout line's "queries" map.
+    * The harness keeps only the LAST ~2000 chars of output, so a
+    * mid-escalation emit (followed by the next gate's canary/escalate
+    * stderr lines before any kill lands) uses a smaller budget — a full
+    * metric line + a few stderr lines must fit the tail window — while
+    * the final emit, which nothing follows, uses the full one.
+    */
+  private def emit(results: Seq[(String, Double)], sfDir: String,
+      headlineBudget: Int = 1500): Unit = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
@@ -426,7 +434,7 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"queries":$fullJson,"sf":"$sfDir"}""")
-    val budget = 1500 // bytes for the headline "queries" map body
+    val budget = headlineBudget // bytes for the headline "queries" map body
     val bySlowest = results.sortBy(-_._2)
     val headline = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
