@@ -27,9 +27,15 @@ import org.apache.spark.sql.SparkSession
   * The post-sweep children phase emits a PARTIAL headline line (from
   * in-sweep medians) before it starts and runs under one global
   * wall-clock budget (`SPARK_GRAFT_BENCH_ESC_BUDGET_SEC`, default
-  * 480 s) — the r13 official run was killed mid-phase with no total
+  * 900 s) — the r13 official run was killed mid-phase with no total
   * emitted, which is strictly worse than shipping in-sweep medians
-  * for the gates the budget can't reach.
+  * for the gates the budget can't reach. When the budget gets tight
+  * relative to the children still queued, the idle-host canary probes
+  * are skipped (they are an optimization, not a safety requirement —
+  * min(in-sweep, child) bounds a contended child's damage to its own
+  * ~10 s) so every queued child gets its shot: the r14 official run
+  * shipped 1.41× the floor sum vs the same code's 1.12× attested cost
+  * purely because canary probes stranded the escalation queue.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -93,6 +99,23 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(3))
     // committed per-gate expectations: the escalation trigger's baseline
     val expected = expectedFor(sfDir)
+    // floor-provenance audit (r15): a floor is a per-gate MINIMUM folded
+    // across rounds of sweeps, so one lucky sample becomes a bar every
+    // later sweep reads >2× of — and each such gate then burns a child
+    // JVM (or several) of escalation budget chasing noise. The committed
+    // sidecar records where each floor came from and whether any OTHER
+    // recorded sweep ever landed within 1.5× of it; the never-reproduced
+    // ones are flagged here so a reader of the bench log can discount
+    // their "violations" (tools/floor_provenance.py regenerates).
+    locally {
+      val stale = provenanceFor(sfDir).collect {
+        case (n, false) if expected.contains(n) => n
+      }.toSeq.sorted
+      if (stale.nonEmpty)
+        System.err.println(s"[bench-floors] ${stale.size} committed " +
+          s"floors never reproduced within 1.5x by another recorded " +
+          s"sweep (lucky-min risk): ${stale.mkString(",")}")
+    }
     // No per-gate SLOT cap on fresh-JVM escalations (the r11 20-slot cap
     // stranded 40 rows >2× floor), but the phase as a whole runs under a
     // global WALL-CLOCK budget (see escBudgetNanos below): r13 proved the
@@ -235,6 +258,8 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(900) * 1000000000L
     val escStart = System.nanoTime()
     def escBudgetLeft(): Boolean = System.nanoTime() - escStart < escBudgetNanos
+    def escBudgetLeftSec(): Double =
+      (escBudgetNanos - (System.nanoTime() - escStart)) / 1e9
     // CANARY-GATED slots: a ground-truth child is only trustworthy on an
     // idle host, and the r12 record shipped two rows at 2.7×/4.5× floor
     // because their children themselves ran contended (the same record's
@@ -256,9 +281,29 @@ object Bench {
         .orElse(expected.filter(_._2 >= 0.15).minByOption(_._2))
     var lastIdleNanos = 0L
     def slotVouched(): Unit = lastIdleNanos = System.nanoTime()
-    def awaitIdleSlot(): Unit = canary.foreach { case (cn, cf) =>
+    // CANARY AFFORDABILITY (r15): the canary is an optimization — it
+    // dodges short host-load spikes so a child doesn't waste its ~10 s
+    // measuring contention — not a safety requirement, because
+    // min(in-sweep, child) already bounds a contended child's damage to
+    // that one wasted child. When what's LEFT of the global budget,
+    // minus a canary round's worst-case cost, can no longer cover the
+    // children still queued, probing is the wrong trade: the r14
+    // official record shipped 1.41× the committed floor sum (vs the
+    // same-day attested 1.12×) because ~2 probes × 10 s per escalated
+    // gate on a contended host exhausted the budget before the children
+    // themselves ran. `projectedChildrenSec` is the caller's estimate of
+    // the cost of every child still queued (this gate included).
+    def awaitIdleSlot(projectedChildrenSec: Double): Unit =
+      canary.foreach { case (cn, cf) =>
       if (lastIdleNanos > 0 &&
           System.nanoTime() - lastIdleNanos < 60e9.toLong) return
+      val canaryRoundSec = 2 * (10.0 + 5.0) // 2 probes × (child + sleep)
+      if (escBudgetLeftSec() - canaryRoundSec < projectedChildrenSec) {
+        System.err.println(
+          s"[bench-canary] skipped: ${escBudgetLeftSec().toInt}s budget " +
+            s"left vs ~${projectedChildrenSec.toInt}s of queued children")
+        return
+      }
       val cFloor = 2.0 * math.max(cf, 0.2) + 0.35
       var tries = 0
       var clean = false
@@ -284,20 +329,33 @@ object Bench {
     }
     // escalate the WORST floor violations first: under a budget, the
     // gates left stranded at in-sweep medians when it runs out should
-    // be the ones whose medians distort the record least
+    // be the ones whose medians distort the record least. Two tiers —
+    // floor-ratio-keyed gates first (they have a violation to explain),
+    // spread-only gates (no committed expectation) after, by raw median:
+    // a single sort key mixing ratio and seconds let a clean-but-slow
+    // spread-only gate outrank a genuine 3× floor violation.
     val inSweep = results.toMap
     val escOrder = toEscalate.toSeq.sortBy { n =>
-      -expected.get(n).map(e => inSweep(n) / math.max(e, 0.2))
-        .getOrElse(inSweep(n))
+      expected.get(n) match {
+        case Some(e) => (0, -(inSweep(n) / math.max(e, 0.2)))
+        case None => (1, -inSweep(n))
+      }
     }
+    // projected cost of one gate's child: ~10 s of session bring-up +
+    // warmup + the gate's own runs (≥3 × its floor; in-sweep median
+    // capped at 2 s stands in when no floor is committed)
+    def estChildSec(n: String): Double =
+      10.0 + 4.0 * expected.get(n).map(e => math.max(e, 0.2))
+        .getOrElse(math.min(inSweep(n), 2.0))
     val escalated = scala.collection.mutable.Map.empty[String, Double]
-    escOrder.foreach { name =>
+    escOrder.zipWithIndex.foreach { case (name, idx) =>
       if (escBudgetLeft()) {
+        val projectedChildrenSec = escOrder.drop(idx).map(estChildSec).sum
         val median = inSweep(name)
         val floor = expected.get(name).map(e => math.max(e, 0.2))
         def cleanEnough(v: Double): Boolean =
           v > 0 && floor.forall(f => v <= 2.0 * f)
-        awaitIdleSlot()
+        awaitIdleSlot(projectedChildrenSec)
         val iso = runChild(name)
         if (cleanEnough(iso)) slotVouched()
         // SECOND-CHANCE children: a child JVM can itself land in a busy
@@ -310,7 +368,7 @@ object Bench {
         while (retries.size < 2 && retriesLeft > 0 && escBudgetLeft() &&
                !(Seq(iso) ++ retries).exists(cleanEnough)) {
           retriesLeft -= 1
-          awaitIdleSlot()
+          awaitIdleSlot(projectedChildrenSec)
           val r = runChild(name)
           if (cleanEnough(r)) slotVouched()
           retries += r
@@ -409,6 +467,24 @@ object Bench {
       val txt = new String(in.readAllBytes(), "UTF-8")
       "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } finally in.close()
+  }
+
+  /** Floor provenance sidecar (classpath resource
+    * `bench_floor_provenance_<sfbase>.json`, written by
+    * `tools/floor_provenance.py`): gate → was this gate's committed
+    * floor ever reproduced within 1.5× by a recorded sweep OTHER than
+    * the one that set it. Empty when no sidecar is committed.
+    */
+  private def provenanceFor(sfDir: String): Map[String, Boolean] = {
+    val base = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val in = getClass.getResourceAsStream(s"/bench_floor_provenance_$base.json")
+    if (in == null) Map.empty
+    else try {
+      val txt = new String(in.readAllBytes(), "UTF-8")
+      ("\"([^\"]+)\"\\s*:\\s*\\{[^}]*\"repro\"\\s*:\\s*(true|false)").r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> (m.group(2) == "true")).toMap
     } finally in.close()
   }
 

@@ -38,32 +38,10 @@ object PipelineQueries {
 
   /** One per-process scratch root for the pl_ivf_index round-trip,
     * reused across warmup + timed reruns (writes are mode=overwrite) and
-    * reclaimed at exit — the SparkEntry graft_store_gate pattern; tmpfs
-    * preferred so the gate prices the persistence machinery, not disk.
+    * reclaimed at exit — tmpfs preferred so the gate prices the
+    * persistence machinery, not disk ([[GateScratch]]).
     */
-  private lazy val ivfGateRoot: String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val rootPath = if (java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_ivf_gate")
-    else java.nio.file.Files.createTempDirectory("graft_ivf_gate")
-    sys.addShutdownHook {
-      // snapshot-then-close (a bare Files.list.forEach leaks the dir
-      // stream's fd and mutates the directory under its open stream)
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val ls = java.nio.file.Files.list(p)
-          val kids = try {
-            val b = List.newBuilder[java.nio.file.Path]
-            ls.forEach(b += _); b.result()
-          } finally ls.close()
-          kids.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(rootPath) catch { case _: java.io.IOException => () }
-    }
-    rootPath.toString
-  }
+  private lazy val ivfGateRoot: String = GateScratch.root("graft_ivf_gate")
 
   /** Memoized per source dir: the fixed-batch incremental-dedup gate
     * times the BATCH PROBE against a PERSISTED index — the operator's
@@ -74,22 +52,42 @@ object PipelineQueries {
     * [[graft.pipeline.Dedup.incrementalNearDups]] documents as the
     * persisted state. pl_dedup_incr (uncached, corpus-growing batch)
     * keeps pricing the index BUILD path.
+    *
+    * The index is written PRUNABLE (r15): the band table partitioned by
+    * `band`, and the shingle table hash-partitioned into `sb` buckets
+    * sized ~corpus/64 docs each — the probe's verification then reads
+    * only the buckets holding candidate ids (a PartitionFilter on the
+    * scan) instead of the whole corpus-sized table, which was the
+    * measured 2×/decade residual at sf10 (SCALING.md). Returns
+    * (bandPath, shinglePath, shingleBuckets).
     */
   private val incrIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
-  private def incrIndexFixture(s: SparkSession, dir: String): (String, String) =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]
+  private val incrIndexSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def incrIndexFixture(s: SparkSession, dir: String): (String, String, Int) =
     incrIndexCache.computeIfAbsent(dir, _ => {
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 5 =!= 0)
-      val sub = (scala.util.hashing.MurmurHash3.stringHash(dir)
-        .toLong & 0xffffffffL).toHexString
+      // per-JVM sequence, not a dir-string hash: two source dirs with
+      // colliding 32-bit hashes would silently share (and overwrite)
+      // one index path while the memo cache kept them distinct
+      val sub = incrIndexSeq.incrementAndGet().toString
       val bandP = s"$ivfGateRoot/incr_band_$sub"
       val shP = s"$ivfGateRoot/incr_sh_$sub"
+      // ~64 docs' shingles per bucket, power of two: sf0.1 → 32 buckets,
+      // sf10 → 4096 — bucket count grows with the corpus so a FIXED
+      // batch's candidate set touches an ever-smaller fraction of it
+      val nBuckets = math.max(8, java.lang.Integer.highestOneBit(
+        math.min(corpus.count() / 64, 1 << 16).toInt.max(1)))
       Dedup.capBandBuckets(Dedup.lshBandIndex(corpus), maxBucket = 100)
-        .write.mode("overwrite").parquet(bandP)
+        .write.mode("overwrite").partitionBy("band").parquet(bandP)
       Dedup.shingleHashes(corpus).select("id", "h")
-        .write.mode("overwrite").parquet(shP)
-      (bandP, shP)
+        .withColumn("sb", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
+        // one file per bucket dir: hash-repartition on the partition
+        // column so no task writes to more than its own buckets
+        .repartition(math.min(nBuckets, 64), col("sb"))
+        .write.mode("overwrite").partitionBy("sb").parquet(shP)
+      (bandP, shP, nBuckets)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -481,11 +479,13 @@ object PipelineQueries {
     // docs at every SF from sf0.1 up) and probes a PERSISTED,
     // bucket-capped parquet index built once per source dir by
     // [[incrIndexFixture]] — the deployment shape where corpus-side
-    // work is amortized across batches. What's left growing with the
-    // corpus is only the columnar scan of the two index tables (pruned
-    // by bucket-partitioned layout at 100 TB).
+    // work is amortized across batches. The index layout is PRUNABLE
+    // (r15): the verify stage reads only the shingle buckets holding
+    // candidate ids, so the one thing that used to grow with the corpus
+    // — the full columnar scan of the persisted shingle table — now
+    // scales with the batch's candidate set.
     "pl_dedup_incr_fixed" -> { (s, dir) =>
-      val (bandP, shP) = incrIndexFixture(s, dir)
+      val (bandP, shP, nBuckets) = incrIndexFixture(s, dir)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val fresh = d
         .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
@@ -495,7 +495,7 @@ object PipelineQueries {
             .withColumn("doc_id", col("doc_id") + 50000))
       // maxBucket = 0: the cap is already baked into the persisted index
       Dedup.incrementalNearDups(fresh, s.read.parquet(bandP),
-          s.read.parquet(shP), maxBucket = 0)
+          s.read.parquet(shP), maxBucket = 0, shingleBuckets = nBuckets)
         .select(col("new_id"), col("corpus_id"),
           sround(col("jaccard")).as("jaccard"))
         .orderBy("new_id", "corpus_id")
@@ -1559,10 +1559,22 @@ object PipelineQueries {
     // the cheap bit-signature dedup stand in for the shingle pipeline";
     // contingency = one id join + hash agg, pair counts exact integers
     "pl_rand_index" -> { (s, dir) =>
+      // SPARK_GRAFT_RANDIDX_STORAGE=disk_only throws both detector
+      // chains' signature-relation storage levers (the pl_dedup_prefix
+      // pattern): this composite persists the minhash base (with its
+      // corpus-sized verification sets) and the simhash relation in ONE
+      // JVM, and its sf10 WARM rerun measured 179 s vs 71 s cold — the
+      // single-box storage-memory churn signature. Value-invisible.
+      val lvl = sys.env.get("SPARK_GRAFT_RANDIDX_STORAGE") match {
+        case Some("disk_only") =>
+          org.apache.spark.storage.StorageLevel.DISK_ONLY
+        case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      }
       val d = docs(s, dir)
       Dedup.clusterAgreement(d,
-        Dedup.minhashLshPairs(d, 3, 0.8).select("id1", "id2"),
-        Dedup.simhashPairs(d, nBits = 60, maxHamming = 3)
+        Dedup.minhashLshPairs(d, 3, 0.8, sigStorage = lvl)
+          .select("id1", "id2"),
+        Dedup.simhashPairs(d, nBits = 60, maxHamming = 3, sigStorage = lvl)
           .select("id1", "id2"))
         .select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
           sround(col("ari")).as("ari"))

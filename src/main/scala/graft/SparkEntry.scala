@@ -79,18 +79,11 @@ object SparkEntry {
     val late = d.filter(col("seq") % 5 === 0)
       .withColumn("value", col("value") + 0.5)
       .withColumn("seq", col("seq") + 10000000L)
-    // throwaway fixture: prefer tmpfs so the benched ingest prices the
-    // machinery (Spark jobs + manifest commits), not /tmp's disk — the
-    // gate's numbers otherwise swing multi-second with page-cache state
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val rootPath = if (java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_store_gate")
-    else java.nio.file.Files.createTempDirectory("graft_store_gate")
-    sys.addShutdownHook { // throwaway fixture: reclaim the tmpfs at exit
-      try rmTree(rootPath) catch { case _: java.io.IOException => () }
-    }
-    val root = rootPath.toString
-    val st = new graft.store.Store(s, root)
+    // throwaway fixture: tmpfs-preferred + exit-reclaimed (GateScratch)
+    // so the benched ingest prices the machinery (Spark jobs + manifest
+    // commits), not /tmp's disk — the gate's numbers otherwise swing
+    // multi-second with page-cache state
+    val st = new graft.store.Store(s, GateScratch.root("graft_store_gate"))
     st.ingest(d)
     if (withLate) st.ingest(late)
     st
@@ -99,37 +92,49 @@ object SparkEntry {
   // unique memory-sink names for the streaming replay gate (the bench
   // invokes a gate several times in one session)
   private val streamGateSeq = new java.util.concurrent.atomic.AtomicLong()
+  // the sessionize replay's OWN sequence: its sink cleanup keeps the
+  // current dir and its immediate predecessor, and that invariant only
+  // holds if no other streaming gate can advance the counter in between
+  private val sessGateSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      // snapshot-then-close before deleting: a bare Files.list(...)
-      // .forEach leaks the directory stream's fd AND mutates the
-      // directory while its stream is open
-      val ls = java.nio.file.Files.list(p)
-      val kids = try {
-        val b = List.newBuilder[java.nio.file.Path]
-        ls.forEach(b += _); b.result()
-      } finally ls.close()
-      kids.foreach(rmTree)
-    }
-    java.nio.file.Files.deleteIfExists(p)
+  private def rmTree(p: java.nio.file.Path): Unit = GateScratch.rmTree(p)
+
+  /** Streaming state partitions sized from the input's bytes on disk —
+    * the √n-sizing discipline applied to state partitioning. Calibrated
+    * against the measured sessionize A/B knee (8 parts win ≤ sf1 where
+    * events.parquet is ≤ ~20 MiB, 16 win at sf10's ~200 MiB):
+    * `clamp(pow2floor(√(KiB)/16), 8, 64)`. Keyed-state work per
+    * partition then grows ~√input instead of linearly, while per-batch
+    * state-store fixed cost (one provider per partition per batch) only
+    * ever doubles per QUADRUPLING of the input. Plan-invisible to the
+    * oracle; `SPARK_GRAFT_SESS_PARTS` overrides.
+    */
+  private[graft] def autoSessParts(dir: String): Int = {
+    val bytes = try {
+      val p = java.nio.file.Paths.get(dir, "events.parquet")
+      if (!java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.size(p)
+      else {
+        val ls = java.nio.file.Files.list(p)
+        try {
+          val b = List.newBuilder[java.nio.file.Path]
+          ls.forEach(b += _)
+          b.result().filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally ls.close()
+      }
+    } catch { case _: java.io.IOException => 0L }
+    val raw = math.sqrt((bytes / 1024).toDouble) / 16.0
+    val p2 = java.lang.Integer.highestOneBit(math.max(1, raw.toInt))
+    math.min(64, math.max(8, p2))
   }
 
   /** Per-process scratch root for file-source replay batches and sinks,
-    * tmpfs-preferred, reclaimed at exit (the graft_store_gate pattern).
-    * Invocations write under unique subdirs (a prior invocation's sink
-    * may still back a lazily-consumed result).
+    * tmpfs-preferred, reclaimed at exit ([[GateScratch]]). Invocations
+    * write under unique subdirs (a prior invocation's sink may still
+    * back a lazily-consumed result).
     */
-  private lazy val replayGateRoot: String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val rootPath = if (java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_replay_gate")
-    else java.nio.file.Files.createTempDirectory("graft_replay_gate")
-    sys.addShutdownHook {
-      try rmTree(rootPath) catch { case _: java.io.IOException => () }
-    }
-    rootPath.toString
-  }
+  private lazy val replayGateRoot: String = GateScratch.root("graft_replay_gate")
 
   /** Drive a streaming replay to completion: memory sink `qn`, tmpfs
     * checkpoint, and a LOW shuffle-partition count for the replay's
@@ -149,10 +154,7 @@ object SparkEntry {
       "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val prevExtra = extraConfs.keys
       .map(k => k -> s.conf.getOption(k)).toMap
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckpt = if (java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, "graft_replay_ckpt")
-    else java.nio.file.Files.createTempDirectory("graft_replay_ckpt")
+    val ckpt = GateScratch.tempDir("graft_replay_ckpt") // deleted inline below
     // 1 partition is the measured default (per-batch fixed cost dominates
     // the small-state replays); heavy keyed-state gates override it so
     // state-store work parallelizes (q_sessionize_stream's A/B, r13)
@@ -887,7 +889,12 @@ object SparkEntry {
         // compute, one-task writes) and readStream + maxFilesPerTrigger=1
         // replays them in mod-time order — the production shape (files
         // arriving at a directory), with the driver never holding a row.
-        val seq = streamGateSeq.incrementAndGet()
+        // the gate's OWN counter (not streamGateSeq, which every replay
+        // gate advances): the cleanup below keeps "this invocation and
+        // its immediate predecessor", and with a shared counter another
+        // streaming gate running in between would put the real
+        // predecessor's dir inside the deleted range
+        val seq = sessGateSeq.incrementAndGet()
         val root = java.nio.file.Paths.get(replayGateRoot, s"sess_$seq")
         // reclaim older invocations' RAM-backed sinks (keep this one and
         // its immediate predecessor, whose result frame the caller may
@@ -959,20 +966,27 @@ object SparkEntry {
             count(lit(1)).as("n_events"))
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"))
-        // 8 state partitions: this is the one replay whose keyed state is
-        // corpus-sized (every user's open sessions), so the session-merge
-        // sort + state-store work must parallelize — the r13 sf1 A/B read
-        // 23.6 s (1 part) / 15.2 (4) / 11.5 (8) / 11.9 (16), and sf0.1
-        // agrees (3.8 → 3.3 s). RocksDB provider (13.5 s) and map-side
-        // session merge (12.5 s) were both A/B'd on top of 8 and REJECTED
-        // — at this state size the default in-memory provider wins and
-        // the local merge just pays an extra per-batch sort.
+        // State partitions AUTO-SIZED from the input volume (r15): this
+        // is the one replay whose keyed state is corpus-sized (every
+        // user's open sessions), so the session-merge sort + state-store
+        // work must parallelize — but the knee MOVES with state size.
+        // Measured A/B (r13 at sf1, re-run at sf10 in r14): 8 partitions
+        // win up to sf1 (sf1: 23.6 s @1 / 15.2 @4 / 13.5 @8 / 14.3 @16),
+        // 16 win ~15% at sf10 (38.9 @8 / 33.2 @16 / 33.4 @32), and more
+        // partitions only add per-batch state-store fixed cost. The
+        // default applies the √n-sizing discipline to that measurement:
+        // parts = clamp(pow2(√(input KiB)/16), 8, 64), which reproduces
+        // the measured knee (sf0.1 ~2 MiB → 8, sf1 ~20 MiB → 8, sf10
+        // ~200 MiB → 16) and keeps growing √-rate past it. RocksDB
+        // provider (55.5 s @sf10) and map-side session merge were A/B'd
+        // and REJECTED — bounded replays never amortize RocksDB's write
+        // amplification, and local merge pays an extra per-batch sort.
         // Parquet sink: the emitted session set is also corpus-sized, so
         // it must not land in a driver-memory table either.
-        // SPARK_GRAFT_SESS_PARTS / _PROVIDER are the measurement knobs
-        // for re-running the A/B at other state sizes (sf10 sweep, r14).
+        // SPARK_GRAFT_SESS_PARTS / _PROVIDER remain the measurement
+        // overrides for re-running the A/B at other state sizes.
         val sessParts = sys.env.get("SPARK_GRAFT_SESS_PARTS")
-          .flatMap(_.toIntOption).getOrElse(8)
+          .flatMap(_.toIntOption).getOrElse(autoSessParts(dir))
         val sessConfs = sys.env.get("SPARK_GRAFT_SESS_PROVIDER")
           .filter(_ == "rocksdb").map(_ =>
             "spark.sql.streaming.stateStore.providerClass" ->

@@ -573,7 +573,17 @@ object Dedup {
     * the exchange that join needs anyway.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      sigStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // `sigStorage` is the prefixFilterPairs(shingleStorage=…) twin for
+    // THIS chain's corpus-sized persisted relation: `base` carries every
+    // doc's verification shingle-hash SET, so on one box a composite
+    // that runs this chain alongside another detector (pl_rand_index)
+    // can evict execution memory with it — DISK_ONLY trades re-read I/O
+    // for zero storage-memory pressure. On a real cluster the relation
+    // partitions across executors and the default is right.
+    //
     // ONE aggregation over the shingle relation produces BOTH the
     // signature columns and the verification sets — previously two
     // groupBys (signatures + collect_set) each shuffled the full
@@ -586,7 +596,7 @@ object Dedup {
     val base = shingleHashes(docs, n)
       .groupBy("id")
       .agg(mins.head, (mins.tail :+ collect_set(col("h")).as("hs")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(sigStorage)
     // explode into 4 band keys: (band_id, m_{2k}, m_{2k+1})
     val banded0 = bandRows(base)
     val banded =
@@ -652,7 +662,8 @@ object Dedup {
     */
   def incrementalNearDups(newDocs: DataFrame, corpusIndex: DataFrame,
       corpusShingles: DataFrame, n: Int = 3,
-      threshold: Double = 0.8, maxBucket: Int = 100): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 100,
+      shingleBuckets: Int = 0): DataFrame = {
     // new-side signatures and verification sets from ONE aggregation
     // over the batch shingles (same fusion as minhashLshPairs)
     val newMins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
@@ -680,9 +691,27 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newSets = newBase.select(col("id"), col("hs"))
+    // PARTITION-PRUNED shingle read (r15): when the persisted shingle
+    // table is hash-partitioned on `sb = pmod(xxhash64(id), shingleBuckets)`
+    // (the [[lshBandIndex]]-companion layout a 100 TB pipeline writes
+    // once), the candidate ids' buckets are collected — bounded by
+    // min(shingleBuckets, |candidates|), i.e. by the BATCH, per this
+    // operator's contract — and pushed as a PartitionFilter, so the
+    // verify stage reads only the buckets holding candidates instead of
+    // scanning the corpus-sized table (the measured 2×/decade residual
+    // of the fixed-batch gate at sf10).
+    val prunedShingles =
+      if (shingleBuckets <= 0) corpusShingles
+      else {
+        val bs = cand
+          .select(pmod(xxhash64(col("corpus_id")), lit(shingleBuckets.toLong))
+            .as("sb"))
+          .distinct().collect().map(_.getLong(0))
+        corpusShingles.filter(col("sb").isin(bs: _*)).drop("sb")
+      }
     // corpus sets materialize only for candidate ids (semi-join first:
     // at scale candidates are a sliver of the corpus)
-    val corpusSets = corpusShingles
+    val corpusSets = prunedShingles
       .join(cand.select(col("corpus_id").as("id")).distinct(), Seq("id"),
         "left_semi")
       .groupBy("id").agg(collect_set("h").as("hs"))
@@ -1134,13 +1163,15 @@ object Dedup {
     * without biting.
     */
   def simhashPairs(docs: DataFrame, nBits: Int = 60, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      sigStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // one row per doc — tiny next to the token flatMap + nBits-vote
     // aggregation that builds it; persisted so the chunk self-join's two
     // branches don't each re-run that pipeline (minhashLshPairs persists
-    // for exactly the same reason)
-    val sh = simhash(docs, nBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // for exactly the same reason). `sigStorage` mirrors that function's
+    // single-box storage lever for composites that run both chains.
+    val sh = simhash(docs, nBits).persist(sigStorage)
     pairsFromSimhash(sh, nBits, maxHamming, maxBucket)
   }
 
