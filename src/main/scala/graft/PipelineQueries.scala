@@ -58,13 +58,17 @@ object PipelineQueries {
     * sized ~corpus/64 docs each — the probe's verification then reads
     * only the buckets holding candidate ids (a PartitionFilter on the
     * scan) instead of the whole corpus-sized table, which was the
-    * measured 2×/decade residual at sf10 (SCALING.md). Returns
-    * (bandPath, shinglePath, shingleBuckets).
+    * measured 2×/decade residual at sf10 (SCALING.md). The memo holds
+    * the RESOLVED DataFrames, not just paths: re-resolving a
+    * many-partition layout re-lists every bucket directory on each
+    * probe, and in a deployment that metadata lives in the catalog —
+    * batches prune against cached partition metadata, they don't
+    * re-discover the table. Returns (bandDf, shingleDf, shingleBuckets).
     */
   private val incrIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Int)]
   private val incrIndexSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def incrIndexFixture(s: SparkSession, dir: String): (String, String, Int) =
+  private def incrIndexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) =
     incrIndexCache.computeIfAbsent(dir, _ => {
       val corpus = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 5 =!= 0)
@@ -80,6 +84,10 @@ object PipelineQueries {
       val nBuckets = math.max(8, java.lang.Integer.highestOneBit(
         math.min(corpus.count() / 64, 1 << 16).toInt.max(1)))
       Dedup.capBandBuckets(Dedup.lshBandIndex(corpus), maxBucket = 100)
+        // hash-repartition on the partition column: the dynamic-partition
+        // writer otherwise sorts the whole index in however many tasks
+        // AQE coalesced to (measured: ONE 15 s task at sf10)
+        .repartition(col("band"))
         .write.mode("overwrite").partitionBy("band").parquet(bandP)
       Dedup.shingleHashes(corpus).select("id", "h")
         .withColumn("sb", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
@@ -87,7 +95,16 @@ object PipelineQueries {
         // column so no task writes to more than its own buckets
         .repartition(math.min(nBuckets, 64), col("sb"))
         .write.mode("overwrite").partitionBy("sb").parquet(shP)
-      (bandP, shP, nBuckets)
+      // resolve ONCE, driver-side: above 32 dirs Spark otherwise lists
+      // partitions via a one-task-per-directory cluster job — measured
+      // 10.3 s for the 4096-dir layout on tmpfs vs 0.85 s listed on the
+      // driver. On a real cluster against an object store the parallel
+      // listing is right, hence a scoped conf, not a session default.
+      val tKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val prevT = s.conf.get(tKey, "32")
+      s.conf.set(tKey, "65536")
+      try (s.read.parquet(bandP), s.read.parquet(shP), nBuckets)
+      finally s.conf.set(tKey, prevT)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,7 +502,7 @@ object PipelineQueries {
     // — the full columnar scan of the persisted shingle table — now
     // scales with the batch's candidate set.
     "pl_dedup_incr_fixed" -> { (s, dir) =>
-      val (bandP, shP, nBuckets) = incrIndexFixture(s, dir)
+      val (bandIdx, shIdx, nBuckets) = incrIndexFixture(s, dir)
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val fresh = d
         .filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
@@ -494,8 +511,8 @@ object PipelineQueries {
               col("doc_id") < 2500)
             .withColumn("doc_id", col("doc_id") + 50000))
       // maxBucket = 0: the cap is already baked into the persisted index
-      Dedup.incrementalNearDups(fresh, s.read.parquet(bandP),
-          s.read.parquet(shP), maxBucket = 0, shingleBuckets = nBuckets)
+      Dedup.incrementalNearDups(fresh, bandIdx, shIdx,
+          maxBucket = 0, shingleBuckets = nBuckets)
         .select(col("new_id"), col("corpus_id"),
           sround(col("jaccard")).as("jaccard"))
         .orderBy("new_id", "corpus_id")

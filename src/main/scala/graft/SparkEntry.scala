@@ -110,7 +110,34 @@ object SparkEntry {
     * oracle; `SPARK_GRAFT_SESS_PARTS` overrides.
     */
   private[graft] def autoSessParts(dir: String): Int = {
-    val bytes = try {
+    val raw = math.sqrt(eventsBytes(dir) / 1024.0) / 16.0
+    val p2 = java.lang.Integer.highestOneBit(math.max(1, raw.toInt))
+    math.min(64, math.max(8, p2))
+  }
+
+  /** The streaming-join replays' state-partition twin of
+    * [[autoSessParts]], with a floor of ONE: their keyed state (open
+    * join windows per user) is far smaller than sessionize's, and the
+    * measured small-state rule holds — per-batch state-store fixed cost
+    * dominates up to sf1, where 1 partition stays best, while at sf10
+    * the micro-batch stages serialize on that one task (measured 3–6 s
+    * single-task stages inside `q_interval_stream`). Curve
+    * `clamp(pow2floor(√(KiB)/32), 1, 64)` keeps 1 through sf0.1 and
+    * lands 4/8 at sf1/sf10 (A/B'd in SCALING.md — 8 wins ~2× at sf10,
+    * 1 stays within noise of 4 at sf1). `SPARK_GRAFT_STREAM_PARTS`
+    * overrides for re-running the A/B.
+    */
+  private[graft] def autoJoinParts(dir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").flatMap(_.toIntOption)
+      .getOrElse {
+        val raw = math.sqrt(eventsBytes(dir) / 1024.0) / 32.0
+        val p2 = java.lang.Integer.highestOneBit(math.max(1, raw.toInt))
+        math.min(64, p2)
+      }
+
+  /** Bytes on disk of `dir`/events.parquet (file or directory). */
+  private def eventsBytes(dir: String): Long =
+    try {
       val p = java.nio.file.Paths.get(dir, "events.parquet")
       if (!java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.size(p)
@@ -124,10 +151,6 @@ object SparkEntry {
         } finally ls.close()
       }
     } catch { case _: java.io.IOException => 0L }
-    val raw = math.sqrt((bytes / 1024).toDouble) / 16.0
-    val p2 = java.lang.Integer.highestOneBit(math.max(1, raw.toInt))
-    math.min(64, math.max(8, p2))
-  }
 
   /** Per-process scratch root for file-source replay batches and sinks,
     * tmpfs-preferred, reclaimed at exit ([[GateScratch]]). Invocations
@@ -660,7 +683,7 @@ object SparkEntry {
           Seq("user_id"), lower = -2L * 3600 * 1000, upper = 0L,
           lateness = "365 days")
         val qn = s"q_interval_stream_${streamGateSeq.incrementAndGet()}"
-        runReplay(s, out, qn) { () =>
+        runReplay(s, out, qn, partitions = autoJoinParts(dir)) { () =>
           val lb = clicks.grouped(math.max(1, (clicks.length + 1) / 2)).toSeq
           val rb = errors.grouped(math.max(1, (errors.length + 1) / 2)).toSeq
           (0 until 2).map { i => () =>
@@ -707,7 +730,7 @@ object SparkEntry {
           rMem.toDS().toDF("user_id", "ts", "err_value"),
           keyCols = Seq("user_id"), lateness = "30 days")
         val qn = s"q_asof_stream_${streamGateSeq.incrementAndGet()}"
-        runReplay(s, out, qn) { () =>
+        runReplay(s, out, qn, partitions = autoJoinParts(dir)) { () =>
           val lb = clicks.grouped(math.max(1, (clicks.length + 1) / 2)).toSeq
           val rb = errors.grouped(math.max(1, (errors.length + 1) / 2)).toSeq
           val replay = (0 until 2).map { i => () =>

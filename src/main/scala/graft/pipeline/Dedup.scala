@@ -707,7 +707,17 @@ object Dedup {
           .select(pmod(xxhash64(col("corpus_id")), lit(shingleBuckets.toLong))
             .as("sb"))
           .distinct().collect().map(_.getLong(0))
-        corpusShingles.filter(col("sb").isin(bs: _*)).drop("sb")
+        // literal type MUST match the partition column's inferred type
+        // (hive-style partition values read back as int): a Long literal
+        // list coerces the int column through a CAST, and a cast around
+        // a partition column silently defeats partition pruning — the
+        // measured difference is a 4096-file corpus scan every probe
+        val vals: Seq[Any] =
+          corpusShingles.schema("sb").dataType match {
+            case org.apache.spark.sql.types.IntegerType => bs.map(_.toInt).toSeq
+            case _ => bs.toSeq
+          }
+        corpusShingles.filter(col("sb").isInCollection(vals)).drop("sb")
       }
     // corpus sets materialize only for candidate ids (semi-join first:
     // at scale candidates are a sliver of the corpus)
