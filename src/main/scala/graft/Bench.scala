@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
   * Trust, then verify: a gate whose in-sweep median lands >2× its
   * COMMITTED expectation (`bench_expected_<sf>.json` resource), or
   * whose samples still spread >2× after resampling, is re-measured in
-  * a fresh child JVM and the SMALLER of the two medians is recorded —
+  * a fresh child JVM and the SMALLER of the two medians is recorded.
+  * All escalation BARS are host-speed-normalized (r16): they scale by
+  * max(cal/0.249, sweep-wide median of median/floor), clamped ≤2.5 —
+  * committed floors are fast-day minima, and on a uniformly slower
+  * host comparing today's medians to them queued 44 "violations" of
+  * which 9 fit the budget (r15 official record). Recorded values are
+  * never scaled —
   * both measurements can only over-estimate (shared-JVM cache/GC wake
   * in-sweep, cold-JIT ramp in the child), so the min is the best
   * attested true cost and the sweep-of-record matches targeted reruns.
@@ -41,6 +47,21 @@ object Bench {
   // host-speed calibration seconds for the emit line (set once per run;
   // -1 = not measured, field omitted). See the measurement in main().
   private var calibration: Double = -1.0
+  // cal reading on the quiet r15 build host — the session class the
+  // committed floors date from. The escalation BARS (never the recorded
+  // values) scale by calibration/calReference so a uniformly slow host
+  // doesn't queue every fast-day floor as a "violation" (r15 official:
+  // 44 queued, 9 ground-truthed before the budget died — most were host
+  // speed, per the same-day shakedown's clean children at 1.5-2× floor).
+  private val calReference = 0.249
+  // clamped: ≥1 (a fast host must not LOWER the bars below the committed
+  // contract) and ≤2 (a probe that itself caught a load spike must not
+  // double the bars off one bad sample; broader slowness is handled by
+  // the sweep-wide hostFactor below, which is measured on 200+ gates)
+  private def calFactor: Double =
+    if (calibration > 0)
+      math.min(2.0, math.max(1.0, calibration / calReference))
+    else 1.0
 
   def main(args: Array[String]): Unit = {
     // opt-in per-gate isolation (diagnostic mode): each listed query runs
@@ -245,8 +266,12 @@ object Bench {
       // filters = dev iteration; children are invoked with their gate
       // name, so this can't recurse). The 0.2 s expectation floor keeps
       // 0.05 s gates from buying a 10 s child JVM over absolute noise.
+      // calFactor: the same-JVM calibration probe ran before the sweep,
+      // so the inline trigger can already discount a uniformly slow
+      // host; the sweep-wide hostFactor (measurable only once every
+      // median is in) re-filters the queue below
       val overExpected = expected.get(name)
-        .exists(e => median > 2.0 * math.max(e, 0.2))
+        .exists(e => median > 2.0 * calFactor * math.max(e, 0.2))
       val stillSpread = spreadOf(times) > 2.0 && median < 10.0
       val spreadOnly = stillSpread && !overExpected
       if (args.isEmpty && (overExpected || (spreadOnly && spreadBudget > 0))) {
@@ -254,6 +279,52 @@ object Bench {
         toEscalate += name
       }
       name -> median
+    }
+    // HOST FACTOR (r16): the calibration probe is one CPU-bound job and
+    // under-reads the slow-host modes that hit real gates hardest (r15:
+    // cal 0.267 vs 0.249 ≈ +7% while clean fresh-JVM children read
+    // 1.5-2× the committed floors all day). The sweep itself is the
+    // better speedometer: the MEDIAN of (in-sweep median / committed
+    // floor) across every floor-keyed gate reads ~1 on a fast day
+    // (floors are minima) and tracks the host's true slowdown on a slow
+    // one — no single gate's regression can move the median of 200+
+    // ratios, so scaling the bars by it cannot mask a real per-gate
+    // regression, only a fleet-wide one (which is the slow-host
+    // signature by definition). Escalation bars — the queue filter, the
+    // children's clean bar, the canary's floor — all scale by it;
+    // recorded values never do (they stay min(in-sweep, children)).
+    val inSweep = results.toMap
+    val hostFactor: Double = {
+      val ratios = results.flatMap { case (n, m) =>
+        expected.get(n).map(e => m / math.max(e, 0.2))
+      }.sorted
+      val medRatio =
+        if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      math.min(2.5, math.max(calFactor, medRatio))
+    }
+    if (args.isEmpty && hostFactor > 1.05) System.err.println(
+      f"[bench-cal] host factor $hostFactor%.2f (cal $calibration%.3f vs " +
+        f"$calReference ref; sweep-wide median floor ratio) — escalation " +
+        "bars scaled, recorded values unaffected")
+    // re-filter the queue at the host-scaled bar: gates the inline 2×
+    // trigger caught but the day's speed explains ship their in-sweep
+    // medians without burning a child JVM. Spread-only candidates (no
+    // floor violation, just noisy samples) are dropped wholesale on a
+    // slow host — ambient jitter widens every sub-10 s gate's spread and
+    // those children bought no information in the r15 record.
+    locally {
+      val dropped = toEscalate.toSeq.filterNot { n =>
+        expected.get(n) match {
+          case Some(e) => inSweep(n) > 2.0 * hostFactor * math.max(e, 0.2)
+          case None => hostFactor <= 1.25
+        }
+      }
+      if (dropped.nonEmpty) {
+        System.err.println(s"[bench-escalate] ${dropped.size} candidates " +
+          s"within the host-scaled bar ship in-sweep medians: " +
+          dropped.mkString(","))
+        toEscalate --= dropped
+      }
     }
     // free the sweep JVM's executors/heap BEFORE the ground-truth
     // children run — they need the machine to themselves
@@ -340,7 +411,7 @@ object Bench {
             s"left vs ~${projectedChildrenSec.toInt}s of queued children")
         return
       }
-      val cFloor = 2.0 * math.max(cf, 0.2) + 0.35
+      val cFloor = 2.0 * hostFactor * math.max(cf, 0.2) + 0.35
       var tries = 0
       var clean = false
       // 2 probes × 5 s backoff, not r13's 4 × 15 s: each busy probe
@@ -365,11 +436,15 @@ object Bench {
       slotVouched()
     }
     // a gate child that comes back clean right after the canary said
-    // busy impeaches the canary (see canaryCredible above)
-    def childVerdict(clean: Boolean): Unit = {
+    // busy impeaches the canary (see canaryCredible above). Only a
+    // child with a COMMITTED floor counts as a contradiction: for a
+    // spread-only gate cleanEnough reduces to "did not crash", which is
+    // not evidence about host speed, and two such gates would retire
+    // the canary on a genuinely busy host.
+    def childVerdict(clean: Boolean, attested: Boolean): Unit = {
       if (clean) {
         slotVouched()
-        if (lastProbeBusy) {
+        if (lastProbeBusy && attested) {
           canaryContradictions += 1
           if (!canaryCredible) System.err.println(
             "[bench-canary] retired: busy verdicts twice contradicted " +
@@ -388,7 +463,6 @@ object Bench {
     // gates (no committed expectation) after, by raw median: a single
     // sort key mixing units let a clean-but-slow spread-only gate
     // outrank a genuine floor violation.
-    val inSweep = results.toMap
     val escOrder = toEscalate.toSeq.sortBy { n =>
       expected.get(n) match {
         case Some(e) => (0, -(inSweep(n) - math.max(e, 0.2)))
@@ -428,11 +502,15 @@ object Bench {
           .max(observedAvgSec * (escOrder.size - idx))
         val median = inSweep(name)
         val floor = expected.get(name).map(e => math.max(e, 0.2))
+        // host-scaled clean bar: a child at 1.8× floor on a 1.5×-speed
+        // day is a credible measurement, not a busy window — retrying
+        // it burns budget re-measuring the host (the r15 shakedown
+        // spent ~2/3 of its child time exactly there)
         def cleanEnough(v: Double): Boolean =
-          v > 0 && floor.forall(f => v <= 2.0 * f)
+          v > 0 && floor.forall(f => v <= 2.0 * hostFactor * f)
         awaitIdleSlot(projectedChildrenSec)
         val iso = runChild(name)
-        childVerdict(cleanEnough(iso))
+        childVerdict(cleanEnough(iso), floor.isDefined)
         // SECOND-CHANCE children: a child JVM can itself land in a busy
         // window on a loaded machine (r8 driver record: children agreed
         // with 4-5× inflated in-sweep medians that targeted reruns put
@@ -446,7 +524,7 @@ object Bench {
           retriesLeft -= 1
           awaitIdleSlot(projectedChildrenSec)
           val r = runChild(name)
-          childVerdict(cleanEnough(r))
+          childVerdict(cleanEnough(r), floor.isDefined)
           retries += r
         }
         // consistent-but-over-bar children: credible measurement, not a
@@ -460,7 +538,12 @@ object Bench {
               "[bench-escalate] retries retired: consecutive gates' " +
                 "children agree over the floor bar — host slower than " +
                 "the committed minima, one child per gate from here")
-          } else if (retries.nonEmpty) retryFutility = 0
+          } else if (retries.nonEmpty || cleanEnough(iso)) {
+            // a clean first child is evidence AGAINST host-wide
+            // slowness too: without this reset "two consecutive"
+            // futile gates could straddle any number of clean ones
+            retryFutility = 0
+          }
         }
         escSpentNanos += System.nanoTime() - gateStart
         escDone += 1

@@ -64,42 +64,60 @@ object PipelineQueries {
     * probe, and in a deployment that metadata lives in the catalog —
     * batches prune against cached partition metadata, they don't
     * re-discover the table. Returns (bandDf, shingleDf, shingleBuckets).
+    *
+    * Two memo layers because they have different lifetimes: the WRITTEN
+    * index (paths + bucket count) is per source dir — build once per
+    * JVM — while a resolved `DataFrame` is bound to the `SparkSession`
+    * that resolved it, so frames memoize per (session, dir). A single
+    * dir-keyed frame memo handed a second, fresh session frames
+    * referencing a stopped one (the stale-state class that zeroed a
+    * gate in an earlier round). Session keys are reference-identity;
+    * the map retains at most one tuple per session ever opened in the
+    * JVM — bounded and tiny for every real caller.
     */
-  private val incrIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Int)]
+  private[graft] val incrIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int)]
+  private[graft] val incrIndexFrames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, Int)]
   private val incrIndexSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def incrIndexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) =
-    incrIndexCache.computeIfAbsent(dir, _ => {
-      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 5 =!= 0)
-      // per-JVM sequence, not a dir-string hash: two source dirs with
-      // colliding 32-bit hashes would silently share (and overwrite)
-      // one index path while the memo cache kept them distinct
-      val sub = incrIndexSeq.incrementAndGet().toString
-      val bandP = s"$ivfGateRoot/incr_band_$sub"
-      val shP = s"$ivfGateRoot/incr_sh_$sub"
-      // ~64 docs' shingles per bucket, power of two: sf0.1 → 32 buckets,
-      // sf10 → 4096 — bucket count grows with the corpus so a FIXED
-      // batch's candidate set touches an ever-smaller fraction of it
-      val nBuckets = math.max(8, java.lang.Integer.highestOneBit(
-        math.min(corpus.count() / 64, 1 << 16).toInt.max(1)))
-      Dedup.capBandBuckets(Dedup.lshBandIndex(corpus), maxBucket = 100)
-        // hash-repartition on the partition column: the dynamic-partition
-        // writer otherwise sorts the whole index in however many tasks
-        // AQE coalesced to (measured: ONE 15 s task at sf10)
-        .repartition(col("band"))
-        .write.mode("overwrite").partitionBy("band").parquet(bandP)
-      Dedup.shingleHashes(corpus).select("id", "h")
-        .withColumn("sb", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
-        // one file per bucket dir: hash-repartition on the partition
-        // column so no task writes to more than its own buckets
-        .repartition(math.min(nBuckets, 64), col("sb"))
-        .write.mode("overwrite").partitionBy("sb").parquet(shP)
-      // resolve ONCE, driver-side: above 32 dirs Spark otherwise lists
-      // partitions via a one-task-per-directory cluster job — measured
-      // 10.3 s for the 4096-dir layout on tmpfs vs 0.85 s listed on the
-      // driver. On a real cluster against an object store the parallel
-      // listing is right, hence a scoped conf, not a session default.
+  private[graft] def incrIndexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) =
+    incrIndexFrames.computeIfAbsent((s, dir), _ => {
+      val (bandP, shP, nBuckets) = incrIndexPaths.computeIfAbsent(dir, _ => {
+        val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 5 =!= 0)
+        // per-JVM sequence, not a dir-string hash: two source dirs with
+        // colliding 32-bit hashes would silently share (and overwrite)
+        // one index path while the memo cache kept them distinct
+        val sub = incrIndexSeq.incrementAndGet().toString
+        val bandPath = s"$ivfGateRoot/incr_band_$sub"
+        val shPath = s"$ivfGateRoot/incr_sh_$sub"
+        // ~64 docs' shingles per bucket, power of two: sf0.1 → 32
+        // buckets, sf10 → 4096 — bucket count grows with the corpus so
+        // a FIXED batch's candidate set touches an ever-smaller
+        // fraction of it
+        val nb = math.max(8, java.lang.Integer.highestOneBit(
+          math.min(corpus.count() / 64, 1 << 16).toInt.max(1)))
+        Dedup.capBandBuckets(Dedup.lshBandIndex(corpus), maxBucket = 100)
+          // hash-repartition on the partition column: the
+          // dynamic-partition writer otherwise sorts the whole index in
+          // however many tasks AQE coalesced to (measured: ONE 15 s
+          // task at sf10)
+          .repartition(col("band"))
+          .write.mode("overwrite").partitionBy("band").parquet(bandPath)
+        Dedup.shingleHashes(corpus).select("id", "h")
+          .withColumn("sb", pmod(xxhash64(col("id")), lit(nb.toLong)))
+          // one file per bucket dir: hash-repartition on the partition
+          // column so no task writes to more than its own buckets
+          .repartition(math.min(nb, 64), col("sb"))
+          .write.mode("overwrite").partitionBy("sb").parquet(shPath)
+        (bandPath, shPath, nb)
+      })
+      // resolve once PER SESSION, driver-side: above 32 dirs Spark
+      // otherwise lists partitions via a one-task-per-directory cluster
+      // job — measured 10.3 s for the 4096-dir layout on tmpfs vs
+      // 0.85 s listed on the driver. On a real cluster against an
+      // object store the parallel listing is right, hence a scoped
+      // conf, not a session default.
       val tKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
       val prevT = s.conf.get(tKey, "32")
       s.conf.set(tKey, "65536")

@@ -109,11 +109,13 @@ object SparkEntry {
     * ever doubles per QUADRUPLING of the input. Plan-invisible to the
     * oracle; `SPARK_GRAFT_SESS_PARTS` overrides.
     */
-  private[graft] def autoSessParts(dir: String): Int = {
-    val raw = math.sqrt(eventsBytes(dir) / 1024.0) / 16.0
-    val p2 = java.lang.Integer.highestOneBit(math.max(1, raw.toInt))
-    math.min(64, math.max(8, p2))
-  }
+  private[graft] def autoSessParts(dir: String): Int =
+    sys.env.get("SPARK_GRAFT_SESS_PARTS").flatMap(_.toIntOption)
+      .getOrElse {
+        val raw = math.sqrt(eventsBytes(dir) / 1024.0) / 16.0
+        val p2 = java.lang.Integer.highestOneBit(math.max(1, raw.toInt))
+        math.min(64, math.max(8, p2))
+      }
 
   /** The streaming-join replays' state-partition twin of
     * [[autoSessParts]], with a floor of ONE: their keyed state (open
@@ -135,20 +137,24 @@ object SparkEntry {
         math.min(64, p2)
       }
 
-  /** Bytes on disk of `dir`/events.parquet (file or directory). */
+  /** Bytes on disk of `dir`/events.parquet (file or directory).
+    * Recursive: a hive-partitioned layout nests its part files, and a
+    * top-level-only sum would undercount it to near zero, collapsing
+    * [[autoSessParts]]/[[autoJoinParts]] to their floors.
+    */
   private def eventsBytes(dir: String): Long =
     try {
       val p = java.nio.file.Paths.get(dir, "events.parquet")
       if (!java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.size(p)
       else {
-        val ls = java.nio.file.Files.list(p)
+        val ws = java.nio.file.Files.walk(p)
         try {
           val b = List.newBuilder[java.nio.file.Path]
-          ls.forEach(b += _)
+          ws.forEach(b += _)
           b.result().filter(java.nio.file.Files.isRegularFile(_))
             .map(java.nio.file.Files.size).sum
-        } finally ls.close()
+        } finally ws.close()
       }
     } catch { case _: java.io.IOException => 0L }
 
@@ -1008,8 +1014,7 @@ object SparkEntry {
         // it must not land in a driver-memory table either.
         // SPARK_GRAFT_SESS_PARTS / _PROVIDER remain the measurement
         // overrides for re-running the A/B at other state sizes.
-        val sessParts = sys.env.get("SPARK_GRAFT_SESS_PARTS")
-          .flatMap(_.toIntOption).getOrElse(autoSessParts(dir))
+        val sessParts = autoSessParts(dir)
         val sessConfs = sys.env.get("SPARK_GRAFT_SESS_PROVIDER")
           .filter(_ == "rocksdb").map(_ =>
             "spark.sql.streaming.stateStore.providerClass" ->

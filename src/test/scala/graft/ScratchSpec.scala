@@ -74,4 +74,21 @@ class ScratchSpec extends AnyFunSuite {
     assert(SparkEntry.autoSessParts(d.toString) === 16) // ~214 MB total
     GateScratch.rmTree(d)
   }
+
+  test("autoSessParts recurses a hive-partitioned events.parquet") {
+    // part files nested under partition dirs: a top-level-only listing
+    // sees zero regular files and collapses sizing to the 8 floor
+    val d = java.nio.file.Files.createTempDirectory("sess_parts_nested")
+    val ev = d.resolve("events.parquet")
+    Seq("day=2026-01-01", "day=2026-01-02").zipWithIndex.foreach {
+      case (part, i) =>
+        val pd = ev.resolve(part)
+        java.nio.file.Files.createDirectories(pd)
+        val f = new java.io.RandomAccessFile(
+          pd.resolve(s"part-$i.parquet").toFile, "rw")
+        try f.setLength(107000000L) finally f.close()
+    }
+    assert(SparkEntry.autoSessParts(d.toString) === 16) // ~214 MB total
+    GateScratch.rmTree(d)
+  }
 }

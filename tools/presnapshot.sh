@@ -13,6 +13,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Floor-provenance freshness: whenever a floor table changed in the
+# working tree, the committed sidecar must be regenerated with it —
+# r15 folded new minima without a matching provenance run, leaving the
+# sidecar to describe floors that no longer existed.
+if ! git diff --quiet HEAD -- src/main/resources/bench_expected_sf0.1.json \
+    src/main/resources/bench_expected_sf1.json 2>/dev/null; then
+  echo "== presnapshot: floor tables changed — regenerating provenance sidecars =="
+  python3 tools/floor_provenance.py
+fi
+
 echo "== presnapshot: sbt compile =="
 sbt -batch compile
 
