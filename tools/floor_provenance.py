@@ -109,6 +109,16 @@ def main():
             for g, v in parse_queries(txt).items():
                 if g in obs:
                     obs[g].append(v)
+        # committed attestation log (tools/attest.py): targeted
+        # ground-truth reruns are the best measurements we take, but
+        # before r16 they lived only in session logs -- a floor could be
+        # re-attested three times in a day and still read "never
+        # reproduced". Format: {gate: [seconds, ...]}, append-only.
+        att_path = os.path.join(REPO, f"tools/bench_attestations_{sf}.json")
+        if os.path.exists(att_path):
+            for g, vs in json.load(open(att_path)).items():
+                if g in obs:
+                    obs[g].extend(float(v) for v in vs)
 
         prov = {}
         for gate in sorted(floors_now):
