@@ -1153,9 +1153,9 @@ object Dedup {
   }
 
   /** Near-dup pairs with Hamming distance ≤ `maxHamming` over `nBits`
-    * SimHash. Scale path: split the hash into maxHamming+1 chunks — by
-    * pigeonhole, any pair within the radius shares at least one chunk —
-    * and join on (chunk_id, chunk_value) buckets only.
+    * SimHash. Default scale path: split the hash into maxHamming+1
+    * chunks — by pigeonhole, any pair within the radius shares at
+    * least one chunk — and join on (chunk_id, chunk_value) buckets.
     *
     * Chunk width is the candidate lever: an 8-bit chunk has 256 values,
     * so a corpus whose sign bits correlate (shared topic vocabulary makes
@@ -1164,25 +1164,82 @@ object Dedup {
     * the full md5-60 budget) disperse the same corpus to ~0.28M. Pass the
     * widest hash the downstream precision budget allows.
     *
+    * `blocks` > maxHamming+1 (dividing nBits) opts into the
+    * block-COMBINATION multi-index instead — the table form of Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling"
+    * (WWW 2007): a pair within radius r matches at least blocks−r
+    * blocks exactly, so every C(blocks, blocks−r) block choice keys a
+    * table on the concatenated chosen blocks. blocks=6 at r=3 matches
+    * 30 bits per table instead of 15 and cut the candidate mass 12.5×
+    * on the r16 A/B (63.7M → 5.1M at 500k docs) — but it LOST wall-
+    * clock at every measured scale (sf1 3.4 → 3.5 s, sf10 8.1 → 12.9 s
+    * uncapped; the capped variant's 20n-row bucket-guard aggregate is
+    * worse still), because 60M codegen'd bit_count+filter candidates
+    * are cheaper than the 5× larger index shuffle. It stays as the
+    * documented web-scale lever: pigeonhole candidates grow n²/2^15
+    * (quadratic, ~6.4B at 5M docs) while the combo index stays 20n +
+    * near-output-bound — the crossover sits around ~5M docs, far above
+    * every gated fixture but squarely inside 100 TB territory. Both
+    * schemes are lossless at the radius (SCALING.md "r16 follow-ups").
+    *
     * `maxBucket` is the chunk-bucket twin of [[minhashLshPairs]]'
     * band-bucket skew guard: a (chunk, value) bucket with B members
     * contributes B²/2 candidate pairs, so buckets above the cap are
     * dropped wholesale before the self-join (oracle SQL replays the
     * identical cap); ≤ 0 disables. Default sits >3× over the largest
     * bucket observed on the test corpus at 60 bits (269), so it guards
-    * without biting.
+    * without biting at gate scale; at sf10 it starts to bite (6.3k of
+    * 211k true pairs dropped with their over-cap buckets) — the
+    * documented recall price of the skew fuse.
     */
   def simhashPairs(docs: DataFrame, nBits: Int = 60, maxHamming: Int = 3,
       maxBucket: Int = 1000,
       sigStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      blocks: Int = 0): DataFrame = {
     // one row per doc — tiny next to the token flatMap + nBits-vote
     // aggregation that builds it; persisted so the chunk self-join's two
     // branches don't each re-run that pipeline (minhashLshPairs persists
     // for exactly the same reason). `sigStorage` mirrors that function's
     // single-box storage lever for composites that run both chains.
     val sh = simhash(docs, nBits).persist(sigStorage)
-    pairsFromSimhash(sh, nBits, maxHamming, maxBucket)
+    val keyed =
+      if (blocks > maxHamming + 1 && nBits % blocks == 0)
+        simhashComboKeyed(sh, nBits, blocks, blocks - maxHamming)
+      else simhashChunked(sh, nBits, maxHamming + 1)
+    pairsFromKeyed(keyed, sh, maxHamming, maxBucket)
+  }
+
+  /** Lexicographic block combinations for [[simhashPairs]]' multi-index:
+    * (combo id, chosen block indices). ONE definition parameterizes both
+    * the Spark explode and the DuckDB oracle's VALUES table, so the
+    * (combo, key) bucket structure — and with it the `maxBucket` cap —
+    * is bit-identical across engines.
+    */
+  def simhashCombos(blocks: Int, matchBlocks: Int): Seq[(Int, Seq[Int])] =
+    (0 until blocks).combinations(matchBlocks).toSeq.zipWithIndex
+      .map { case (bs, i) => (i, bs.toSeq) }
+
+  /** (id, simhash) → one row per block combination: (id, simhash, c, v)
+    * with v = the matchBlocks chosen block values packed low-to-high in
+    * combo order (matchBlocks · width ≤ 63 bits by construction).
+    */
+  private def simhashComboKeyed(sh: DataFrame, nBits: Int, blocks: Int,
+      matchBlocks: Int): DataFrame = {
+    val width = nBits / blocks
+    val mask = (1L << width) - 1
+    val structs = simhashCombos(blocks, matchBlocks).map { case (ci, bs) =>
+      struct(
+        lit(ci).as("c"),
+        bs.zipWithIndex.map { case (b, j) =>
+          shiftleft(
+            shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)),
+            j * width)
+        }.reduce(_ + _).as("v"))
+    }
+    sh.select(col("id"), col("simhash"),
+        explode(array(structs: _*)).as("ck"))
+      .select(col("id"), col("simhash"), col("ck.c"), col("ck.v"))
   }
 
   /** (id, simhash) → one row per pigeonhole chunk: (id, simhash, c, v). */
@@ -1200,11 +1257,23 @@ object Dedup {
   }
 
   /** Chunk-bucket candidate join over a pre-persisted (id, simhash)
-    * relation; unpersists `sh` once the pair set is materialized.
+    * relation via the (r+1)-chunk pigeonhole index; unpersists `sh`
+    * once the pair set is materialized. [[simhashPairsAuto]]'s
+    * candidate-mass probe prices exactly this index, so the auto
+    * operator stays on it — tightening the radius is its scale lever,
+    * where [[simhashPairs]]' is the combinatorial index.
     */
   private def pairsFromSimhash(sh: DataFrame, nBits: Int, maxHamming: Int,
-      maxBucket: Int): DataFrame = {
-    val chunked0 = simhashChunked(sh, nBits, maxHamming + 1)
+      maxBucket: Int): DataFrame =
+    pairsFromKeyed(simhashChunked(sh, nBits, maxHamming + 1), sh,
+      maxHamming, maxBucket)
+
+  /** Bucket-guarded candidate self-join + radius filter over any keyed
+    * (id, simhash, c, v) index relation; unpersists `sh` once the pair
+    * set is materialized.
+    */
+  private def pairsFromKeyed(chunked0: DataFrame, sh: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     // bucket-size guard: semi-join on the same (c, v) key the candidate
     // join shuffles on, so it rides the exchange that join needs anyway
     val chunkedG =

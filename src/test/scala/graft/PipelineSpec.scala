@@ -188,6 +188,21 @@ class PipelineSpec extends SparkSpec {
     assert(caught > 0.7, s"simhash caught $caught of jaccard near-dups")
   }
 
+  test("combinatorial simhash index finds the same pairs as the pigeonhole") {
+    // both schemes are lossless at the radius, so uncapped they must
+    // produce the identical pair set — the contract that makes blocks=6
+    // a pure scale lever (the r16 A/B in SCALING.md picks between them
+    // on candidate mass vs index size, never on output)
+    val pig = Dedup.simhashPairs(docs, nBits = 60, maxHamming = 3,
+        maxBucket = 0)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect().toSet
+    val comb = Dedup.simhashPairs(docs, nBits = 60, maxHamming = 3,
+        maxBucket = 0, blocks = 6)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pig === comb)
+    assert(pig.nonEmpty)
+  }
+
   test("near-dup blocked join equals brute-force pairs; no cartesian in plan") {
     import graft.functions.GraftFunctions.dotp
     val res = Similarity.nearDupPairs(emb, threshold = 0.45, nBlocks = 4)
