@@ -80,7 +80,14 @@ object PipelineQueries {
   private[graft] val incrIndexFrames =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, Int)]
   private val incrIndexSeq = new java.util.concurrent.atomic.AtomicLong()
-  private[graft] def incrIndexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) =
+  private[graft] def incrIndexFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
+    // evict tuples whose session has been stopped: without this a
+    // session-per-batch driver pins one dead session (and its whole
+    // session state, reachable through the memoized frames) per batch
+    // for the JVM's lifetime
+    incrIndexFrames.keySet.removeIf { case (sess, _) =>
+      sess.sparkContext.isStopped
+    }
     incrIndexFrames.computeIfAbsent((s, dir), _ => {
       val (bandP, shP, nBuckets) = incrIndexPaths.computeIfAbsent(dir, _ => {
         val corpus = docs(s, dir).select(col("doc_id"), col("text"))
@@ -124,6 +131,7 @@ object PipelineQueries {
       try (s.read.parquet(bandP), s.read.parquet(shP), nBuckets)
       finally s.conf.set(tKey, prevT)
     })
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------

@@ -156,7 +156,13 @@ object SparkEntry {
             .map(java.nio.file.Files.size).sum
         } finally ws.close()
       }
-    } catch { case _: java.io.IOException => 0L }
+    } catch {
+      // Files.walk wraps traversal errors (entry deleted mid-walk by a
+      // concurrent writer, unreadable subdir) in UncheckedIOException —
+      // both degrade to the 0-bytes floor, never a crash
+      case _: java.io.IOException => 0L
+      case _: java.io.UncheckedIOException => 0L
+    }
 
   /** Per-process scratch root for file-source replay batches and sinks,
     * tmpfs-preferred, reclaimed at exit ([[GateScratch]]). Invocations

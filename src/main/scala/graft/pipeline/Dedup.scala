@@ -1202,9 +1202,16 @@ object Dedup {
     // branches don't each re-run that pipeline (minhashLshPairs persists
     // for exactly the same reason). `sigStorage` mirrors that function's
     // single-box storage lever for composites that run both chains.
+    // an invalid opt-in must fail loudly, not silently take the
+    // pigeonhole path: at the multi-million-doc scale the lever exists
+    // for, the quadratic fallback is a multi-order-of-magnitude cliff
+    require(blocks == 0 ||
+      (blocks > maxHamming + 1 && nBits % blocks == 0),
+      s"blocks=$blocks must be 0 (pigeonhole) or a divisor of " +
+        s"nBits=$nBits greater than maxHamming+1=${maxHamming + 1}")
     val sh = simhash(docs, nBits).persist(sigStorage)
     val keyed =
-      if (blocks > maxHamming + 1 && nBits % blocks == 0)
+      if (blocks != 0)
         simhashComboKeyed(sh, nBits, blocks, blocks - maxHamming)
       else simhashChunked(sh, nBits, maxHamming + 1)
     pairsFromKeyed(keyed, sh, maxHamming, maxBucket)

@@ -31,8 +31,15 @@ def main():
         return 2
     record_path, sf = sys.argv[1], sys.argv[2]
     replace = set()
-    if len(sys.argv) >= 5 and sys.argv[3] == "--replace":
-        replace = set(sys.argv[4].split(","))
+    extra = sys.argv[3:]
+    if extra:
+        # strict: a mistyped/incomplete --replace silently min-folding
+        # would leave the operator believing a re-baseline happened
+        if len(extra) != 2 or extra[0] != "--replace" or not extra[1]:
+            print(f"unrecognized arguments: {' '.join(extra)}\n")
+            print(__doc__)
+            return 2
+        replace = set(extra[1].split(","))
 
     rec = json.load(open(record_path))
     queries = rec["queries"] if "queries" in rec else rec
