@@ -395,6 +395,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash combo index is lossless at the radius for ANY bit pattern") {
+    // the pigeonhole argument behind Dedup.simhashPairs(blocks = 6):
+    // flipping ≤ 3 of 60 bits damages ≤ 3 of the 6 ten-bit blocks, so
+    // some C(6,3) combination of UNdamaged blocks must key both hashes
+    // identically. Adversarial generator: flips spread across DISTINCT
+    // blocks (the worst case — clustered flips damage fewer blocks).
+    val combos = graft.pipeline.Dedup.simhashCombos(6, 3)
+    assert(combos.size === 20)
+    assert(combos.map(_._1) === (0 until 20)) // ids = positions
+    assert(combos.map(_._2).distinct.size === 20)
+    def keyOf(h: Long, bs: Seq[Int]): Long =
+      bs.zipWithIndex.map { case (b, j) =>
+        (((h >>> (b * 10)) & 1023L) << (j * 10))
+      }.sum
+    val caseGen = for {
+      h <- Gen.choose(0L, (1L << 60) - 1)
+      nFlips <- Gen.choose(0, 3)
+      blocksHit <- Gen.pick(nFlips, 0 until 6)
+      offsets <- Gen.listOfN(nFlips, Gen.choose(0, 9))
+    } yield (h, blocksHit.zip(offsets).map { case (b, o) => b * 10 + o })
+    for ((h1, flips) <- samples(Gen.listOfN(40, caseGen)).flatten) {
+      val h2 = flips.foldLeft(h1)((h, bit) => h ^ (1L << bit))
+      assert(combos.exists { case (_, bs) => keyOf(h1, bs) == keyOf(h2, bs) },
+        s"pair within radius ${flips.size} missed: $h1 vs $h2")
+    }
+    // and the converse guard: a pair damaged in 4 DISTINCT blocks needs
+    // not share any combo (the index is allowed to miss it — radius 3
+    // is the contract); spot-check one such pattern stays un-keyed only
+    // when all four damaged blocks break every 3-subset... which C(6,3)
+    // cannot guarantee (two clean blocks < 3), so it MUST be missable:
+    val h = 0L
+    val far = (0 until 4).foldLeft(h)((x, b) => x ^ (1L << (b * 10)))
+    assert(!combos.forall { case (_, bs) => keyOf(h, bs) == keyOf(far, bs) })
+  }
+
   test("SeqWindows: windows are strictly increasing under concurrent claims") {
     val seqs = new graft.ingest.SeqWindows(() => 1704412800000L) // frozen clock
     val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
