@@ -72,7 +72,8 @@ object SparkEntry {
     * CTE truth.
     */
   private def buildMaintainedStore(s: SparkSession, dir: String,
-      withLate: Boolean = true): graft.store.Store = {
+      withLate: Boolean = true,
+      at: Option[String] = None): graft.store.Store = {
     val d = DpView.dp(s, dir)
       .filter(col("metric") === "error" &&
         col("ts").between(T0, scanEnd(T1, SIXH)))
@@ -83,7 +84,8 @@ object SparkEntry {
     // so the benched ingest prices the machinery (Spark jobs + manifest
     // commits), not /tmp's disk — the gate's numbers otherwise swing
     // multi-second with page-cache state
-    val st = new graft.store.Store(s, GateScratch.root("graft_store_gate"))
+    val st = new graft.store.Store(s,
+      at.getOrElse(GateScratch.root("graft_store_gate")))
     st.ingest(d)
     if (withLate) st.ingest(late)
     st
@@ -237,11 +239,35 @@ object SparkEntry {
   }
 
   // memoized per source dir: q_routed_maintained times the routed query,
-  // not the fixture's two full ingests (those are q_store_ingest's job)
-  private val storeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.store.Store]
-  private def storeFixture(s: SparkSession, dir: String): graft.store.Store =
-    storeCache.computeIfAbsent(dir, _ => buildMaintainedStore(s, dir))
+  // not the fixture's two full ingests (those are q_store_ingest's job).
+  // Two layers with different lifetimes — the INGESTED store root is
+  // per dir (all store state is on-disk behind the manifest protocol,
+  // built once per JVM), while a Store HANDLE holds the SparkSession
+  // that opens it, so handles memoize per (session, dir) with
+  // stopped-session entries evicted: a dir-keyed handle memo would give
+  // a second fresh session a store bound to a stopped one (the same
+  // stale-state class PipelineQueries.incrIndexFixture fixed in r16).
+  private val storeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val storeHandles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.store.Store]
+  private def storeFixture(s: SparkSession, dir: String): graft.store.Store = {
+    storeHandles.keySet.removeIf { case (sess, _) =>
+      sess.sparkContext.isStopped
+    }
+    storeHandles.computeIfAbsent((s, dir), _ => {
+      var built: graft.store.Store = null
+      val root = storeRoots.computeIfAbsent(dir, _ => {
+        val r = GateScratch.root("graft_store_gate")
+        built = buildMaintainedStore(s, dir, at = Some(r))
+        r
+      })
+      // first resolver in this JVM keeps the handle that ingested;
+      // later sessions re-open the durable root (a fresh manifest
+      // resolve — the store's normal reader path)
+      if (built != null) built else new graft.store.Store(s, root)
+    })
+  }
 
   // ---------------------------------------------------------------- Spark
 

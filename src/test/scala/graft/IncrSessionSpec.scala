@@ -81,18 +81,25 @@ object IncrRestartCheck {
       s.sparkContext.setLogLevel("ERROR")
       s
     }
+    // both JVM-memoized fixture families: the incremental-dedup index
+    // (PipelineQueries.incrIndexFixture) and the maintained store
+    // (SparkEntry.storeFixture) — each must survive its first session
+    // being STOPPED and re-resolve for the second
+    def gates(s: SparkSession): (Long, Long) = (
+      PipelineQueries.queries("pl_dedup_incr_fixed")(s, dir).count(),
+      SparkEntry.queries("q_routed_maintained")(s, dir).count())
     val s1 = fresh()
-    val n1 = PipelineQueries.queries("pl_dedup_incr_fixed")(s1, dir).count()
+    val (n1, m1) = gates(s1)
     s1.stop()
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     val s2 = fresh()
-    val n2 = PipelineQueries.queries("pl_dedup_incr_fixed")(s2, dir).count()
+    val (n2, m2) = gates(s2)
     s2.stop()
-    if (n1 == n2 && n1 > 0) {
-      println(s"INCR_RESTART_OK $n1")
+    if (n1 == n2 && n1 > 0 && m1 == m2 && m1 > 0) {
+      println(s"INCR_RESTART_OK $n1 $m1")
     } else {
-      println(s"INCR_RESTART_MISMATCH $n1 $n2")
+      println(s"INCR_RESTART_MISMATCH $n1 $n2 $m1 $m2")
       sys.exit(1)
     }
   }
