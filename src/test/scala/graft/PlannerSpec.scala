@@ -15,6 +15,10 @@ class PlannerSpec extends SparkSpec {
 
   private val H = 3600000L
 
+  test("SparkEntry.entry returns rows (the driver's smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   /** 2 series ("a": host1, "b": host2), hourly-ish points over 4 hours. */
   private def dps: Seq[Dp] = {
     def mk(host: String, off: Long, vs: Seq[Double]): Seq[Dp] =
