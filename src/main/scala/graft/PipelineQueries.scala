@@ -1576,12 +1576,17 @@ object PipelineQueries {
       // lossless (no df cap), and measured LINEAR sf0.1→sf1 where the
       // inverted-index chain is quadratic-prone — the truth chain was
       // this gate's dominant cost (14.4 of 18.4 s at sf1)
-      val t = Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8)
-        .select(col("id1"), col("id2"), lit(1L).as("in_t"))
-      // same AUTO-radius detector pl_neardup_edit verifies, so this
-      // gate RECORDS the recall cost of each scale's tightened radius
-      val p = Dedup.simhashPairsAuto(docs(s, dir))
-        .select(col("id1"), col("id2"), lit(1L).as("in_p"))
+      // the truth chain and the detector chain are independent eager
+      // pipelines — overlap them as concurrent jobs (guide §2.6; r16):
+      // sequentially, each chain's straggler tail idled the cores the
+      // other chain could have been filling
+      val (t, p) = Dedup.inParallel(
+        Dedup.prefixFilterPairs(docs(s, dir), n = 3, threshold = 0.8)
+          .select(col("id1"), col("id2"), lit(1L).as("in_t")),
+        // same AUTO-radius detector pl_neardup_edit verifies, so this
+        // gate RECORDS the recall cost of each scale's tightened radius
+        Dedup.simhashPairsAuto(docs(s, dir))
+          .select(col("id1"), col("id2"), lit(1L).as("in_p")))
       t.join(p, Seq("id1", "id2"), "full_outer")
         .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
           sum(coalesce(col("in_p"), lit(0L))).as("n_pred"),
@@ -1614,11 +1619,16 @@ object PipelineQueries {
         case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       }
       val d = docs(s, dir)
-      Dedup.clusterAgreement(d,
+      // the two detector chains are independent eager pipelines —
+      // overlap them as concurrent jobs (guide §2.6; r16): the minhash
+      // chain's verify tail and the simhash chain's candidate join
+      // otherwise each leave most cores idle while the other waits
+      val (mh, sh) = Dedup.inParallel(
         Dedup.minhashLshPairs(d, 3, 0.8, sigStorage = lvl)
           .select("id1", "id2"),
         Dedup.simhashPairs(d, nBits = 60, maxHamming = 3, sigStorage = lvl)
           .select("id1", "id2"))
+      Dedup.clusterAgreement(d, mh, sh)
         .select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
           sround(col("ari")).as("ari"))
     },

@@ -268,6 +268,25 @@ object Dedup {
     out
   }
 
+  /** Run two INDEPENDENT eager chain builders as concurrent Spark jobs
+    * (optimization guide §2.6): Spark's scheduler happily runs several
+    * jobs at once in one application — composite operators that
+    * materialize two detector chains back-to-back otherwise leave most
+    * of the cluster idle through each chain's straggler tail. FIFO
+    * scheduling makes the second chain's tasks back-fill executors the
+    * first chain's tail frees. Each builder must be self-contained
+    * (builds AND materializes its own frames — every producer in this
+    * module is); failures propagate to the caller unchanged.
+    */
+  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(fa)
+    val f2 = Future(fb)
+    (Await.result(f1, scala.concurrent.duration.Duration.Inf),
+      Await.result(f2, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`.
     * `maxDocFreq` drops shingles appearing in more than that many docs —
     * the standard skew guard: a stop-shingle shared by 1M docs would
@@ -1383,8 +1402,12 @@ object Dedup {
   def clusterAgreement(docs: DataFrame, pairs1: DataFrame,
       pairs2: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("id"))
-    val l1 = clusters(pairs1, nodes).withColumnRenamed("cid", "c1")
-    val l2 = clusters(pairs2, nodes).withColumnRenamed("cid", "c2")
+    // the two clusterings are independent eager chains — overlap them
+    // (guide §2.6): each is a size probe + union-find/propagation whose
+    // straggler tail the other side's jobs back-fill
+    val (l1, l2) = inParallel(
+      clusters(pairs1, nodes).withColumnRenamed("cid", "c1"),
+      clusters(pairs2, nodes).withColumnRenamed("cid", "c2"))
     val ct = l1.join(l2, "id").groupBy("c1", "c2")
       .agg(count(lit(1)).as("nij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

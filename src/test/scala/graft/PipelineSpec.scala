@@ -1517,6 +1517,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("inParallel: both chain results returned, failures propagate") {
+    // the r16 composite-gate overlap helper: results must be the two
+    // builders' own values (not swapped), and a failing chain must
+    // surface its original exception to the caller
+    val (a, b) = Dedup.inParallel(
+      spark.range(10).count(),
+      spark.range(5).selectExpr("sum(id)").as[Long].head())
+    assert(a === 10L && b === 10L)
+    val boom = intercept[IllegalStateException] {
+      Dedup.inParallel[Int, Int](throw new IllegalStateException("left"), 2)
+    }
+    assert(boom.getMessage === "left")
+  }
+
   test("pl_neardup_eval: confusion counts consistent, rates exact") {
     val r = SparkEntry.queries("pl_neardup_eval")(spark, sf)
       .select($"n_truth", $"n_pred", $"tp", $"prec_pm", $"rec_pm")
