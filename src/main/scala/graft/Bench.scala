@@ -184,6 +184,9 @@ object Bench {
     // unconditionally (hostFactor >= calFactor by construction)
     val spreadQueued = scala.collection.mutable.Set.empty[String]
     val results = picked.map { case (name, fn) =>
+      // label the gate's jobs (guide §1.5) — free (a local property),
+      // and a UI/event-log-enabled rerun maps stages to gates directly
+      spark.sparkContext.setJobDescription(s"bench: $name")
       // let the ContextCleaner reclaim the previous queries' shuffle
       // files/broadcasts before timing: 98 queries × 3 runs accumulate
       // thousands of stale shuffle stages whose disk + heap pressure
