@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE-LINE JSON from this process's stdout.
+// Default LoggedOutput re-emits the forked child's stdout as "[info] ..."
+// lines and appends "[success] Total time ...", so a bare-JSON-line
+// parser finds nothing (every BENCH_r01..r16.json: parsed: null).
+// StdoutOutput passes child stdout through raw; showSuccess drops the
+// trailing [success] line so the JSON stays the LAST stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command loop, not a task — exclude it from
+// the unused-key lint so its [warn] block doesn't precede the run.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -279,13 +279,61 @@ object Dedup {
     * module is); failures propagate to the caller unchanged.
     */
   private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val f1 = Future(fa)
-    val f2 = Future(fb)
-    (Await.result(f1, scala.concurrent.duration.Duration.Inf),
-      Await.result(f2, scala.concurrent.duration.Duration.Inf))
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.util.Failure
+    // a dedicated 2-thread pool per call, not the shared global EC:
+    // the builders BLOCK on Spark actions for seconds-to-minutes, and
+    // two such tasks parked on the CPU-sized global pool can starve any
+    // future nested/wider use (ADVICE r16). The pool dies with the call.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    // Spark job-group/description properties are snapshotted per THREAD
+    // (InheritableThreadLocal) — capture the caller's label and job group
+    // id here and re-set them on the pool threads so the overlapped
+    // chains' jobs stay attributed to the calling gate in the UI, and so
+    // a failure can cancel the sibling's still-running jobs.
+    // resolved lazily and defensively: a builder may be the thing that
+    // CREATES the session (tests), so "no session yet" just means
+    // nothing to label/cancel yet
+    def scOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val callerDesc = scOpt
+      .map(_.getLocalProperty("spark.job.description")).orNull
+    val group = "graft-inParallel-" + inParallelSeq.incrementAndGet()
+    def run[T](f: => T): Future[T] = Future {
+      scOpt.foreach { sc =>
+        sc.setJobGroup(group,
+          if (callerDesc != null) callerDesc else group,
+          interruptOnCancel = true)
+        if (callerDesc != null)
+          sc.setLocalProperty("spark.job.description", callerDesc)
+      }
+      blocking(f)
+    }
+    val f1 = run(fa)
+    val f2 = run(fb)
+    // fail-FAST on either side (Future.zip alone waits out f1 before it
+    // can see f2's failure), then cancel the surviving chain's Spark
+    // jobs and await its termination: without the cancel+await, the
+    // orphaned chain kept computing in the background and contaminated
+    // the NEXT gates' timed runs after Bench/Verify caught the error.
+    val first = Promise[(A, B)]()
+    f1.onComplete { case Failure(t) => first.tryFailure(t); case _ => () }
+    f2.onComplete { case Failure(t) => first.tryFailure(t); case _ => () }
+    f1.zip(f2).onComplete(first.tryComplete)
+    try Await.result(first.future, Duration.Inf)
+    catch {
+      case t: Throwable =>
+        try scOpt.foreach(_.cancelJobGroup(group))
+        catch { case _: Throwable => () }
+        try Await.ready(f1, Duration.Inf) catch { case _: Throwable => () }
+        try Await.ready(f2, Duration.Inf) catch { case _: Throwable => () }
+        throw t
+    } finally pool.shutdown()
   }
+  private val inParallelSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`.
     * `maxDocFreq` drops shingles appearing in more than that many docs —

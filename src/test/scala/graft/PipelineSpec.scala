@@ -1521,14 +1521,34 @@ class PipelineSpec extends SparkSpec {
     // the r16 composite-gate overlap helper: results must be the two
     // builders' own values (not swapped), and a failing chain must
     // surface its original exception to the caller
+    // distinct values on purpose: count(range(5)) = 5 vs sum(range(5)) =
+    // 10, so a swapped tuple fails (the r16 version used two expressions
+    // that both evaluated to 10 — a vacuous "not swapped" check)
     val (a, b) = Dedup.inParallel(
-      spark.range(10).count(),
+      spark.range(5).count(),
       spark.range(5).selectExpr("sum(id)").as[Long].head())
-    assert(a === 10L && b === 10L)
+    assert(a === 5L && b === 10L)
     val boom = intercept[IllegalStateException] {
       Dedup.inParallel[Int, Int](throw new IllegalStateException("left"), 2)
     }
     assert(boom.getMessage === "left")
+    // fail-FAST on the SECOND slot: a right-side failure must not wait
+    // out a long left chain (the pre-r17 form awaited f1 first), and the
+    // surviving chain's jobs are cancelled — the left builder here would
+    // take ~100 runs of the suite's budget if its job survived
+    val t0 = System.nanoTime()
+    val boom2 = intercept[IllegalStateException] {
+      Dedup.inParallel[Long, Int](
+        { Thread.sleep(3000); spark.range(5).count() },
+        throw new IllegalStateException("right"))
+    }
+    assert(boom2.getMessage === "right")
+    // the left chain sleeps 3 s before touching Spark; fail-fast means
+    // we do NOT wait for its Spark work, only for its termination — but
+    // the pre-Spark sleep itself is not interruptible work we cancel,
+    // so just assert the failure surfaced with the right exception and
+    // the call returned within the sleep + slack
+    assert((System.nanoTime() - t0) / 1e9 < 10.0)
   }
 
   test("pl_neardup_eval: confusion counts consistent, rates exact") {
