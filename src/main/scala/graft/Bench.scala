@@ -140,6 +140,20 @@ object Bench {
         if (a.startsWith("=")) n == a.drop(1) else n.contains(a)) }
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(3))
+    // UNTIMED warmup runs per gate — default ONE, everywhere (the
+    // committed floors and every sweep-of-record were measured that
+    // way). The obvious fix for fresh-JVM children reading 1.5-3x the
+    // committed floors — more warmups to amortize the JIT ramp — was
+    // A/B'd this round and REJECTED: 3 warmups moved targeted medians
+    // by -6%/-2%/+8% (pl_knn_rerank/pl_dedup_minhash/pl_dedup_incr at
+    // sf0.1, same session) while inflating child wall-clock 10-60%,
+    // i.e. the solo premium is a steady per-JVM cost (a 230-gate sweep
+    // warms shared operator paths far past what repeated runs of one
+    // gate reach), not a ramp. The env knob stays for re-running that
+    // A/B; the escalation-economics fix lives in the child CLEAN bar
+    // and per-gate retry-agreement logic below instead.
+    val warmups = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_WARMUPS")
+      .flatMap(_.toIntOption).getOrElse(1))
     // committed per-gate expectations: the escalation trigger's baseline
     val expected = expectedFor(sfDir)
     // floor-provenance audit (r15): a floor is a per-gate MINIMUM folded
@@ -193,7 +207,8 @@ object Bench {
       // otherwise bleeds into later queries' medians (measured: a 1.1 s
       // query reported 4.7 s mid-sweep). Outside the timed region.
       System.gc()
-      // one UNTIMED warmup run per query: the first execution pays the
+      // UNTIMED warmup run(s) per query (`warmups` above): the first
+      // execution pays the
       // query's codegen/JIT bring-up and absorbs the async cleaner churn
       // the GC above schedules — with only 3 timed runs, one such
       // inflated sample (measured 4.2 s vs 1.8 s warm on pl_collapse)
@@ -201,8 +216,10 @@ object Bench {
       // unpersisted (no-op when not cached) AFTER its count so the
       // operators that return persisted frames don't stack one leaked
       // cache entry per run for the cleaner to churn through mid-sweep.
-      try { val w = fn(spark, sfDir); w.count(); w.unpersist(true) }
-      catch { case _: Throwable => () }
+      (0 until warmups).foreach { _ =>
+        try { val w = fn(spark, sfDir); w.count(); w.unpersist(true) }
+        catch { case _: Throwable => () }
+      }
       def timed(): Double =
         try {
           // fn() is timed too: operators that materialize eagerly do
@@ -423,7 +440,9 @@ object Bench {
             s"left vs ~${projectedChildrenSec.toInt}s of queued children")
         return
       }
-      val cFloor = 2.0 * hostFactor * math.max(cf, 0.2) + 0.35
+      // 2.5x: the same healthy fresh-JVM solo premium the gate
+      // children's clean bar allows for (see cleanEnough below)
+      val cFloor = 2.5 * hostFactor * math.max(cf, 0.2) + 0.35
       var tries = 0
       var clean = false
       // 2 probes × 5 s backoff, not r13's 4 × 15 s: each busy probe
@@ -514,24 +533,42 @@ object Bench {
           .max(observedAvgSec * (escOrder.size - idx))
         val median = inSweep(name)
         val floor = expected.get(name).map(e => math.max(e, 0.2))
-        // host-scaled clean bar: a child at 1.8× floor on a 1.5×-speed
-        // day is a credible measurement, not a busy window — retrying
-        // it burns budget re-measuring the host (the r15 shakedown
-        // spent ~2/3 of its child time exactly there)
+        // host-scaled CHILD clean bar (r17: 2.5x + 0.35 s, was 2.0x): a
+        // healthy fresh-JVM child never reaches the committed in-sweep
+        // floors — it pays a steady solo premium a 230-gate sweep's
+        // shared warmup amortizes away (r15 record: clean children at
+        // 1.5-2x floor all day; this round's quiet-host solo baselines:
+        // 2.1x/2.1x/2.1x/3.1x/1.5x floor on the five slowest gates, and
+        // extra warmups were A/B'd and do NOT close the gap). At 2.0x
+        // every healthy child of those gates read "dirty", bought 2
+        // retry children each, and the r16 official run exhausted its
+        // 900 s budget after 11/16 gates. The bar only gates RETRIES —
+        // recorded values stay min(in-sweep, children), so a looser bar
+        // can only ship an in-sweep median it would otherwise have spent
+        // the whole budget re-litigating. +0.35 s is the session
+        // bring-up allowance the canary bar already carries.
         def cleanEnough(v: Double): Boolean =
-          v > 0 && floor.forall(f => v <= 2.0 * hostFactor * f)
+          v > 0 && floor.forall(f => v <= 2.5 * hostFactor * f + 0.35)
         awaitIdleSlot(projectedChildrenSec)
         val iso = runChild(name)
         childVerdict(cleanEnough(iso), floor.isDefined)
         // SECOND-CHANCE children: a child JVM can itself land in a busy
         // window on a loaded machine (r8 driver record: children agreed
         // with 4-5× inflated in-sweep medians that targeted reruns put
-        // at 1.4-2.1 s). While the best child is still >2× the committed
-        // floor, up to two more children — a few seconds each — buy the
-        // record independent shots at an idle window.
+        // at 1.4-2.1 s). While the best child is still over the clean
+        // bar, up to two more children — a few seconds each — buy the
+        // record independent shots at an idle window. A busy WINDOW
+        // means children DISAGREE, so once two children agree (<1.5x
+        // spread) the measurement is credible and this gate stops
+        // retrying immediately (r17; previously only two consecutive
+        // all-futile gates could stop the third child).
         val retries = scala.collection.mutable.ArrayBuffer.empty[Double]
+        def kidsAgree: Boolean = {
+          val kids = (Seq(iso) ++ retries).filter(_ > 0)
+          kids.size >= 2 && kids.max / kids.min < 1.5
+        }
         while (retries.size < 2 && retriesLeft > 0 && retryFutility < 2 &&
-               escBudgetLeft() &&
+               escBudgetLeft() && !kidsAgree &&
                !(Seq(iso) ++ retries).exists(cleanEnough)) {
           retriesLeft -= 1
           awaitIdleSlot(projectedChildrenSec)
@@ -543,7 +580,7 @@ object Bench {
         // busy window — see retryFutility above
         locally {
           val kids = (Seq(iso) ++ retries).filter(_ > 0)
-          if (retries.size == 2 && kids.size >= 2 &&
+          if (retries.nonEmpty && kids.size >= 2 &&
               kids.max / kids.min < 1.5 && !kids.exists(cleanEnough)) {
             retryFutility += 1
             if (retryFutility >= 2) System.err.println(
