@@ -212,10 +212,34 @@ object Planner {
         // order column is skey, not ts: rows in a cross-series group share
         // the timestamp, so first/last mean "first/last series" — the
         // reference walks series in creation order (aggregate.cpp:218-233);
-        // we define canonical skey order for determinism
-        val valueAgg = GraftFunctions.aggFor(agg, col("value"), col("skey"),
+        // we define canonical skey order for determinism.
+        //
+        // With a maintained series index (r17), first/last order by the
+        // index's numeric skey RANK instead of the skey string: a
+        // min_by/max_by whose ordering column is a string has an
+        // immutable aggregation buffer, so Spark falls back from hash to
+        // SortAggregate — a per-partition sort of the whole downsampled
+        // frame with no cheap map-side combine. Ranked by a long, the
+        // same aggregation is a map-side-combinable HashAggregate. The
+        // rank table is dim-sized (cardinality = #series), derived by
+        // one window over the broadcast index, and rank order == skey
+        // order (row_number over the metric's skeys), so results are
+        // identical; rows already passed the step-2 index semi-join with
+        // the same metric filter, so the inner rank join drops nothing.
+        val indexedRanks =
+          if ((agg == "first" || agg == "last") && opt.seriesIndex.isDefined)
+            Some(broadcast(opt.seriesIndex.get
+              .filter(col("metric") === sub.metric)
+              .select(col("skey")).distinct()
+              .withColumn("srank_",
+                row_number().over(Window.orderBy(col("skey"))).cast("long"))))
+          else None
+        val aggSrc = indexedRanks.map(r => df.join(r, Seq("skey")))
+          .getOrElse(df)
+        val ordCol = if (indexedRanks.isDefined) col("srank_") else col("skey")
+        val valueAgg = GraftFunctions.aggFor(agg, col("value"), ordCol,
           opt.approxPercentileAccuracy).as("value")
-        val grouped = df.groupBy(col("ts") +: groupCols: _*)
+        val grouped = aggSrc.groupBy(col("ts") +: groupCols: _*)
         if (opt.collectSeriesKeys) {
           // member rosters ride along as ONE extra row per result group
           // (ts = null), not an array on every timestamp row — the

@@ -572,4 +572,32 @@ class PlanAuditSpec extends SparkSpec {
       s"only $audited BNLJ nodes found across ${bnljGates.size} gates — " +
         "the plan walker is missing nodes")
   }
+
+  test("indexed first/last: rank-ordered agg is hash, result identical") {
+    // r17: with a maintained series index the planner orders first/last
+    // by the index's numeric skey rank — the min_by/max_by buffer turns
+    // mutable and the cross-series aggregation becomes a map-side
+    // combinable HashAggregate. The base gates (no index) keep the
+    // string-ordered SortAggregate; results must match exactly.
+    Seq(("q_agg_first", "q_agg_first_indexed", "min_by"),
+        ("q_agg_last", "q_agg_last_indexed", "max_by")).foreach {
+      case (base, idx, fn) =>
+        val (_, planIdx) = fp(idx)
+        // every detail block applying min_by/max_by must be a
+        // HashAggregate; the SortAggregates still in the plan belong to
+        // the index DERIVATION (first(tags) — maintained at deployment)
+        val sortAggBlocks = planIdx.split("\n\n")
+          .filter(b => b.contains("SortAggregate") && b.contains(s"$fn("))
+        assert(sortAggBlocks.isEmpty,
+          s"$idx: $fn still sort-aggregated\n${sortAggBlocks.mkString("\n")}")
+        val (fBase, planBase) = fp(base)
+        assert(planBase.split("\n\n").exists(b =>
+          b.contains("SortAggregate") && b.contains(s"$fn(")),
+          s"$base: expected the string-ordered SortAggregate baseline")
+        assert(fBase.sortAggregates > 0)
+        val a = SparkEntry.queries(base)(spark, sf).collect().toSeq
+        val b = SparkEntry.queries(idx)(spark, sf).collect().toSeq
+        assert(a == b, s"$idx result drifted from $base")
+    }
+  }
 }
