@@ -1087,7 +1087,13 @@ object SparkEntry {
           .filter(_ == "rocksdb").map(_ =>
             "spark.sql.streaming.stateStore.providerClass" ->
               ("org.apache.spark.sql.execution.streaming.state." +
-                "RocksDBStateStoreProvider")).toMap
+                "RocksDBStateStoreProvider")).toMap ++
+          // measurement override (r17 A/B): state-store maintenance
+          // (snapshot/cleanup thread) interval during the replay
+          sys.env.get("SPARK_GRAFT_SESS_MAINT_SEC")
+            .flatMap(_.toIntOption).map(sec =>
+              "spark.sql.streaming.stateStore.maintenanceInterval" ->
+                s"${sec}s").toMap
         runReplay(s, st, qn = "", partitions = sessParts,
           extraConfs = sessConfs,
           sinkPath = Some(outDir.toString)) { () =>

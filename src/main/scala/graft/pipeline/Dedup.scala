@@ -343,12 +343,30 @@ object Dedup {
     * hot shingle would connect are nowhere near duplicates); pass None
     * only when the corpus is known skew-free.
     */
+  /** Storage level for the CORPUS-SIZED detector relations (shingle
+    * tables, minhash/simhash signature bases) — the default for every
+    * `shingleStorage`/`sigStorage` parameter in this module.
+    * `SPARK_GRAFT_DETECTOR_STORAGE` is the measurement override for the
+    * full-sweep storage A/B (r15 probed `disk_only`: a wash at 48 g;
+    * r17 probed `memory_and_disk_ser`: see OPTIMIZATION_r17.md).
+    * Bounded result frames (pair sets, contingency tables, labels) stay
+    * MEMORY_AND_DISK unconditionally — they are not the churn source.
+    */
+  private[graft] def detectorStorage: org.apache.spark.storage.StorageLevel =
+    sys.env.get("SPARK_GRAFT_DETECTOR_STORAGE") match {
+      case Some("memory_and_disk_ser") =>
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case Some("disk_only") =>
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     // consumed by three plan branches (sizes + both join sides) — persist
     // so tokenize+md5 runs once; spills to disk when it outgrows memory
     val sh0 = shingleHashes(docs, n).select("id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(detectorStorage)
     var sh: DataFrame = sh0
     maxDocFreq.foreach { df =>
       val hot = sh.groupBy("h").count().filter(col("count") > df).select("h")
@@ -393,7 +411,7 @@ object Dedup {
   def prefixFilterPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.8,
       shingleStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        Dedup.detectorStorage): DataFrame = {
     // `shingleStorage` is the single-box memory lever SCALING.md names
     // for this operator: the persisted shingle relation is corpus-sized
     // (250M rows / ~4 GB at the sf10 rehearsal) and consumed by two
@@ -499,7 +517,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
       maxDocFreq: Option[Int] = Some(1000)): DataFrame = {
     val sh0 = shingleHashes(docs, n).select("id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(detectorStorage)
     var sh: DataFrame = sh0
     maxDocFreq.foreach { cap =>
       val hot = sh.groupBy("h").count().filter(col("count") > cap).select("h")
@@ -546,7 +564,7 @@ object Dedup {
     val base = shingleHashes(docs, n)
       .groupBy("id")
       .agg(mins.head, (mins.tail :+ count(lit(1)).as("nsh")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(detectorStorage)
     val banded0 = bandRows(base)
     val banded =
       if (maxBucket <= 0) banded0
@@ -642,7 +660,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = 100,
       sigStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        Dedup.detectorStorage): DataFrame = {
     // `sigStorage` is the prefixFilterPairs(shingleStorage=…) twin for
     // THIS chain's corpus-sized persisted relation: `base` carries every
     // doc's verification shingle-hash SET, so on one box a composite
@@ -739,7 +757,7 @@ object Dedup {
     val newBase = shingleHashes(newDocs, n)
       .groupBy("id")
       .agg(newMins.head, (newMins.tail :+ collect_set(col("h")).as("hs")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(detectorStorage)
     // the corpus-side twin of minhashLshPairs' band-bucket skew guard: a
     // pathological index bucket would multiply EVERY future batch's probe
     // fan-out, so cap corpus bucket membership before the band join (the
@@ -1262,7 +1280,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, nBits: Int = 60, maxHamming: Int = 3,
       maxBucket: Int = 1000,
       sigStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        Dedup.detectorStorage,
       blocks: Int = 0): DataFrame = {
     // one row per doc — tiny next to the token flatMap + nBits-vote
     // aggregation that builds it; persisted so the chunk self-join's two
